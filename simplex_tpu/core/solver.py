@@ -1,0 +1,132 @@
+"""The jitted solve driver: one ``lax.while_loop`` around the pivot step.
+
+Replaces the reference's host-driven ``do { ... } while (++i < MAX_ITER)``
+(``src/v4_cub_reduction.cu:286-359``) — its 3-4 host syncs per pivot become
+traced predicates, so the whole solve is a single XLA executable that leaves
+the device only once, at the end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
+from simplex_tpu.core.state import Problem, SolverState, initial_state, initial_state_slack
+from simplex_tpu.core.step import pivot_step, refactorize
+from simplex_tpu.kernels.dispatch import get_backend
+from simplex_tpu.status import SolveStatus
+
+
+class SolveResult(NamedTuple):
+    """Host-side result (mirrors the reference's main() report,
+    ``src/v4_cub_reduction.cu:425-445``: z, x_b values keyed by b_ixs,
+    status)."""
+
+    z: float
+    x: np.ndarray  # (n,) full primal solution (x_b scattered over basis)
+    x_b: np.ndarray  # (m,)
+    basis: np.ndarray  # (m,) int32
+    status: SolveStatus
+    iters: int
+
+
+def solve_state(
+    prob: Problem,
+    state0: SolverState,
+    opts: SimplexOptions,
+    max_iter: int,
+) -> SolverState:
+    """Run the pivot loop to termination. Traced; jit/vmap/shard_map-safe."""
+    backend = get_backend(opts.backend)
+
+    def cond(s: SolverState):
+        return jnp.logical_and(
+            s.status == jnp.int32(SolveStatus.RUNNING), s.iters < max_iter
+        )
+
+    def body(s: SolverState):
+        s = pivot_step(prob, s, opts, backend)
+        if opts.refactor_every > 0:
+            due = jnp.logical_and(
+                jnp.logical_and(s.iters > 0, s.iters % opts.refactor_every == 0),
+                s.status == jnp.int32(SolveStatus.RUNNING),
+            )
+            s = jax.lax.cond(due, lambda st: refactorize(prob, st), lambda st: st, s)
+        return s
+
+    final = jax.lax.while_loop(cond, body, state0)
+    status = jnp.where(
+        final.status == jnp.int32(SolveStatus.RUNNING),
+        jnp.int32(SolveStatus.MAX_ITER),
+        final.status,
+    )
+    return final._replace(status=status)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "max_iter", "slack_init"))
+def _solve_jit(
+    A: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    basis0: jnp.ndarray,
+    opts: SimplexOptions,
+    max_iter: int,
+    slack_init: bool,
+) -> SolverState:
+    dtype = opts.dtype
+    prob = Problem(A=A.astype(dtype), b=b.astype(dtype), c=c.astype(dtype))
+    if slack_init:
+        state0 = initial_state_slack(prob, dtype)
+    else:
+        state0 = initial_state(prob, basis0, dtype)
+    return solve_state(prob, state0, opts, max_iter)
+
+
+def solve(
+    A,
+    b,
+    c,
+    *,
+    basis0: Optional[np.ndarray] = None,
+    options: SimplexOptions = DEFAULT_OPTIONS,
+) -> SolveResult:
+    """Solve  max c.x  s.t.  A x = b, x >= 0  from a feasible basis.
+
+    ``basis0=None`` assumes the canonical trailing identity slack block
+    (the reference's only supported input shape, ``src/v1_baseline.cu:
+    336-339``); pass an explicit (m,) index array otherwise.
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    m, n = A.shape
+    if m > n:
+        raise ValueError(f"m > n ({m} > {n}): not a canonical-form LP")
+    if b.shape != (m,) or c.shape != (n,):
+        raise ValueError(f"shape mismatch: A {A.shape}, b {b.shape}, c {c.shape}")
+    max_iter = options.resolve_max_iter(m, n)
+    slack_init = basis0 is None
+    basis_arr = (
+        jnp.arange(n - m, n, dtype=jnp.int32)
+        if slack_init
+        else jnp.asarray(basis0, jnp.int32)
+    )
+    final = _solve_jit(A, b, c, basis_arr, options, max_iter, slack_init)
+    final = jax.device_get(final)
+
+    z = float(np.dot(final.c_b, final.x_b))
+    x = np.zeros(n, dtype=final.x_b.dtype)
+    x[final.basis] = final.x_b
+    return SolveResult(
+        z=z,
+        x=x,
+        x_b=np.asarray(final.x_b),
+        basis=np.asarray(final.basis),
+        status=SolveStatus(int(final.status)),
+        iters=int(final.iters),
+    )

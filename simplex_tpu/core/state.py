@@ -1,0 +1,106 @@
+"""Solver-state pytree.
+
+The reference keeps solver state as ~20 raw device pointers allocated from a
+table (``PtrAlloc`` lists, ``src/v4_cub_reduction.cu:245-254``). The TPU-native
+equivalent is a single immutable pytree threaded through ``lax.while_loop`` —
+XLA keeps every leaf resident in HBM across iterations with zero host traffic.
+
+State leaves (shapes for an m x n problem):
+  B_inv  (m, m)  explicit basis inverse, product-form maintained
+  x_b    (m,)    basic variable values        (= B_inv @ b)
+  y      (m,)    dual multipliers / pricing   (= c_b @ B_inv)
+  c_b    (m,)    objective coefficients of the basis
+  basis  (m,)    column index of each basic variable (int32)
+  iters  ()      pivot counter (int32)
+  status ()      SolveStatus code (int32)
+  degen  ()      consecutive-degenerate-pivot counter (int32), drives the
+                 Bland's-rule fallback
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from simplex_tpu.status import SolveStatus
+
+
+class Problem(NamedTuple):
+    """A canonical-form LP: maximize c.x  s.t.  A x = b, x >= 0.
+
+    Matches the reference's input contract (``input/sample.txt:7-13``): the
+    caller supplies a feasible starting basis (for the reference this is
+    always the trailing identity slack block, ``src/v1_baseline.cu:336-339``).
+    """
+
+    A: jnp.ndarray  # (m, n)
+    b: jnp.ndarray  # (m,)
+    c: jnp.ndarray  # (n,)
+
+
+class SolverState(NamedTuple):
+    B_inv: jnp.ndarray  # (m, m)
+    x_b: jnp.ndarray  # (m,)
+    y: jnp.ndarray  # (m,)
+    c_b: jnp.ndarray  # (m,)
+    basis: jnp.ndarray  # (m,) int32
+    iters: jnp.ndarray  # () int32
+    status: jnp.ndarray  # () int32
+    degen: jnp.ndarray  # () int32
+
+
+def initial_state(prob: Problem, basis0: jnp.ndarray, dtype) -> SolverState:
+    """Build the starting state for a given feasible basis.
+
+    For the canonical slack basis ``basis0 = [n-m, .., n-1]`` this reproduces
+    the reference's init phase (``src/v4_cub_reduction.cu:268-280``):
+    ``B_inv = I``, ``c_b = c[n-m:]``, ``x_b = b``, ``y = c_b`` (since
+    ``y = c_b @ I``). For a general basis it computes the same quantities
+    through the basis inverse.
+    """
+    m = prob.A.shape[0]
+    basis0 = jnp.asarray(basis0, jnp.int32)
+    B = jnp.take(prob.A, basis0, axis=1).astype(dtype)
+    eye = jnp.eye(m, dtype=dtype)
+    # For the identity slack basis, solve() reduces to I (exact). XLA folds
+    # this at runtime only if B happens to be I; cost is one O(m^3) solve at
+    # init — matching the reference's one-off init phase, not the pivot loop.
+    B_inv = jnp.linalg.solve(B, eye)
+    c_b = jnp.take(prob.c, basis0).astype(dtype)
+    x_b = B_inv @ prob.b.astype(dtype)
+    y = c_b @ B_inv
+    zero = jnp.int32(0)
+    return SolverState(
+        B_inv=B_inv,
+        x_b=x_b,
+        y=y,
+        c_b=c_b,
+        basis=basis0,
+        iters=zero,
+        status=jnp.int32(SolveStatus.RUNNING),
+        degen=zero,
+    )
+
+
+def initial_state_slack(prob: Problem, dtype) -> SolverState:
+    """Fast path for the canonical trailing-identity slack basis.
+
+    Avoids the O(m^3) solve of :func:`initial_state`; exactly the reference's
+    init (``B_inv = I``, ``c_b = c[n-m:]``, ``x_b = b``, ``b_ixs = n-m+j`` —
+    ``src/v4_cub_reduction.cu:272-277``).
+    """
+    m, n = prob.A.shape
+    basis0 = jnp.arange(n - m, n, dtype=jnp.int32)
+    c_b = prob.c[n - m :].astype(dtype)
+    zero = jnp.int32(0)
+    return SolverState(
+        B_inv=jnp.eye(m, dtype=dtype),
+        x_b=prob.b.astype(dtype),
+        y=c_b,
+        c_b=c_b,
+        basis=basis0,
+        iters=zero,
+        status=jnp.int32(SolveStatus.RUNNING),
+        degen=zero,
+    )

@@ -1,0 +1,137 @@
+"""One revised-simplex pivot as a pure, jittable function.
+
+This re-expresses the reference's pivot loop body (``src/v4_cub_reduction.cu:
+286-359``) as a single traced function over the :class:`SolverState` pytree.
+The key structural change (SURVEY.md §3.1): the reference crosses the
+host<->device boundary 3-4x per pivot for the optimality test, unboundedness
+test, and leaving-index readback; here all three are traced scalars and the
+loop never leaves the device.
+
+Math (v2/v3/v4 semantics — quadratic product-form B_inv update, linear
+x_b / y updates; reference README.md:17-19):
+
+  pricing      e_j   = y . A_j - c_j ;  entering p = argmin e ;
+               optimal iff min e >= -eps
+  ftran        alpha = B_inv @ A_p
+  ratio test   theta_j = x_b_j / alpha_j over alpha_j > tol ;  leaving q =
+               argmin theta ;  unbounded iff no eligible alpha
+  update       eta_i = -alpha_i/alpha_q (i != q), 1/alpha_q - 1 (i = q)
+               B_inv += eta (x) B_inv[q]                    [O(m^2)]
+               x_b   -= theta * alpha ;  x_b[q] = theta     [O(m)]
+               y     += (d_p / alpha_q) * B_inv_old[q]      [O(m)]
+               with d_p = c_p - y . A_p = -e_p
+               c_b[q] = c_p ;  basis[q] = p
+
+The x_b and y forms are the textbook equivalents of the reference's
+``x_b += (B_inv_q . b) * E_q`` and ``y += ((c_p - c_b_q) + c_b . E_q) *
+B_inv_q`` (``src/v4_cub_reduction.cu:347-356``) — identical values, fewer
+dots (verified in tests/test_step.py against from-scratch recomputation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from simplex_tpu.config import SimplexOptions
+from simplex_tpu.core.state import Problem, SolverState
+from simplex_tpu.status import SolveStatus
+
+
+def pivot_step(
+    prob: Problem,
+    state: SolverState,
+    opts: SimplexOptions,
+    backend,
+) -> SolverState:
+    """Apply one pivot (or set a terminal status). Pure; safe under jit/vmap."""
+    dtype = state.B_inv.dtype
+    eps = jnp.asarray(opts.eps, dtype)
+
+    use_bland = jnp.logical_and(
+        opts.bland_after > 0, state.degen >= opts.bland_after
+    )
+
+    # ---- Pricing / entering variable (ref :289-302) ----
+    p, min_e = backend.choose_entering(state.y, prob.A, prob.c, opts.eps, use_bland)
+    optimal = min_e >= -eps
+
+    # ---- FTRAN + ratio test / leaving variable (ref :307-325) ----
+    A_p = backend.gather_column(prob.A, p).astype(dtype)
+    alpha = state.B_inv @ A_p
+    q, theta_q, unbounded = backend.ratio_argmin(
+        state.x_b, alpha, state.basis, opts.pivot_tol, use_bland
+    )
+
+    do_pivot = jnp.logical_and(~optimal, ~unbounded)
+    # Numerical failure: non-finite pricing value, or a pivot we are about to
+    # take whose ratio is non-finite (generalizes v1's ThetaOverflow guard,
+    # src/v1_baseline.cu:268-284, which v2+ silently dropped).
+    bad = jnp.logical_or(
+        ~jnp.isfinite(min_e), jnp.logical_and(do_pivot, ~jnp.isfinite(theta_q))
+    )
+    do_pivot = jnp.logical_and(do_pivot, ~bad)
+
+    alpha_q = alpha[q]
+    safe_alpha_q = jnp.where(do_pivot, alpha_q, jnp.asarray(1, dtype))
+    inv_aq = jnp.asarray(1, dtype) / safe_alpha_q
+    theta_safe = jnp.where(do_pivot, theta_q, jnp.asarray(0, dtype))
+
+    binv_q = jax.lax.dynamic_index_in_dim(state.B_inv, q, axis=0, keepdims=False)
+
+    # ---- Product-form rank-1 update (ref compute_E_q + Sger :331-333) ----
+    eta = (-alpha * inv_aq).at[q].set(inv_aq - 1)
+    B_inv_new = backend.rank1_update(state.B_inv, eta, binv_q)
+
+    # ---- O(m) primal / dual updates (ref :347-356) ----
+    x_b_new = (state.x_b - theta_safe * alpha).at[q].set(theta_safe)
+    c_p = prob.c[p].astype(dtype)
+    e_p = jnp.dot(state.y, A_p) - c_p  # == min_e under Dantzig; exact under Bland
+    y_new = state.y - (e_p * inv_aq) * binv_q
+
+    c_b_new = state.c_b.at[q].set(c_p)
+    basis_new = state.basis.at[q].set(p)
+
+    degen_new = jnp.where(
+        theta_q <= jnp.asarray(opts.degen_tol, dtype), state.degen + 1, jnp.int32(0)
+    )
+
+    status_new = jnp.where(
+        optimal,
+        jnp.int32(SolveStatus.OPTIMAL),
+        jnp.where(
+            unbounded,
+            jnp.int32(SolveStatus.UNBOUNDED),
+            jnp.where(bad, jnp.int32(SolveStatus.SINGULAR), jnp.int32(SolveStatus.RUNNING)),
+        ),
+    )
+
+    def sel(new, old):
+        return jnp.where(do_pivot, new, old)
+
+    return SolverState(
+        B_inv=sel(B_inv_new, state.B_inv),
+        x_b=sel(x_b_new, state.x_b),
+        y=sel(y_new, state.y),
+        c_b=sel(c_b_new, state.c_b),
+        basis=sel(basis_new, state.basis),
+        iters=state.iters + jnp.where(do_pivot, jnp.int32(1), jnp.int32(0)),
+        status=status_new,
+        degen=jnp.where(do_pivot, degen_new, state.degen),
+    )
+
+
+def refactorize(prob: Problem, state: SolverState) -> SolverState:
+    """Re-invert the true basis to purge accumulated fp error.
+
+    ``B_inv = inv(A[:, basis])`` recomputed from scratch, then ``x_b`` and
+    ``y`` re-derived. O(m^3), amortized over ``refactor_every`` pivots. The
+    reference has no equivalent (its fp32 product-form drifts unchecked).
+    """
+    dtype = state.B_inv.dtype
+    m = state.B_inv.shape[0]
+    B = jnp.take(prob.A, state.basis, axis=1).astype(dtype)
+    B_inv = jnp.linalg.solve(B, jnp.eye(m, dtype=dtype))
+    x_b = B_inv @ prob.b.astype(dtype)
+    y = state.c_b @ B_inv
+    return state._replace(B_inv=B_inv, x_b=jnp.maximum(x_b, 0), y=y)

@@ -1,0 +1,47 @@
+"""Backend selection for the hot solver ops.
+
+``SimplexOptions.backend`` picks between:
+  * ``"xla"``    — pure jnp, XLA-fused (works on any JAX backend)
+  * ``"pallas"`` — hand-written TPU Mosaic kernels (simplex_tpu.kernels.*)
+
+Both expose the same five functions (see :mod:`simplex_tpu.kernels.xla`), so
+the pivot step is backend-agnostic. The distributed solver passes its own
+backend object whose pricing runs shard-local + one ICI collective
+(:mod:`simplex_tpu.dist.sharded`).
+"""
+
+from __future__ import annotations
+
+import types
+
+from simplex_tpu.kernels import xla as _xla
+
+
+def _xla_backend() -> types.SimpleNamespace:
+    return types.SimpleNamespace(
+        name="xla",
+        choose_entering=_xla.choose_entering,
+        gather_column=_xla.gather_column,
+        ratio_argmin=_xla.ratio_argmin,
+        rank1_update=_xla.rank1_update,
+    )
+
+
+def _pallas_backend() -> types.SimpleNamespace:
+    from simplex_tpu.kernels import pallas_ops as _pl
+
+    return types.SimpleNamespace(
+        name="pallas",
+        choose_entering=_pl.choose_entering,
+        gather_column=_xla.gather_column,
+        ratio_argmin=_pl.ratio_argmin,
+        rank1_update=_pl.rank1_update,
+    )
+
+
+def get_backend(name: str):
+    if name == "xla":
+        return _xla_backend()
+    if name == "pallas":
+        return _pallas_backend()
+    raise ValueError(f"unknown kernel backend: {name!r} (want 'xla' or 'pallas')")

@@ -1,0 +1,109 @@
+"""Pure-XLA (jnp) implementations of the hot solver ops.
+
+This is the default backend: each op is ordinary jnp traced under ``jit``,
+letting XLA fuse and tile onto the MXU/VPU. The Pallas backend
+(:mod:`simplex_tpu.kernels.pallas_ops`) provides hand-written TPU kernels
+behind the same signatures; :mod:`simplex_tpu.kernels.dispatch` selects.
+
+Reference op mapping (see SURVEY.md §2):
+  choose_entering  <- pricing GEMM + CUB ArgMin (src/v4_cub_reduction.cu:289-302)
+  ratio_argmin     <- compute_theta kernel + CUB ArgMin (:313-325)
+  rank1_update     <- compute_E_q + cublasSger (:331-333)
+  gather_column    <- `d_A + p * m` column pointer arithmetic (:307-308)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def reduced_costs(y: jnp.ndarray, A: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """e_j = y . A_j - c_j  (the reference's ``e = [1 y] @ [-c; A]``).
+
+    The reference materializes the augmented matrix ``D = [-c; A]`` purely to
+    fuse two GEMMs (``src/v4_cub_reduction.cu:278-290``); under XLA the
+    subtraction fuses into the matvec epilogue for free, so we skip D.
+    """
+    return y @ A - c
+
+
+def choose_entering(
+    y: jnp.ndarray,
+    A: jnp.ndarray,
+    c: jnp.ndarray,
+    eps: float,
+    use_bland: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pick the entering column. Returns ``(p, min_e)``.
+
+    Dantzig rule: global argmin of reduced costs (deterministic lowest-index
+    tie-break, unlike the reference's atomicCAS race —
+    ``src/v1_baseline.cu:211-217``). Bland rule (anti-cycling fallback):
+    smallest index j with ``e_j < -eps``.
+
+    Optimality is ``min_e >= -eps`` under either rule (if no e_j < -eps,
+    Bland also terminates), so callers test min_e regardless of p.
+    """
+    e = reduced_costs(y, A, c)
+    p_dantzig = jnp.argmin(e)
+    neg = e < -eps
+    # argmax of a boolean vector = first True (all-False -> 0, but then the
+    # caller's optimality test fires first).
+    p_bland = jnp.argmax(neg)
+    p = jnp.where(use_bland, p_bland, p_dantzig)
+    return p.astype(jnp.int32), jnp.min(e)
+
+
+def gather_column(A: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """A[:, p] via dynamic slice (stays on device under jit)."""
+    return jax.lax.dynamic_index_in_dim(A, p, axis=1, keepdims=False)
+
+
+def ratio_argmin(
+    x_b: jnp.ndarray,
+    alpha: jnp.ndarray,
+    basis: jnp.ndarray,
+    pivot_tol: float,
+    use_bland: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Masked ratio test. Returns ``(q, theta_q, unbounded)``.
+
+    theta_j = x_b_j / alpha_j over eligible pivots (alpha_j > pivot_tol);
+    q = argmin theta. The reference's ``compute_theta`` uses exact
+    ``alpha > 0`` and counts non-positives with an atomicAdd for the
+    unboundedness test (``src/v4_cub_reduction.cu:199-208``); here
+    eligibility is a tolerance and unboundedness is ``~any(mask)`` — one
+    fused reduction, no atomics.
+
+    Under Bland's rule the tie-break among minimizing rows is the smallest
+    *basis index* (required for the anti-cycling guarantee), implemented as a
+    second masked argmin over basis indices.
+    """
+    mask = alpha > pivot_tol
+    unbounded = ~jnp.any(mask)
+    inf = jnp.asarray(jnp.inf, x_b.dtype)
+    # max(x_b, 0): defensive clamp — fp drift can push a basic value a hair
+    # negative, which would otherwise produce a negative theta and a wrong
+    # pivot (reference README lists `x_b_t < 0` handling as an open TODO).
+    theta = jnp.where(mask, jnp.maximum(x_b, 0) / jnp.where(mask, alpha, 1), inf)
+    tmin = jnp.min(theta)
+    q_plain = jnp.argmin(theta)
+    # Bland tie-break: among rows attaining ~tmin, smallest basis index.
+    tie = theta <= tmin * (1 + 1e-6) + 1e-12
+    big = jnp.iinfo(jnp.int32).max
+    q_bland = jnp.argmin(jnp.where(tie, basis, big))
+    q = jnp.where(use_bland, q_bland, q_plain).astype(jnp.int32)
+    theta_q = jnp.where(unbounded, inf, tmin)
+    return q, theta_q, unbounded
+
+
+def rank1_update(
+    B_inv: jnp.ndarray, eta: jnp.ndarray, binv_q: jnp.ndarray
+) -> jnp.ndarray:
+    """Product-form update ``B_inv += eta (x) binv_q`` (reference cublasSger,
+    ``src/v4_cub_reduction.cu:333``). Pure outer-product add; XLA emits a
+    single fused HBM-bandwidth-bound kernel."""
+    return B_inv + eta[:, None] * binv_q[None, :]
