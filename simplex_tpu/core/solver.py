@@ -40,9 +40,14 @@ def solve_state(
     state0: SolverState,
     opts: SimplexOptions,
     max_iter: int,
+    backend=None,
 ) -> SolverState:
-    """Run the pivot loop to termination. Traced; jit/vmap/shard_map-safe."""
-    backend = get_backend(opts.backend)
+    """Run the pivot loop to termination. Traced; jit/vmap/shard_map-safe.
+
+    ``backend=None`` selects by ``opts.backend``; the distributed solver
+    passes its collective backend explicitly."""
+    if backend is None:
+        backend = get_backend(opts.backend)
 
     def cond(s: SolverState):
         return jnp.logical_and(
@@ -56,7 +61,9 @@ def solve_state(
                 jnp.logical_and(s.iters > 0, s.iters % opts.refactor_every == 0),
                 s.status == jnp.int32(SolveStatus.RUNNING),
             )
-            s = jax.lax.cond(due, lambda st: refactorize(prob, st), lambda st: st, s)
+            s = jax.lax.cond(
+                due, lambda st: refactorize(prob, st, backend), lambda st: st, s
+            )
         return s
 
     final = jax.lax.while_loop(cond, body, state0)

@@ -85,7 +85,7 @@ def pivot_step(
 
     # ---- O(m) primal / dual updates (ref :347-356) ----
     x_b_new = (state.x_b - theta_safe * alpha).at[q].set(theta_safe)
-    c_p = prob.c[p].astype(dtype)
+    c_p = backend.gather_cost(prob.c, p).astype(dtype)
     e_p = jnp.dot(state.y, A_p) - c_p  # == min_e under Dantzig; exact under Bland
     y_new = state.y - (e_p * inv_aq) * binv_q
 
@@ -121,7 +121,7 @@ def pivot_step(
     )
 
 
-def refactorize(prob: Problem, state: SolverState) -> SolverState:
+def refactorize(prob: Problem, state: SolverState, backend) -> SolverState:
     """Re-invert the true basis to purge accumulated fp error.
 
     ``B_inv = inv(A[:, basis])`` recomputed from scratch, then ``x_b`` and
@@ -130,7 +130,7 @@ def refactorize(prob: Problem, state: SolverState) -> SolverState:
     """
     dtype = state.B_inv.dtype
     m = state.B_inv.shape[0]
-    B = jnp.take(prob.A, state.basis, axis=1).astype(dtype)
+    B = backend.gather_basis_matrix(prob.A, state.basis).astype(dtype)
     B_inv = jnp.linalg.solve(B, jnp.eye(m, dtype=dtype))
     x_b = B_inv @ prob.b.astype(dtype)
     y = state.c_b @ B_inv

@@ -1,0 +1,209 @@
+"""Column-sharded distributed solve over a device mesh.
+
+Scaling mode mandated by BASELINE.json configs[4] (absent from the single-GPU
+reference): shard the columns of A (and c) across the mesh so the dominant
+O(mn) pricing matvec runs shard-local, then combine with ONE small
+allreduce-argmin over ICI for entering-variable selection and ONE m-length
+psum to broadcast the entering column from its owner shard. B_inv / x_b / y /
+c_b / basis stay replicated — the O(m^2) update is redundant per chip but
+communication-free (SURVEY.md §5 'distributed communication backend').
+
+Implementation trick: the distributed solver is the SAME ``pivot_step`` /
+``solve_state`` code, run inside ``shard_map`` with a collective backend —
+the five backend ops absorb all communication:
+
+  choose_entering     local pricing + argmin, then allreduce-(min,argmin)
+  gather_column       owner selects its local column, psum-broadcast
+  gather_cost         owner selects c_p, psum-broadcast
+  gather_basis_matrix owner-masked local gather of basis columns, psum
+  ratio_argmin / rank1_update   replicated (pure local) — xla versions
+"""
+
+from __future__ import annotations
+
+import functools
+import types
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
+from simplex_tpu.core.solver import SolveResult, solve_state
+from simplex_tpu.core.state import Problem, SolverState
+from simplex_tpu.dist.mesh import COLS_AXIS
+from simplex_tpu.kernels import xla as _xla
+from simplex_tpu.status import SolveStatus
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _allreduce_argmin(val, idx, axis_name):
+    """Global (min value, lowest index attaining it) across the mesh axis.
+
+    The packed allreduce-argmin from SURVEY.md §5: pmin of the value, then
+    pmin of (index where local value matches the global min else INT_MAX) —
+    deterministic lowest-global-index tie-break, two scalar ICI collectives.
+    """
+    vmin = jax.lax.pmin(val, axis_name)
+    cand = jnp.where(val == vmin, idx, INT_MAX)
+    imin = jax.lax.pmin(cand, axis_name)
+    return vmin, imin
+
+
+def make_collective_backend(axis_name: str, shard_width: int):
+    """Backend whose ops communicate over ``axis_name``.
+
+    ``shard_width`` = n_local = n / mesh_size: used to translate local column
+    positions to global column indices and back.
+    """
+
+    def choose_entering(y, A_loc, c_loc, eps, use_bland):
+        e = _xla.reduced_costs(y, A_loc, c_loc)
+        base = jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_width
+
+        # Dantzig: local argmin then allreduce-argmin.
+        p_loc = jnp.argmin(e).astype(jnp.int32)
+        v_loc = e[p_loc]
+        min_e, p_dantzig = _allreduce_argmin(v_loc, base + p_loc, axis_name)
+
+        # Bland: first global index with e < -eps.
+        neg = e < -eps
+        any_neg = jnp.any(neg)
+        first_loc = jnp.argmax(neg).astype(jnp.int32)
+        bland_cand = jnp.where(any_neg, base + first_loc, INT_MAX)
+        p_bland = jax.lax.pmin(bland_cand, axis_name)
+        # if no negative anywhere, p_bland stays INT_MAX; callers terminate on
+        # min_e >= -eps before using it — clamp to 0 for safety.
+        p_bland = jnp.where(p_bland == INT_MAX, 0, p_bland)
+
+        p = jnp.where(use_bland, p_bland, p_dantzig).astype(jnp.int32)
+        return p, min_e
+
+    def _owned(p):
+        """(is_mine, local_position clamped into range)."""
+        base = jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_width
+        loc = p - base
+        mine = jnp.logical_and(loc >= 0, loc < shard_width)
+        return mine, jnp.clip(loc, 0, shard_width - 1)
+
+    def gather_column(A_loc, p):
+        mine, loc = _owned(p)
+        col = jax.lax.dynamic_index_in_dim(A_loc, loc, axis=1, keepdims=False)
+        col = jnp.where(mine, col, jnp.zeros_like(col))
+        return jax.lax.psum(col, axis_name)
+
+    def gather_cost(c_loc, p):
+        mine, loc = _owned(p)
+        val = jnp.where(mine, c_loc[loc], jnp.zeros_like(c_loc[0]))
+        return jax.lax.psum(val, axis_name)
+
+    def gather_basis_matrix(A_loc, basis):
+        base = jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_width
+        loc = basis - base
+        mine = jnp.logical_and(loc >= 0, loc < shard_width)
+        cols = jnp.take(A_loc, jnp.clip(loc, 0, shard_width - 1), axis=1)
+        cols = jnp.where(mine[None, :], cols, jnp.zeros_like(cols))
+        return jax.lax.psum(cols, axis_name)
+
+    return types.SimpleNamespace(
+        name=f"collective[{axis_name}]",
+        choose_entering=choose_entering,
+        gather_column=gather_column,
+        gather_cost=gather_cost,
+        gather_basis_matrix=gather_basis_matrix,
+        ratio_argmin=_xla.ratio_argmin,
+        rank1_update=_xla.rank1_update,
+    )
+
+
+def _initial_state_sharded(
+    A_loc, b, c_loc, m, n, shard_width, axis_name, dtype
+) -> SolverState:
+    """Slack-basis init inside shard_map: c_b = c[n-m:] gathered across
+    shards (the trailing m columns may span shard boundaries)."""
+    base = jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_width
+    # global indices of this shard's columns
+    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (shard_width, 1), 0)[:, 0]
+    slack_pos = gidx - (n - m)  # position within c_b if this column is a slack
+    mine = jnp.logical_and(slack_pos >= 0, slack_pos < m)
+    contrib = jnp.zeros((m,), dtype).at[jnp.clip(slack_pos, 0, m - 1)].add(
+        jnp.where(mine, c_loc.astype(dtype), 0)
+    )
+    c_b = jax.lax.psum(contrib, axis_name)
+    basis0 = jnp.arange(n - m, n, dtype=jnp.int32)
+    zero = jnp.int32(0)
+    return SolverState(
+        B_inv=jnp.eye(m, dtype=dtype),
+        x_b=b.astype(dtype),
+        y=c_b,
+        c_b=c_b,
+        basis=basis0,
+        iters=zero,
+        status=jnp.int32(SolveStatus.RUNNING),
+        degen=zero,
+    )
+
+
+def solve_sharded(
+    A,
+    b,
+    c,
+    mesh: jax.sharding.Mesh,
+    *,
+    options: SimplexOptions = DEFAULT_OPTIONS,
+    axis_name: str = COLS_AXIS,
+) -> SolveResult:
+    """Solve one large LP with columns of A sharded over ``mesh[axis_name]``.
+
+    n must be divisible by the mesh axis size (pad with
+    :func:`simplex_tpu.io.canonical.pad_columns` first if not).
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    m, n = A.shape
+    n_shards = mesh.shape[axis_name]
+    if n % n_shards != 0:
+        raise ValueError(
+            f"n={n} not divisible by mesh axis '{axis_name}' size {n_shards}; "
+            "pad columns first (simplex_tpu.io.canonical.pad_columns)"
+        )
+    shard_width = n // n_shards
+    max_iter = options.resolve_max_iter(m, n)
+    backend = make_collective_backend(axis_name, shard_width)
+    dtype = options.dtype
+
+    def shard_fn(A_loc, b_rep, c_loc):
+        prob = Problem(A_loc.astype(dtype), b_rep.astype(dtype), c_loc.astype(dtype))
+        state0 = _initial_state_sharded(
+            A_loc, b_rep, c_loc, m, n, shard_width, axis_name, dtype
+        )
+        final = solve_state(prob, state0, options, max_iter, backend=backend)
+        z = jnp.dot(final.c_b, final.x_b)
+        return final, z
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis_name), P(None), P(axis_name)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    final, z = fn(A, b, c)
+    final = jax.device_get(final)
+    z = float(z)
+    x = np.zeros(n, dtype=np.asarray(final.x_b).dtype)
+    x[np.asarray(final.basis)] = np.asarray(final.x_b)
+    return SolveResult(
+        z=z,
+        x=x,
+        x_b=np.asarray(final.x_b),
+        basis=np.asarray(final.basis),
+        status=SolveStatus(int(final.status)),
+        iters=int(final.iters),
+    )

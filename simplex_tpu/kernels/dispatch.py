@@ -22,6 +22,8 @@ def _xla_backend() -> types.SimpleNamespace:
         name="xla",
         choose_entering=_xla.choose_entering,
         gather_column=_xla.gather_column,
+        gather_cost=_xla.gather_cost,
+        gather_basis_matrix=_xla.gather_basis_matrix,
         ratio_argmin=_xla.ratio_argmin,
         rank1_update=_xla.rank1_update,
     )
@@ -34,6 +36,8 @@ def _pallas_backend() -> types.SimpleNamespace:
         name="pallas",
         choose_entering=_pl.choose_entering,
         gather_column=_xla.gather_column,
+        gather_cost=_xla.gather_cost,
+        gather_basis_matrix=_xla.gather_basis_matrix,
         ratio_argmin=_pl.ratio_argmin,
         rank1_update=_pl.rank1_update,
     )

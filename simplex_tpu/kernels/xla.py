@@ -62,6 +62,16 @@ def gather_column(A: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dynamic_index_in_dim(A, p, axis=1, keepdims=False)
 
 
+def gather_cost(c: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """c[p] as a traced scalar."""
+    return jax.lax.dynamic_index_in_dim(c, p, axis=0, keepdims=False)
+
+
+def gather_basis_matrix(A: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    """A[:, basis] — the true basis matrix, used by refactorization."""
+    return jnp.take(A, basis, axis=1)
+
+
 def ratio_argmin(
     x_b: jnp.ndarray,
     alpha: jnp.ndarray,

@@ -92,7 +92,7 @@ def test_refactorize_restores_exact_inverse():
         state = pivot_step(prob, state, opts, backend)
         if int(state.status) != SolveStatus.RUNNING:
             break
-    state_r = refactorize(prob, state)
+    state_r = refactorize(prob, state, backend)
     B = np.asarray(prob.A)[:, np.asarray(state_r.basis)]
     np.testing.assert_allclose(
         np.asarray(state_r.B_inv) @ B, np.eye(B.shape[0]), atol=1e-9
