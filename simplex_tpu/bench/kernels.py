@@ -1,0 +1,132 @@
+"""Per-op kernel benchmarks (the TimeStruct y/p/B_inv/x_b phase breakdown of
+the reference, src/v1_baseline.cu:521-536, done right: device-side scan with
+a serialization-forcing carry, timed with block_until_ready).
+
+Each op is timed as one jitted lax.scan of K applications whose inputs depend
+on the previous output (prevents batching/hoisting/memoization — the tunneled
+dev runtime memoizes identical dispatches), so wall time / K is a faithful
+per-op latency.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed(fn: Callable, *args, iters: int = 3) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_ops(m: int, n: int, k: int = 32, backend: str = "xla") -> Dict[str, dict]:
+    """Benchmark the four phases at (m, n). Returns {op: {ms, gbps}}."""
+    from simplex_tpu.kernels.dispatch import get_backend
+
+    be = get_backend(backend)
+    rng = np.random.default_rng(0)
+    A = jax.device_put(jnp.asarray(rng.standard_normal((m, n)), jnp.float32))
+    B = jax.device_put(jnp.asarray(rng.standard_normal((m, m)) * 0.01, jnp.float32))
+    c = jax.device_put(jnp.asarray(rng.standard_normal(n), jnp.float32))
+    y0 = jax.device_put(jnp.asarray(rng.standard_normal(m), jnp.float32))
+    basis = jnp.arange(m, dtype=jnp.int32)
+    no = jnp.asarray(False)
+
+    results: Dict[str, dict] = {}
+
+    def record(name, seconds, bytes_per_iter):
+        per = seconds / k
+        results[name] = {
+            "ms": round(per * 1e3, 4),
+            "gbps": round(bytes_per_iter / per / 1e9, 1),
+        }
+
+    # --- pricing + argmin (reads A once) ---
+    @jax.jit
+    def pricing_loop(y):
+        def step(yc, _):
+            p, min_e = be.choose_entering(yc, A, c, 1e-6, no)
+            # fold the result back into y: forces serialization
+            yc = yc + min_e * 1e-20 + p.astype(jnp.float32) * 0
+            return yc, None
+
+        yc, _ = jax.lax.scan(step, y, None, length=k)
+        return yc
+
+    record("pricing_argmin", _timed(pricing_loop, y0), 4 * m * n)
+
+    # --- ftran: alpha = B_inv @ A_p (reads B_inv once) ---
+    @jax.jit
+    def ftran_loop(col):
+        def step(cc, _):
+            alpha = B @ cc
+            return alpha / (jnp.max(jnp.abs(alpha)) + 1), None
+
+        cc, _ = jax.lax.scan(step, col, None, length=k)
+        return cc
+
+    record("ftran", _timed(ftran_loop, y0), 4 * m * m)
+
+    # --- ratio test (O(m)) ---
+    @jax.jit
+    def ratio_loop(xb):
+        def step(xc, _):
+            q, theta, unb = be.ratio_argmin(xc, y0, basis, 1e-7, no)
+            return xc + theta * 1e-20 + q.astype(jnp.float32) * 0, None
+
+        xc, _ = jax.lax.scan(step, xb, None, length=k)
+        return xc
+
+    record("ratio_argmin", _timed(ratio_loop, jnp.abs(y0)), 12 * m)
+
+    # --- rank-1 B_inv update (reads + writes B_inv) ---
+    @jax.jit
+    def rank1_loop(Bv):
+        def step(Bc, _):
+            eta = Bc[0] * 1e-6
+            row = Bc[1]
+            return be.rank1_update(Bc, eta, row), None
+
+        Bc, _ = jax.lax.scan(step, Bv, None, length=k)
+        return Bc
+
+    record("rank1_update", _timed(rank1_loop, B), 8 * m * m)
+
+    return results
+
+
+def main() -> None:
+    import argparse
+    import json
+    import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=8192)
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    args = ap.parse_args()
+    res = bench_ops(args.m, args.n, args.k, args.backend)
+    total_ms = sum(v["ms"] for v in res.values())
+    print(
+        json.dumps(
+            {"m": args.m, "n": args.n, "backend": args.backend, "ops": res,
+             "total_pivot_ms": round(total_ms, 3)},
+        )
+    )
+    print(f"-> {1000.0/total_ms:.0f} pivots/s roofline from phases", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Command-line driver: solve / verify / bench.
+
+The reference's CLI is one positional arg per solver binary
+(``./bin/solverN.out input.txt``, ``src/v4_cub_reduction.cu:384-474``) which
+prints the solution keyed by basis index plus a phase-timing report. This CLI
+reproduces that surface (``solve``) and adds the workflows the reference did
+by hand: ``verify`` (automated oracle parity — the manual GLPK comparison of
+SURVEY.md §4) and ``bench`` (pivots/s).
+
+Usage:
+  python -m simplex_tpu.cli solve INPUT [--mps] [--fp64] [--backend B] [--time]
+  python -m simplex_tpu.cli verify INPUT [--mps]
+  python -m simplex_tpu.cli bench [--m M] [--n N] [--pivots K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load(path: str, use_mps: bool):
+    """Returns (A, b, c, basis0) in canonical form, or a GeneralLP when the
+    MPS instance has >= / = rows (routed to the two-phase solver)."""
+    if use_mps or path.endswith(".mps"):
+        from simplex_tpu.core.twophase import GeneralLP
+        from simplex_tpu.io.mps import mps_to_canonical, read_mps
+
+        prob = read_mps(path)
+        if all(t == "L" for t in prob.row_types) and np.all(prob.b >= 0):
+            lp = mps_to_canonical(prob)
+            return lp.A, lp.b, lp.c, lp.basis0
+        c = prob.c if prob.maximize else -prob.c
+        return GeneralLP(A=prob.A, b=prob.b, c=c, row_types=prob.row_types)
+    from simplex_tpu.io.text import load_lp
+
+    A, b, c = load_lp(path)
+    return A, b, c, None
+
+
+def _options(args):
+    import jax.numpy as jnp
+
+    from simplex_tpu.config import SimplexOptions
+
+    return SimplexOptions(
+        dtype=jnp.float64 if args.fp64 else jnp.float32,
+        backend=args.backend,
+        max_iter=args.max_iter,
+        refactor_every=args.refactor_every,
+    )
+
+
+def cmd_solve(args) -> int:
+    from simplex_tpu.bench.timing import PhaseTimer
+    from simplex_tpu.core.solver import solve
+    from simplex_tpu.status import SolveStatus
+
+    from simplex_tpu.core.twophase import GeneralLP, solve_general
+
+    timer = PhaseTimer()
+    with timer.phase("Read file"):
+        try:
+            loaded = _load(args.input, args.mps)
+        except (OSError, ValueError, NotImplementedError) as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 1
+    with timer.phase("Solve"):
+        if isinstance(loaded, GeneralLP):
+            res = solve_general(loaded, options=_options(args))
+        else:
+            A, b, c, basis0 = loaded
+            res = solve(A, b, c, basis0=basis0, options=_options(args))
+
+    with timer.phase("Print result"):
+        if res.status == SolveStatus.OPTIMAL:
+            # same shape of report as the reference main()
+            print(f"Optimum found: {res.z:g}")
+            if isinstance(loaded, GeneralLP):
+                for i, v in enumerate(res.x):
+                    print(f"\tx_{i} = {v:g}")
+            else:
+                for i in range(len(res.basis)):
+                    print(f"\tx_{int(res.basis[i])} = {res.x_b[i]:g}")
+        else:
+            print(res.status.describe())
+        print(f"Pivots: {res.iters}")
+    if args.time:
+        print()
+        print(timer.report())
+    return 0 if res.status == SolveStatus.OPTIMAL else 2
+
+
+def cmd_verify(args) -> int:
+    from simplex_tpu.core.solver import solve
+    from simplex_tpu.oracle import get_oracle
+    from simplex_tpu.oracle.reference import relative_gap
+    from simplex_tpu.status import SolveStatus
+
+    A, b, c, basis0 = _load(args.input, args.mps)
+    res = solve(A, b, c, basis0=basis0, options=_options(args))
+    oracle = get_oracle(args.oracle)
+    ref = oracle(A, b, c)
+    if res.status != ref.status:
+        print(f"STATUS MISMATCH: ours={res.status.name} oracle={ref.status.name}")
+        return 1
+    if res.status == SolveStatus.OPTIMAL:
+        gap = relative_gap(res.z, ref.z)
+        ok = gap < args.gap
+        print(
+            f"ours={res.z:.9g} oracle={ref.z:.9g} rel_gap={gap:.3e} "
+            f"({'OK' if ok else 'FAIL'} @ {args.gap:g})"
+        )
+        return 0 if ok else 1
+    print(f"status agreed: {res.status.name}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    cmd = [
+        sys.executable,
+        "bench.py",
+        "--m", str(args.m), "--n", str(args.n),
+        "--pivots", str(args.pivots), "--backend", args.backend,
+    ]
+    return subprocess.call(cmd)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="simplex_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+        p.add_argument("--fp64", action="store_true")
+        p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+        p.add_argument("--max-iter", type=int, default=0)
+        p.add_argument("--refactor-every", type=int, default=0)
+
+    ps = sub.add_parser("solve", help="solve an LP from a file")
+    ps.add_argument("input")
+    ps.add_argument("--mps", action="store_true", help="input is MPS format")
+    ps.add_argument("--time", action="store_true", help="print phase timings")
+    common(ps)
+    ps.set_defaults(fn=cmd_solve)
+
+    pv = sub.add_parser("verify", help="solve and compare against an oracle")
+    pv.add_argument("input")
+    pv.add_argument("--mps", action="store_true")
+    pv.add_argument("--oracle", default="scipy", choices=["scipy", "native"])
+    pv.add_argument("--gap", type=float, default=1e-6)
+    common(pv)
+    pv.set_defaults(fn=cmd_verify)
+
+    pb = sub.add_parser("bench", help="run the pivots/sec benchmark")
+    pb.add_argument("--m", type=int, default=8192)
+    pb.add_argument("--n", type=int, default=16384)
+    pb.add_argument("--pivots", type=int, default=128)
+    pb.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    pb.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    import jax
+
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "fp64", False):
+        jax.config.update("jax_enable_x64", True)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,20 +120,20 @@ def make_collective_backend(axis_name: str, shard_width: int):
 
 
 def _initial_state_sharded(
-    A_loc, b, c_loc, m, n, shard_width, axis_name, dtype
+    b, c_loc, basis0, m, shard_width, axis_name, dtype
 ) -> SolverState:
-    """Slack-basis init inside shard_map: c_b = c[n-m:] gathered across
-    shards (the trailing m columns may span shard boundaries)."""
+    """Identity-basis init inside shard_map.
+
+    Requires A[:, basis0] = I (the canonical slack block, possibly
+    non-trailing after padding — see io.canonical). c_b = c[basis0] is
+    gathered across shards with the owner-masked psum trick, since the basis
+    columns may span shard boundaries.
+    """
     base = jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_width
-    # global indices of this shard's columns
-    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (shard_width, 1), 0)[:, 0]
-    slack_pos = gidx - (n - m)  # position within c_b if this column is a slack
-    mine = jnp.logical_and(slack_pos >= 0, slack_pos < m)
-    contrib = jnp.zeros((m,), dtype).at[jnp.clip(slack_pos, 0, m - 1)].add(
-        jnp.where(mine, c_loc.astype(dtype), 0)
-    )
-    c_b = jax.lax.psum(contrib, axis_name)
-    basis0 = jnp.arange(n - m, n, dtype=jnp.int32)
+    loc = basis0 - base  # local position of each basic column, if owned here
+    mine = jnp.logical_and(loc >= 0, loc < shard_width)
+    vals = jnp.take(c_loc, jnp.clip(loc, 0, shard_width - 1)).astype(dtype)
+    c_b = jax.lax.psum(jnp.where(mine, vals, 0), axis_name)
     zero = jnp.int32(0)
     return SolverState(
         B_inv=jnp.eye(m, dtype=dtype),
@@ -153,6 +153,7 @@ def solve_sharded(
     c,
     mesh: jax.sharding.Mesh,
     *,
+    basis0=None,
     options: SimplexOptions = DEFAULT_OPTIONS,
     axis_name: str = COLS_AXIS,
 ) -> SolveResult:
@@ -160,11 +161,17 @@ def solve_sharded(
 
     n must be divisible by the mesh axis size (pad with
     :func:`simplex_tpu.io.canonical.pad_columns` first if not).
+    ``basis0`` (default: trailing slack block) must satisfy A[:, basis0] = I.
     """
     A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
+    basis0 = (
+        jnp.arange(n - m, n, dtype=jnp.int32)
+        if basis0 is None
+        else jnp.asarray(basis0, jnp.int32)
+    )
     n_shards = mesh.shape[axis_name]
     if n % n_shards != 0:
         raise ValueError(
@@ -176,10 +183,10 @@ def solve_sharded(
     backend = make_collective_backend(axis_name, shard_width)
     dtype = options.dtype
 
-    def shard_fn(A_loc, b_rep, c_loc):
+    def shard_fn(A_loc, b_rep, c_loc, basis_rep):
         prob = Problem(A_loc.astype(dtype), b_rep.astype(dtype), c_loc.astype(dtype))
         state0 = _initial_state_sharded(
-            A_loc, b_rep, c_loc, m, n, shard_width, axis_name, dtype
+            b_rep, c_loc, basis_rep, m, shard_width, axis_name, dtype
         )
         final = solve_state(prob, state0, options, max_iter, backend=backend)
         z = jnp.dot(final.c_b, final.x_b)
@@ -189,12 +196,12 @@ def solve_sharded(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(None, axis_name), P(None), P(axis_name)),
+            in_specs=(P(None, axis_name), P(None), P(axis_name), P(None)),
             out_specs=(P(), P()),
             check_vma=False,
         )
     )
-    final, z = fn(A, b, c)
+    final, z = fn(A, b, c, basis0)
     final = jax.device_get(final)
     z = float(z)
     x = np.zeros(n, dtype=np.asarray(final.x_b).dtype)

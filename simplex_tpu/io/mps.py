@@ -1,0 +1,186 @@
+"""Minimal fixed/free-format MPS reader producing a dense LP.
+
+Fills the role of the reference's GLPK-based converter
+(``glpk_interface.cpp:16-78``: MPS -> dense ``{A, b, c}`` via
+``glp_read_mps``), without the GLPK dependency and without its bugs
+(SURVEY.md §2.2: missing header separator, ignored bounds, no slacks).
+
+Supported sections: NAME, ROWS (N/L/G/E), COLUMNS (incl. RHS-style pairs),
+RHS, BOUNDS (UP/LO/FX/FR on structural vars), OBJSENSE, ENDATA. RANGES and
+integer markers are rejected with a clear error (the reference's dense
+simplex has no integer support either).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class MPSProblem:
+    """A general-form LP as read from MPS: optimize c.x s.t. row constraints."""
+
+    name: str
+    maximize: bool  # MPS default is minimize
+    row_names: List[str]  # constraint rows, in order (objective excluded)
+    row_types: List[str]  # 'L' (<=), 'G' (>=), 'E' (=)
+    col_names: List[str]
+    A: np.ndarray  # (m, k) dense constraint matrix
+    b: np.ndarray  # (m,) right-hand sides
+    c: np.ndarray  # (k,) objective coefficients
+    lower: np.ndarray  # (k,) variable lower bounds
+    upper: np.ndarray  # (k,) variable upper bounds (inf = free above)
+
+
+def read_mps(path: str | os.PathLike) -> MPSProblem:
+    with open(path, "r") as f:
+        lines = f.readlines()
+
+    section = None
+    maximize = False
+    name = ""
+    obj_row: Optional[str] = None
+    row_types: Dict[str, str] = {}
+    row_order: List[str] = []
+    col_order: List[str] = []
+    col_entries: Dict[str, Dict[str, float]] = {}
+    rhs: Dict[str, float] = {}
+    bounds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
+
+    def ensure_col(cn: str):
+        if cn not in col_entries:
+            col_entries[cn] = {}
+            col_order.append(cn)
+
+    i = 0
+    while i < len(lines):
+        raw = lines[i]
+        i += 1
+        if not raw.strip() or raw.lstrip().startswith("*"):
+            continue
+        if not raw[0].isspace():
+            parts = raw.split()
+            section = parts[0].upper()
+            if section == "NAME":
+                name = parts[1] if len(parts) > 1 else ""
+            elif section == "OBJSENSE":
+                # sense may follow on the same or the next line
+                if len(parts) > 1:
+                    maximize = parts[1].upper().startswith("MAX")
+                else:
+                    maximize = lines[i].strip().upper().startswith("MAX")
+                    i += 1
+            elif section == "ENDATA":
+                break
+            elif section in ("RANGES",):
+                raise NotImplementedError("MPS RANGES section not supported")
+            continue
+
+        parts = raw.split()
+        if section == "ROWS":
+            rtype, rname = parts[0].upper(), parts[1]
+            if rtype == "N":
+                if obj_row is None:
+                    obj_row = rname
+                # extra N rows are ignored (free rows), like GLPK
+            elif rtype in ("L", "G", "E"):
+                row_types[rname] = rtype
+                row_order.append(rname)
+            else:
+                raise ValueError(f"unknown row type {rtype!r}")
+        elif section == "COLUMNS":
+            if len(parts) >= 3 and parts[1].upper() == "'MARKER'":
+                raise NotImplementedError("MPS integer markers not supported")
+            cn = parts[0]
+            ensure_col(cn)
+            for j in range(1, len(parts) - 1, 2):
+                col_entries[cn][parts[j]] = float(parts[j + 1])
+        elif section == "RHS":
+            # first token is the RHS set name; pairs follow
+            for j in range(1, len(parts) - 1, 2):
+                rhs[parts[j]] = float(parts[j + 1])
+        elif section == "BOUNDS":
+            btype = parts[0].upper()
+            cn = parts[2]
+            ensure_col(cn)
+            lo, up = bounds.get(cn, (0.0, None))
+            if btype == "UP":
+                up = float(parts[3])
+            elif btype == "LO":
+                lo = float(parts[3])
+            elif btype == "FX":
+                lo = up = float(parts[3])
+            elif btype == "FR":
+                lo, up = None, None
+            elif btype == "MI":
+                lo = None
+            elif btype == "PL":
+                up = None
+            elif btype == "BV":
+                raise NotImplementedError("binary bounds not supported")
+            else:
+                raise ValueError(f"unknown bound type {btype!r}")
+            bounds[cn] = (lo, up)
+        elif section in ("NAME", "OBJSENSE", None):
+            continue
+        else:
+            raise ValueError(f"unexpected data line in section {section}: {raw!r}")
+
+    if obj_row is None:
+        raise ValueError("MPS file has no objective (N) row")
+
+    m, k = len(row_order), len(col_order)
+    A = np.zeros((m, k))
+    c = np.zeros(k)
+    row_pos = {rn: idx for idx, rn in enumerate(row_order)}
+    for jcol, cn in enumerate(col_order):
+        for rn, val in col_entries[cn].items():
+            if rn == obj_row:
+                c[jcol] = val
+            elif rn in row_pos:
+                A[row_pos[rn], jcol] = val
+            # entries for ignored free rows are dropped
+    b = np.array([rhs.get(rn, 0.0) for rn in row_order])
+    lower = np.zeros(k)
+    upper = np.full(k, np.inf)
+    for jcol, cn in enumerate(col_order):
+        if cn in bounds:
+            lo, up = bounds[cn]
+            lower[jcol] = -np.inf if lo is None else lo
+            upper[jcol] = np.inf if up is None else up
+    return MPSProblem(
+        name=name,
+        maximize=maximize,
+        row_names=row_order,
+        row_types=list(row_types[rn] for rn in row_order),
+        col_names=col_order,
+        A=A,
+        b=b,
+        c=c,
+        lower=lower,
+        upper=upper,
+    )
+
+
+def mps_to_canonical(prob: MPSProblem):
+    """Convert an all-'L', b>=0, x>=0 MPS problem to canonical slack form.
+
+    This covers the same ground as the reference's converter intended to
+    (inequality-form instances); general rows/bounds route through
+    :func:`simplex_tpu.core.twophase.solve_general` instead.
+    """
+    from simplex_tpu.io.canonical import from_inequalities
+
+    if any(t != "L" for t in prob.row_types):
+        raise ValueError(
+            "mps_to_canonical handles only <= rows; use solve_general for "
+            f"row types {sorted(set(prob.row_types))}"
+        )
+    if np.any(prob.lower != 0) or np.any(np.isfinite(prob.upper)):
+        raise ValueError("mps_to_canonical requires default bounds 0 <= x")
+    c = prob.c if prob.maximize else -prob.c
+    return from_inequalities(prob.A, prob.b, c)

@@ -1,0 +1,118 @@
+"""IO layer: text round-trip, canonicalization, padding invariance, MPS."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from simplex_tpu import dumps_lp, loads_lp, solve
+from simplex_tpu.io.canonical import from_inequalities, pad_columns, pad_rows
+from simplex_tpu.io.mps import mps_to_canonical, read_mps
+from simplex_tpu.oracle.generator import random_dense_lp
+from simplex_tpu.oracle.reference import relative_gap, solve_scipy
+from simplex_tpu.status import SolveStatus
+
+
+def test_text_roundtrip():
+    A, b, c = random_dense_lp(5, 12, seed=3, dtype=np.float64)
+    A2, b2, c2 = loads_lp(dumps_lp(A, b, c), dtype=np.float64)
+    np.testing.assert_array_equal(A, A2)
+    np.testing.assert_array_equal(b, b2)
+    np.testing.assert_array_equal(c, c2)
+
+
+def test_loads_rejects_short_input():
+    with pytest.raises(ValueError):
+        loads_lp("3 2 1 0")  # m > n
+    with pytest.raises(ValueError):
+        loads_lp("2 4 1 2 3")  # not enough tokens
+
+
+def test_from_inequalities_builds_identity_block():
+    rng = np.random.default_rng(0)
+    A_ub = rng.uniform(0, 1, (4, 7))
+    b_ub = rng.uniform(1, 2, 4)
+    c = rng.uniform(0, 1, 7)
+    lp = from_inequalities(A_ub, b_ub, c)
+    np.testing.assert_array_equal(lp.A[:, lp.basis0], np.eye(4))
+    assert lp.n_structural == 7
+    res = solve(lp.A, lp.b, lp.c, basis0=lp.basis0)
+    ref = solve_scipy(lp.A, lp.b, lp.c)
+    assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_from_inequalities_rejects_negative_b():
+    with pytest.raises(ValueError):
+        from_inequalities(np.ones((2, 3)), np.array([1.0, -1.0]), np.ones(3))
+
+
+def test_pad_columns_preserves_solution():
+    A, b, c = random_dense_lp(6, 15, seed=4)
+    res0 = solve(A, b, c)
+    A2, c2 = pad_columns(A, c, multiple=8)
+    assert A2.shape[1] == 16
+    res1 = solve(A2, b, c2, basis0=np.arange(15 - 6, 15, dtype=np.int32))
+    assert res1.z == pytest.approx(res0.z, rel=1e-6)
+    assert res1.iters == res0.iters
+
+
+def test_pad_rows_preserves_solution():
+    A, b, c = random_dense_lp(6, 15, seed=5)
+    res0 = solve(A, b, c)
+    A2, b2, c2, basis0 = pad_rows(A, b, c, multiple=8)
+    assert A2.shape == (8, 17)
+    np.testing.assert_array_equal(A2[:, basis0], np.eye(8))
+    res1 = solve(A2, b2, c2, basis0=basis0)
+    assert res1.z == pytest.approx(res0.z, rel=1e-6)
+
+
+SAMPLE_MPS = textwrap.dedent(
+    """\
+    NAME          SAMPLE
+    ROWS
+     N  COST
+     L  R1
+     L  R2
+    COLUMNS
+        X0        COST      3.0        R1        1.0
+        X0        R2        2.0
+        X1        COST      2.0        R1        1.0
+        X1        R2        1.0
+    RHS
+        RHS       R1        4.0        R2        5.0
+    ENDATA
+    """
+)
+
+
+def test_read_mps_and_solve(tmp_path):
+    path = tmp_path / "sample.mps"
+    path.write_text(SAMPLE_MPS)
+    prob = read_mps(path)
+    assert prob.name == "SAMPLE"
+    assert prob.row_types == ["L", "L"]
+    np.testing.assert_array_equal(prob.A, [[1, 1], [2, 1]])
+    np.testing.assert_array_equal(prob.b, [4, 5])
+    np.testing.assert_array_equal(prob.c, [3, 2])
+    # MPS minimizes by default; the reference sample is a maximization, so
+    # flip: with OBJSENSE MAX this is the bundled sample.txt LP (optimum 9).
+    prob.maximize = True
+    lp = mps_to_canonical(prob)
+    res = solve(lp.A, lp.b, lp.c, basis0=lp.basis0)
+    assert res.status == SolveStatus.OPTIMAL
+    assert res.z == pytest.approx(9.0, abs=1e-5)
+
+
+def test_read_mps_objsense(tmp_path):
+    path = tmp_path / "max.mps"
+    path.write_text("NAME M\nOBJSENSE\n    MAX\n" + SAMPLE_MPS.split("NAME          SAMPLE\n")[1])
+    prob = read_mps(path)
+    assert prob.maximize
+
+
+def test_read_mps_rejects_ranges(tmp_path):
+    path = tmp_path / "r.mps"
+    path.write_text("NAME R\nROWS\n N C\nRANGES\nENDATA\n")
+    with pytest.raises(NotImplementedError):
+        read_mps(path)
