@@ -52,11 +52,14 @@ def bench_ops(m: int, n: int, k: int = 32, backend: str = "xla") -> Dict[str, di
             "gbps": round(bytes_per_iter / per / 1e9, 1),
         }
 
+    # NB: the big arrays are jit ARGUMENTS, not closure constants — closed-over
+    # device arrays get baked into the HLO and blow up the compile payload.
+
     # --- pricing + argmin (reads A once) ---
     @jax.jit
-    def pricing_loop(y):
+    def pricing_loop(y, Aa, ca):
         def step(yc, _):
-            p, min_e = be.choose_entering(yc, A, c, 1e-6, no)
+            p, min_e = be.choose_entering(yc, Aa, ca, 1e-6, no)
             # fold the result back into y: forces serialization
             yc = yc + min_e * 1e-20 + p.astype(jnp.float32) * 0
             return yc, None
@@ -64,31 +67,31 @@ def bench_ops(m: int, n: int, k: int = 32, backend: str = "xla") -> Dict[str, di
         yc, _ = jax.lax.scan(step, y, None, length=k)
         return yc
 
-    record("pricing_argmin", _timed(pricing_loop, y0), 4 * m * n)
+    record("pricing_argmin", _timed(pricing_loop, y0, A, c), 4 * m * n)
 
     # --- ftran: alpha = B_inv @ A_p (reads B_inv once) ---
     @jax.jit
-    def ftran_loop(col):
+    def ftran_loop(col, Bb):
         def step(cc, _):
-            alpha = B @ cc
+            alpha = Bb @ cc
             return alpha / (jnp.max(jnp.abs(alpha)) + 1), None
 
         cc, _ = jax.lax.scan(step, col, None, length=k)
         return cc
 
-    record("ftran", _timed(ftran_loop, y0), 4 * m * m)
+    record("ftran", _timed(ftran_loop, y0, B), 4 * m * m)
 
     # --- ratio test (O(m)) ---
     @jax.jit
-    def ratio_loop(xb):
+    def ratio_loop(xb, al):
         def step(xc, _):
-            q, theta, unb = be.ratio_argmin(xc, y0, basis, 1e-7, no)
+            q, theta, unb = be.ratio_argmin(xc, al, basis, 1e-7, no)
             return xc + theta * 1e-20 + q.astype(jnp.float32) * 0, None
 
         xc, _ = jax.lax.scan(step, xb, None, length=k)
         return xc
 
-    record("ratio_argmin", _timed(ratio_loop, jnp.abs(y0)), 12 * m)
+    record("ratio_argmin", _timed(ratio_loop, jnp.abs(y0), y0), 12 * m)
 
     # --- rank-1 B_inv update (reads + writes B_inv) ---
     @jax.jit

@@ -118,6 +118,18 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_trace(args) -> int:
+    from simplex_tpu.core.trace import print_trace
+
+    loaded = _load(args.input, args.mps)
+    if not isinstance(loaded, tuple):
+        print("error: trace mode requires a canonical-form input", file=sys.stderr)
+        return 1
+    A, b, c, basis0 = loaded
+    print_trace(A, b, c, basis0=basis0, options=_options(args), verbose=args.verbose)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -155,6 +167,13 @@ def main(argv=None) -> int:
     pv.add_argument("--gap", type=float, default=1e-6)
     common(pv)
     pv.set_defaults(fn=cmd_verify)
+
+    pt = sub.add_parser("trace", help="per-pivot debug trace (PRINT mode)")
+    pt.add_argument("input")
+    pt.add_argument("--mps", action="store_true")
+    pt.add_argument("--verbose", action="store_true", help="dump basis and x_b")
+    common(pt)
+    pt.set_defaults(fn=cmd_trace)
 
     pb = sub.add_parser("bench", help="run the pivots/sec benchmark")
     pb.add_argument("--m", type=int, default=8192)

@@ -1,0 +1,152 @@
+"""Checkpoint / resume for long solves.
+
+The reference has none (SURVEY.md §5: solver state is ephemeral device
+memory). Here the full solver state is one pytree
+``{B_inv, x_b, y, c_b, basis, iters, status, degen}``, so checkpointing is a
+host snapshot of those leaves: the solve runs in pivot chunks inside the same
+jitted executable (the chunk budget is a traced scalar — no retraces), with a
+snapshot written between chunks.
+
+Resume validates the snapshot against the problem (basis in range, primal
+feasibility) and optionally refactorizes B_inv from the true basis, so a
+checkpoint taken on one machine/dtype restarts cleanly on another.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
+from simplex_tpu.core.solver import SolveResult, solve_state
+from simplex_tpu.core.state import Problem, SolverState, initial_state_slack
+from simplex_tpu.core.step import refactorize
+from simplex_tpu.kernels.dispatch import get_backend
+from simplex_tpu.status import SolveStatus
+
+_FIELDS = ("B_inv", "x_b", "y", "c_b", "basis", "iters", "status", "degen")
+
+
+def save_checkpoint(path: str | os.PathLike, state: SolverState) -> None:
+    host = jax.device_get(state)
+    np.savez(path, **{f: np.asarray(getattr(host, f)) for f in _FIELDS})
+
+
+def load_checkpoint(path: str | os.PathLike) -> SolverState:
+    with np.load(path) as data:
+        return SolverState(**{f: jnp.asarray(data[f]) for f in _FIELDS})
+
+
+def validate_checkpoint(state: SolverState, A, b, tol: float = 1e-3) -> None:
+    """Fail fast on a corrupt / mismatched snapshot before resuming."""
+    m, n = A.shape
+    basis = np.asarray(state.basis)
+    if state.B_inv.shape != (m, m):
+        raise ValueError(
+            f"checkpoint B_inv shape {state.B_inv.shape} != problem ({m}, {m})"
+        )
+    if basis.min() < 0 or basis.max() >= n:
+        raise ValueError("checkpoint basis indices out of range")
+    if len(np.unique(basis)) != m:
+        raise ValueError("checkpoint basis has duplicate columns")
+    x_b = np.asarray(state.x_b)
+    if np.any(x_b < -tol):
+        raise ValueError("checkpoint primal values are infeasible")
+    resid = np.asarray(A)[:, basis] @ x_b - np.asarray(b)
+    scale = max(1.0, float(np.abs(b).max()))
+    if np.abs(resid).max() > tol * scale:
+        raise ValueError(
+            f"checkpoint does not satisfy A_B x_b = b (residual "
+            f"{np.abs(resid).max():.2e})"
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _chunk_jit(A, b, c, state, opts: SimplexOptions, limit):
+    prob = Problem(
+        A.astype(opts.dtype), b.astype(opts.dtype), c.astype(opts.dtype)
+    )
+    return solve_state(prob, state, opts, limit)
+
+
+def solve_with_checkpoints(
+    A,
+    b,
+    c,
+    *,
+    path: str | os.PathLike,
+    basis0: Optional[np.ndarray] = None,
+    options: SimplexOptions = DEFAULT_OPTIONS,
+    resume: bool = True,
+    on_chunk: Optional[Callable[[SolverState], None]] = None,
+) -> SolveResult:
+    """Solve with periodic host checkpoints (every ``options.checkpoint_every``
+    pivots, default 1024). If ``resume`` and ``path`` exists, continue from it.
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    m, n = A.shape
+    chunk = options.checkpoint_every if options.checkpoint_every > 0 else 1024
+    max_iter = options.resolve_max_iter(m, n)
+    path = os.fspath(path)
+
+    if resume and os.path.exists(path):
+        state = load_checkpoint(path)
+        validate_checkpoint(state, A, b)
+        state = state._replace(status=jnp.int32(SolveStatus.RUNNING))
+        # refactorize so resumed fp error starts from a clean inverse
+        prob = Problem(
+            A.astype(options.dtype), b.astype(options.dtype), c.astype(options.dtype)
+        )
+        state = refactorize(prob, state, get_backend(options.backend))
+    else:
+        if basis0 is not None:
+            from simplex_tpu.core.state import initial_state
+
+            prob = Problem(
+                A.astype(options.dtype),
+                b.astype(options.dtype),
+                c.astype(options.dtype),
+            )
+            state = initial_state(prob, jnp.asarray(basis0, jnp.int32), options.dtype)
+        else:
+            prob = Problem(
+                A.astype(options.dtype),
+                b.astype(options.dtype),
+                c.astype(options.dtype),
+            )
+            state = initial_state_slack(prob, options.dtype)
+
+    while True:
+        limit = min(int(state.iters) + chunk, max_iter)
+        state = _chunk_jit(A, b, c, state, options, jnp.int32(limit))
+        jax.block_until_ready(state.x_b)
+        status = SolveStatus(int(state.status))
+        done = status != SolveStatus.MAX_ITER or int(state.iters) >= max_iter
+        # MAX_ITER from a chunk just means "budget exhausted, keep going"
+        if status == SolveStatus.MAX_ITER and int(state.iters) < max_iter:
+            state = state._replace(status=jnp.int32(SolveStatus.RUNNING))
+        save_checkpoint(path, state)
+        if on_chunk is not None:
+            on_chunk(state)
+        if done:
+            break
+
+    final = jax.device_get(state)
+    z = float(np.dot(final.c_b, final.x_b))
+    x = np.zeros(n, dtype=np.asarray(final.x_b).dtype)
+    x[np.asarray(final.basis)] = np.asarray(final.x_b)
+    return SolveResult(
+        z=z,
+        x=x,
+        x_b=np.asarray(final.x_b),
+        basis=np.asarray(final.basis),
+        status=SolveStatus(int(final.status)),
+        iters=int(final.iters),
+    )

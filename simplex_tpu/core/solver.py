@@ -75,14 +75,14 @@ def solve_state(
     return final._replace(status=status)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "max_iter", "slack_init"))
+@functools.partial(jax.jit, static_argnames=("opts", "slack_init"))
 def _solve_jit(
     A: jnp.ndarray,
     b: jnp.ndarray,
     c: jnp.ndarray,
     basis0: jnp.ndarray,
     opts: SimplexOptions,
-    max_iter: int,
+    max_iter,  # traced: changing the budget does not retrace
     slack_init: bool,
 ) -> SolverState:
     dtype = opts.dtype

@@ -1,0 +1,121 @@
+"""Per-pivot trace mode: the reference's compile-time ``#define PRINT``
+(``src/v1_baseline.cu:20,105-148``: dump y, e, alpha, theta, B_inv, c_b,
+b_ixs, x_b every iteration) rebuilt as a runtime debug driver.
+
+Instead of a compile-time switch inside the hot loop (which would force host
+syncs per pivot), tracing runs the SAME jitted pivot step from a host loop
+and reports each transition — use it on small instances to hand-verify a
+pivot path against a textbook trace, or to diff two backends' paths
+(SURVEY.md §4: 'per-pivot trace comparison').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Iterator, List, Optional, TextIO
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
+from simplex_tpu.core.state import Problem, SolverState, initial_state_slack
+from simplex_tpu.core.step import pivot_step
+from simplex_tpu.kernels.dispatch import get_backend
+from simplex_tpu.status import SolveStatus
+
+
+@dataclasses.dataclass
+class PivotRecord:
+    iteration: int
+    entering: int  # column p entering the basis (-1 once terminal)
+    leaving_row: int  # row q whose variable leaves (-1 once terminal)
+    leaving: int  # column index that left the basis (-1 once terminal)
+    min_reduced_cost: float
+    theta: float
+    objective: float
+    status: SolveStatus
+    basis: np.ndarray
+    x_b: np.ndarray
+
+
+def trace_pivots(
+    A,
+    b,
+    c,
+    *,
+    basis0=None,
+    options: SimplexOptions = DEFAULT_OPTIONS,
+    max_iter: Optional[int] = None,
+) -> Iterator[PivotRecord]:
+    """Yield one PivotRecord per pivot until termination."""
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    m, n = A.shape
+    dtype = options.dtype
+    prob = Problem(A.astype(dtype), b.astype(dtype), c.astype(dtype))
+    backend = get_backend(options.backend)
+    if basis0 is None:
+        state = initial_state_slack(prob, dtype)
+    else:
+        from simplex_tpu.core.state import initial_state
+
+        state = initial_state(prob, jnp.asarray(basis0, jnp.int32), dtype)
+    limit = max_iter if max_iter is not None else options.resolve_max_iter(m, n)
+    # (no donation: the initial state aliases y and c_b to the same buffer)
+    step = jax.jit(lambda s: pivot_step(prob, s, options, backend))
+
+    for it in range(limit):
+        prev_basis = np.asarray(state.basis)
+        # recompute the step's own selections for reporting (cheap, small m/n)
+        use_bland = jnp.logical_and(
+            options.bland_after > 0, state.degen >= options.bland_after
+        )
+        p, min_e = backend.choose_entering(state.y, prob.A, prob.c, options.eps, use_bland)
+        alpha = state.B_inv @ backend.gather_column(prob.A, p).astype(dtype)
+        q, theta, unb = backend.ratio_argmin(
+            state.x_b, alpha, state.basis, options.pivot_tol, use_bland
+        )
+        state = step(state)
+        status = SolveStatus(int(state.status))
+        terminal = status != SolveStatus.RUNNING
+        rec = PivotRecord(
+            iteration=it + 1,
+            entering=-1 if terminal else int(p),
+            leaving_row=-1 if terminal else int(q),
+            leaving=-1 if terminal else int(prev_basis[int(q)]),
+            min_reduced_cost=float(min_e),
+            theta=float("nan") if terminal else float(theta),
+            objective=float(jnp.dot(state.c_b, state.x_b)),
+            status=status,
+            basis=np.asarray(state.basis),
+            x_b=np.asarray(state.x_b),
+        )
+        yield rec
+        if terminal:
+            return
+
+
+def print_trace(
+    A, b, c, *, file: TextIO = sys.stdout, verbose: bool = False, **kwargs
+) -> List[PivotRecord]:
+    """Print a human-readable pivot trace (the PRINT-mode report)."""
+    records = []
+    for r in trace_pivots(A, b, c, **kwargs):
+        print(f"# Iteration {r.iteration}", file=file)
+        if r.status == SolveStatus.RUNNING or r.entering >= 0:
+            print(
+                f"\tentering x_{r.entering}  leaving x_{r.leaving} (row {r.leaving_row})"
+                f"  min_e={r.min_reduced_cost:+.6g}  theta={r.theta:.6g}"
+                f"  z={r.objective:.6g}",
+                file=file,
+            )
+        if verbose:
+            print(f"\tbasis: {r.basis.tolist()}", file=file)
+            print(f"\tx_b:   {np.round(r.x_b, 4).tolist()}", file=file)
+        if r.status != SolveStatus.RUNNING:
+            print(f"-> {r.status.describe()}", file=file)
+        records.append(r)
+    return records
