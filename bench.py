@@ -43,6 +43,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--pivots", type=int, default=128)
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex"])
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     args = ap.parse_args()
     if args.small:
@@ -59,7 +60,7 @@ def main() -> None:
     log(f"generating dense LP {m}x{n} (A = {m*n*4/2**20:.0f} MiB fp32)...")
     A, b, c = random_dense_lp(m, n, seed=0, dtype=np.float32)
 
-    opts = SimplexOptions(max_iter=k, backend=args.backend)
+    opts = SimplexOptions(max_iter=k, backend=args.backend, pricing=args.pricing)
     basis0 = np.arange(n - m, n, dtype=np.int32)
 
     log("transferring to device...")

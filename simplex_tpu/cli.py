@@ -48,6 +48,7 @@ def _options(args):
     return SimplexOptions(
         dtype=jnp.float64 if args.fp64 else jnp.float32,
         backend=args.backend,
+        pricing=getattr(args, "pricing", "dantzig"),
         max_iter=args.max_iter,
         refactor_every=args.refactor_every,
     )
@@ -148,6 +149,7 @@ def main(argv=None) -> int:
 
     def common(p):
         p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+        p.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex"])
         p.add_argument("--fp64", action="store_true")
         p.add_argument("--cpu", action="store_true", help="force the CPU backend")
         p.add_argument("--max-iter", type=int, default=0)

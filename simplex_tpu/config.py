@@ -30,9 +30,11 @@ import jax.numpy as jnp
 class SimplexOptions:
     """Static options for the simplex solver (hashable -> jit-static)."""
 
-    # Optimality tolerance on reduced costs. Reference: EPS = 1e-4f
-    # (src/v1_baseline.cu:17), used as `min_val >= -EPS` (v4 :299).
-    eps: float = 1e-6
+    # Optimality tolerance on reduced costs; None resolves by dtype (1e-5 for
+    # fp32, 1e-9 for fp64). fp32 pricing noise is ~1e-6*sqrt(m), so a tighter
+    # fp32 tolerance makes the solver chase phantom negative reduced costs
+    # near the optimum. Reference: flat EPS = 1e-4f (src/v1_baseline.cu:17).
+    eps: Optional[float] = None
 
     # Ratio-test pivot tolerance: a column entry must exceed this to be an
     # eligible pivot. Reference used exact `alpha > 0`.
@@ -43,6 +45,13 @@ class SimplexOptions:
 
     # Re-invert the true basis every K pivots (0 = never). Amortized O(m^3/K).
     refactor_every: int = 0
+
+    # Never accept a terminal status (optimal/unbounded/singular) computed
+    # from a stale product-form inverse: refactorize and re-check first.
+    # Guarantees the reported optimum is exact for the final basis and that
+    # termination used exact reduced costs — one extra O(m^3) at the end.
+    # (fp32 drift otherwise shows up as ~1e-5 objective error; observed.)
+    verify_terminal: bool = True
 
     # After this many consecutive degenerate pivots (theta ~ 0), switch the
     # pricing rule to Bland's (smallest eligible index) until progress
@@ -59,12 +68,33 @@ class SimplexOptions:
     # "pallas" (hand-written TPU kernels in simplex_tpu.kernels).
     backend: str = "xla"
 
+    # Pricing rule:
+    #   "dantzig" — classic: recompute e = y.A - c each pivot, most-negative
+    #               entering (the reference's rule, src/v4_cub_reduction.cu:289-302)
+    #   "devex"   — incremental reduced costs (e updated by one rho.A pass per
+    #               pivot — same HBM traffic as Dantzig's pricing pass) with
+    #               Devex reference weights; typically far fewer pivots.
+    #               Termination is still exact: an O(mn) recompute verifies
+    #               optimality whenever the incremental test fires.
+    #               (The reference left steepest-edge unchecked, README.md:21.)
+    pricing: str = "dantzig"
+
     # Checkpoint the solver state every K pivots into a host-side store
     # (0 = never). Used by simplex_tpu.core.checkpoint.
     checkpoint_every: int = 0
 
+    # Recompute x_b and z in float64 on the host from the final basis
+    # (exact objective for the returned basis). Applied when m <= 4096;
+    # O(m^3) numpy, negligible next to the solve below that size.
+    polish: bool = True
+
     def resolve_max_iter(self, m: int, n: int) -> int:
         return self.max_iter if self.max_iter > 0 else 50 * (m + n)
+
+    def resolve_eps(self) -> float:
+        if self.eps is not None:
+            return self.eps
+        return 1e-9 if jnp.dtype(self.dtype).itemsize >= 8 else 1e-5
 
 
 DEFAULT_OPTIONS = SimplexOptions()

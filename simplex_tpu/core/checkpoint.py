@@ -29,7 +29,10 @@ from simplex_tpu.core.step import refactorize
 from simplex_tpu.kernels.dispatch import get_backend
 from simplex_tpu.status import SolveStatus
 
-_FIELDS = ("B_inv", "x_b", "y", "c_b", "basis", "iters", "status", "degen")
+_FIELDS = (
+    "B_inv", "x_b", "y", "c_b", "basis", "iters", "status", "degen",
+    "last_refac", "e", "gamma",
+)
 
 
 def save_checkpoint(path: str | os.PathLike, state: SolverState) -> None:
@@ -104,24 +107,23 @@ def solve_with_checkpoints(
         prob = Problem(
             A.astype(options.dtype), b.astype(options.dtype), c.astype(options.dtype)
         )
-        state = refactorize(prob, state, get_backend(options.backend))
+        state = refactorize(
+            prob, state, get_backend(options.backend), options.pricing
+        )
     else:
+        prob = Problem(
+            A.astype(options.dtype),
+            b.astype(options.dtype),
+            c.astype(options.dtype),
+        )
         if basis0 is not None:
             from simplex_tpu.core.state import initial_state
 
-            prob = Problem(
-                A.astype(options.dtype),
-                b.astype(options.dtype),
-                c.astype(options.dtype),
+            state = initial_state(
+                prob, jnp.asarray(basis0, jnp.int32), options.dtype, options.pricing
             )
-            state = initial_state(prob, jnp.asarray(basis0, jnp.int32), options.dtype)
         else:
-            prob = Problem(
-                A.astype(options.dtype),
-                b.astype(options.dtype),
-                c.astype(options.dtype),
-            )
-            state = initial_state_slack(prob, options.dtype)
+            state = initial_state_slack(prob, options.dtype, options.pricing)
 
     while True:
         limit = min(int(state.iters) + chunk, max_iter)

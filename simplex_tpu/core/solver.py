@@ -62,11 +62,49 @@ def solve_state(
                 s.status == jnp.int32(SolveStatus.RUNNING),
             )
             s = jax.lax.cond(
-                due, lambda st: refactorize(prob, st, backend), lambda st: st, s
+                due,
+                lambda st: refactorize(prob, st, backend, opts.pricing),
+                lambda st: st,
+                s,
             )
         return s
 
     final = jax.lax.while_loop(cond, body, state0)
+
+    if opts.verify_terminal:
+        # A terminal decision (optimal/unbounded/singular) made from a stale
+        # product-form inverse may be fp32 drift: refactorize, clear the
+        # status, and re-run the pivot loop until the decision is made from
+        # an exact inverse. (An outer loop, not a per-iteration cond, so the
+        # vmapped batch solver doesn't pay O(m^3) per step via select.)
+        # Rounds are capped: each round ends with a refactorized decision, so
+        # a round that changes nothing terminates the loop anyway, and the cap
+        # bounds worst-case churn from sub-tolerance fp noise.
+        MAX_VERIFY_ROUNDS = 4
+
+        def needs_verify(carry):
+            s, rounds = carry
+            return jnp.logical_and(
+                jnp.logical_and(
+                    jnp.logical_and(
+                        s.status != jnp.int32(SolveStatus.RUNNING),
+                        s.iters < max_iter,
+                    ),
+                    s.iters > s.last_refac,
+                ),
+                rounds < MAX_VERIFY_ROUNDS,
+            )
+
+        def reverify(carry):
+            s, rounds = carry
+            s = refactorize(prob, s, backend, opts.pricing)
+            s = s._replace(status=jnp.int32(SolveStatus.RUNNING))
+            return jax.lax.while_loop(cond, body, s), rounds + 1
+
+        final, _ = jax.lax.while_loop(
+            needs_verify, reverify, (final, jnp.int32(0))
+        )
+
     status = jnp.where(
         final.status == jnp.int32(SolveStatus.RUNNING),
         jnp.int32(SolveStatus.MAX_ITER),
@@ -88,9 +126,9 @@ def _solve_jit(
     dtype = opts.dtype
     prob = Problem(A=A.astype(dtype), b=b.astype(dtype), c=c.astype(dtype))
     if slack_init:
-        state0 = initial_state_slack(prob, dtype)
+        state0 = initial_state_slack(prob, dtype, opts.pricing)
     else:
-        state0 = initial_state(prob, basis0, dtype)
+        state0 = initial_state(prob, basis0, dtype, opts.pricing)
     return solve_state(prob, state0, opts, max_iter)
 
 
@@ -126,8 +164,23 @@ def solve(
     final = _solve_jit(A, b, c, basis_arr, options, max_iter, slack_init)
     final = jax.device_get(final)
 
-    z = float(np.dot(final.c_b, final.x_b))
-    x = np.zeros(n, dtype=final.x_b.dtype)
+    if options.polish and m <= 4096:
+        # Exact objective for the returned (combinatorial) basis: re-derive
+        # x_b in float64 on the host. Removes fp32 accumulation error from
+        # the reported optimum without touching the device solve.
+        A64 = np.asarray(A, np.float64)
+        basis_np = np.asarray(final.basis)
+        try:
+            x_b64 = np.linalg.solve(A64[:, basis_np], np.asarray(b, np.float64))
+            final = final._replace(
+                x_b=np.maximum(x_b64, 0.0).astype(np.asarray(final.x_b).dtype)
+            )
+            z = float(np.asarray(c, np.float64)[basis_np] @ np.maximum(x_b64, 0.0))
+        except np.linalg.LinAlgError:
+            z = float(np.dot(final.c_b, final.x_b))
+    else:
+        z = float(np.dot(final.c_b, final.x_b))
+    x = np.zeros(n, dtype=np.asarray(final.x_b).dtype)
     x[final.basis] = final.x_b
     return SolveResult(
         z=z,

@@ -48,9 +48,23 @@ class SolverState(NamedTuple):
     iters: jnp.ndarray  # () int32
     status: jnp.ndarray  # () int32
     degen: jnp.ndarray  # () int32
+    last_refac: jnp.ndarray  # () int32 — pivot count at the last exact inverse
+    # devex pricing extras ((1,) dummies under the dantzig rule; shard-local
+    # (n/D,) inside the column-sharded solver):
+    e: jnp.ndarray  # (n,) incremental reduced costs
+    gamma: jnp.ndarray  # (n,) devex reference weights
 
 
-def initial_state(prob: Problem, basis0: jnp.ndarray, dtype) -> SolverState:
+def _pricing_extras(prob: Problem, y: jnp.ndarray, dtype, pricing: str):
+    """(e, gamma) for the devex rule; (1,) dummies otherwise."""
+    if pricing == "devex":
+        e = (y @ prob.A.astype(dtype) - prob.c.astype(dtype)).astype(dtype)
+        gamma = jnp.ones(prob.A.shape[1], dtype)
+        return e, gamma
+    return jnp.zeros((1,), dtype), jnp.ones((1,), dtype)
+
+
+def initial_state(prob: Problem, basis0: jnp.ndarray, dtype, pricing: str = "dantzig") -> SolverState:
     """Build the starting state for a given feasible basis.
 
     For the canonical slack basis ``basis0 = [n-m, .., n-1]`` this reproduces
@@ -71,6 +85,7 @@ def initial_state(prob: Problem, basis0: jnp.ndarray, dtype) -> SolverState:
     x_b = B_inv @ prob.b.astype(dtype)
     y = c_b @ B_inv
     zero = jnp.int32(0)
+    e, gamma = _pricing_extras(prob, y, dtype, pricing)
     return SolverState(
         B_inv=B_inv,
         x_b=x_b,
@@ -80,10 +95,13 @@ def initial_state(prob: Problem, basis0: jnp.ndarray, dtype) -> SolverState:
         iters=zero,
         status=jnp.int32(SolveStatus.RUNNING),
         degen=zero,
+        last_refac=zero,
+        e=e,
+        gamma=gamma,
     )
 
 
-def initial_state_slack(prob: Problem, dtype) -> SolverState:
+def initial_state_slack(prob: Problem, dtype, pricing: str = "dantzig") -> SolverState:
     """Fast path for the canonical trailing-identity slack basis.
 
     Avoids the O(m^3) solve of :func:`initial_state`; exactly the reference's
@@ -94,6 +112,7 @@ def initial_state_slack(prob: Problem, dtype) -> SolverState:
     basis0 = jnp.arange(n - m, n, dtype=jnp.int32)
     c_b = prob.c[n - m :].astype(dtype)
     zero = jnp.int32(0)
+    e, gamma = _pricing_extras(prob, c_b, dtype, pricing)
     return SolverState(
         B_inv=jnp.eye(m, dtype=dtype),
         x_b=prob.b.astype(dtype),
@@ -103,4 +122,7 @@ def initial_state_slack(prob: Problem, dtype) -> SolverState:
         iters=zero,
         status=jnp.int32(SolveStatus.RUNNING),
         degen=zero,
+        last_refac=zero,
+        e=e,
+        gamma=gamma,
     )

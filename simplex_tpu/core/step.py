@@ -46,14 +46,36 @@ def pivot_step(
 ) -> SolverState:
     """Apply one pivot (or set a terminal status). Pure; safe under jit/vmap."""
     dtype = state.B_inv.dtype
-    eps = jnp.asarray(opts.eps, dtype)
+    eps_f = opts.resolve_eps()
+    eps = jnp.asarray(eps_f, dtype)
 
     use_bland = jnp.logical_and(
         opts.bland_after > 0, state.degen >= opts.bland_after
     )
 
     # ---- Pricing / entering variable (ref :289-302) ----
-    p, min_e = backend.choose_entering(state.y, prob.A, prob.c, opts.eps, use_bland)
+    if opts.pricing == "devex":
+        # Incremental reduced costs + Devex weights. Termination stays exact:
+        # whenever the (drift-prone) incremental test fires — or the chosen
+        # candidate's exactly-recomputed reduced cost is not improving — fall
+        # back to one exact O(mn) pricing pass for this iteration.
+        p1, min_e1 = backend.devex_choose(state.e, state.gamma, eps_f, use_bland)
+        A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
+        c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
+        e_p1 = jnp.dot(state.y, A_p1) - c_p1
+        stale = jnp.logical_or(min_e1 >= -eps, e_p1 >= -eps)
+        p, min_e = jax.lax.cond(
+            stale,
+            lambda _: backend.choose_entering(
+                state.y, prob.A, prob.c, eps_f, use_bland
+            ),
+            lambda _: (p1, min_e1),
+            None,
+        )
+    else:
+        p, min_e = backend.choose_entering(
+            state.y, prob.A, prob.c, eps_f, use_bland
+        )
     optimal = min_e >= -eps
 
     # ---- FTRAN + ratio test / leaving variable (ref :307-325) ----
@@ -92,6 +114,21 @@ def pivot_step(
     c_b_new = state.c_b.at[q].set(c_p)
     basis_new = state.basis.at[q].set(p)
 
+    # ---- Incremental pricing state (devex only) ----
+    if opts.pricing == "devex":
+        # w = updated pivot row of the tableau: rho.A with rho = B_inv_new[q].
+        # One O(mn) pass — the same traffic Dantzig spends on y.A, but it
+        # yields both the reduced-cost update (e -= e_p w, since w_p = 1 and
+        # e_new_p = 0) and the Devex weight update.
+        rho = binv_q * inv_aq
+        w = backend.pricing_update(prob.A.astype(dtype), rho)
+        e_new = state.e - e_p * w
+        gamma_p = backend.gather_cost(state.gamma, p)
+        gamma_new = jnp.maximum(state.gamma, (w * w) * jnp.maximum(gamma_p, 1))
+    else:
+        e_new = state.e
+        gamma_new = state.gamma
+
     degen_new = jnp.where(
         theta_q <= jnp.asarray(opts.degen_tol, dtype), state.degen + 1, jnp.int32(0)
     )
@@ -118,15 +155,22 @@ def pivot_step(
         iters=state.iters + jnp.where(do_pivot, jnp.int32(1), jnp.int32(0)),
         status=status_new,
         degen=jnp.where(do_pivot, degen_new, state.degen),
+        last_refac=state.last_refac,
+        e=sel(e_new, state.e),
+        gamma=sel(gamma_new, state.gamma),
     )
 
 
-def refactorize(prob: Problem, state: SolverState, backend) -> SolverState:
+def refactorize(
+    prob: Problem, state: SolverState, backend, pricing: str = "dantzig"
+) -> SolverState:
     """Re-invert the true basis to purge accumulated fp error.
 
     ``B_inv = inv(A[:, basis])`` recomputed from scratch, then ``x_b`` and
     ``y`` re-derived. O(m^3), amortized over ``refactor_every`` pivots. The
     reference has no equivalent (its fp32 product-form drifts unchecked).
+    Under devex pricing also recomputes the incremental reduced costs exactly
+    and resets the reference weights (the standard Devex restart).
     """
     dtype = state.B_inv.dtype
     m = state.B_inv.shape[0]
@@ -134,4 +178,10 @@ def refactorize(prob: Problem, state: SolverState, backend) -> SolverState:
     B_inv = jnp.linalg.solve(B, jnp.eye(m, dtype=dtype))
     x_b = B_inv @ prob.b.astype(dtype)
     y = state.c_b @ B_inv
-    return state._replace(B_inv=B_inv, x_b=jnp.maximum(x_b, 0), y=y)
+    new = state._replace(
+        B_inv=B_inv, x_b=jnp.maximum(x_b, 0), y=y, last_refac=state.iters
+    )
+    if pricing == "devex":
+        e = y @ prob.A.astype(dtype) - prob.c.astype(dtype)
+        new = new._replace(e=e, gamma=jnp.ones_like(state.gamma))
+    return new

@@ -58,12 +58,15 @@ def trace_pivots(
     prob = Problem(A.astype(dtype), b.astype(dtype), c.astype(dtype))
     backend = get_backend(options.backend)
     if basis0 is None:
-        state = initial_state_slack(prob, dtype)
+        state = initial_state_slack(prob, dtype, options.pricing)
     else:
         from simplex_tpu.core.state import initial_state
 
-        state = initial_state(prob, jnp.asarray(basis0, jnp.int32), dtype)
+        state = initial_state(
+            prob, jnp.asarray(basis0, jnp.int32), dtype, options.pricing
+        )
     limit = max_iter if max_iter is not None else options.resolve_max_iter(m, n)
+    eps_f = options.resolve_eps()
     # (no donation: the initial state aliases y and c_b to the same buffer)
     step = jax.jit(lambda s: pivot_step(prob, s, options, backend))
 
@@ -73,7 +76,21 @@ def trace_pivots(
         use_bland = jnp.logical_and(
             options.bland_after > 0, state.degen >= options.bland_after
         )
-        p, min_e = backend.choose_entering(state.y, prob.A, prob.c, options.eps, use_bland)
+        if options.pricing == "devex":
+            p, min_e = backend.devex_choose(
+                state.e, state.gamma, eps_f, use_bland
+            )
+            # mirror the step's exact-termination fallback
+            A_p1 = backend.gather_column(prob.A, p).astype(dtype)
+            e_p1 = jnp.dot(state.y, A_p1) - backend.gather_cost(prob.c, p).astype(dtype)
+            if float(min_e) >= -eps_f or float(e_p1) >= -eps_f:
+                p, min_e = backend.choose_entering(
+                    state.y, prob.A, prob.c, eps_f, use_bland
+                )
+        else:
+            p, min_e = backend.choose_entering(
+                state.y, prob.A, prob.c, eps_f, use_bland
+            )
         alpha = state.B_inv @ backend.gather_column(prob.A, p).astype(dtype)
         q, theta, unb = backend.ratio_argmin(
             state.x_b, alpha, state.basis, options.pivot_tol, use_bland

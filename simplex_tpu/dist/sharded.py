@@ -89,6 +89,30 @@ def make_collective_backend(axis_name: str, shard_width: int):
         mine = jnp.logical_and(loc >= 0, loc < shard_width)
         return mine, jnp.clip(loc, 0, shard_width - 1)
 
+    def devex_choose(e_loc, gamma_loc, eps, use_bland):
+        base = jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_width
+        neg = e_loc < -eps
+        score = jnp.where(neg, (e_loc * e_loc) / gamma_loc, -jnp.inf)
+        s_loc = jnp.argmax(score).astype(jnp.int32)
+        s_val = score[s_loc]
+        # allreduce-argmax on the devex score (lowest global index on ties)
+        s_max = jax.lax.pmax(s_val, axis_name)
+        cand = jnp.where(s_val == s_max, base + s_loc, INT_MAX)
+        p_devex = jax.lax.pmin(cand, axis_name)
+
+        any_neg = jnp.any(neg)
+        first_loc = jnp.argmax(neg).astype(jnp.int32)
+        bland_cand = jnp.where(any_neg, base + first_loc, INT_MAX)
+        p_bland = jax.lax.pmin(bland_cand, axis_name)
+        p_bland = jnp.where(p_bland == INT_MAX, 0, p_bland)
+
+        min_e = jax.lax.pmin(jnp.min(e_loc), axis_name)
+        p = jnp.where(use_bland, p_bland, p_devex).astype(jnp.int32)
+        return p, min_e
+
+    def pricing_update(A_loc, rho):
+        return rho @ A_loc  # shard-local, no communication
+
     def gather_column(A_loc, p):
         mine, loc = _owned(p)
         col = jax.lax.dynamic_index_in_dim(A_loc, loc, axis=1, keepdims=False)
@@ -111,6 +135,8 @@ def make_collective_backend(axis_name: str, shard_width: int):
     return types.SimpleNamespace(
         name=f"collective[{axis_name}]",
         choose_entering=choose_entering,
+        devex_choose=devex_choose,
+        pricing_update=pricing_update,
         gather_column=gather_column,
         gather_cost=gather_cost,
         gather_basis_matrix=gather_basis_matrix,
@@ -120,7 +146,7 @@ def make_collective_backend(axis_name: str, shard_width: int):
 
 
 def _initial_state_sharded(
-    b, c_loc, basis0, m, shard_width, axis_name, dtype
+    A_loc, b, c_loc, basis0, m, shard_width, axis_name, dtype, pricing
 ) -> SolverState:
     """Identity-basis init inside shard_map.
 
@@ -135,6 +161,12 @@ def _initial_state_sharded(
     vals = jnp.take(c_loc, jnp.clip(loc, 0, shard_width - 1)).astype(dtype)
     c_b = jax.lax.psum(jnp.where(mine, vals, 0), axis_name)
     zero = jnp.int32(0)
+    if pricing == "devex":
+        e = c_b @ A_loc.astype(dtype) - c_loc.astype(dtype)  # shard-local slice
+        gamma = jnp.ones((shard_width,), dtype)
+    else:
+        e = jnp.zeros((1,), dtype)
+        gamma = jnp.ones((1,), dtype)
     return SolverState(
         B_inv=jnp.eye(m, dtype=dtype),
         x_b=b.astype(dtype),
@@ -144,6 +176,9 @@ def _initial_state_sharded(
         iters=zero,
         status=jnp.int32(SolveStatus.RUNNING),
         degen=zero,
+        last_refac=zero,
+        e=e,
+        gamma=gamma,
     )
 
 
@@ -186,18 +221,26 @@ def solve_sharded(
     def shard_fn(A_loc, b_rep, c_loc, basis_rep):
         prob = Problem(A_loc.astype(dtype), b_rep.astype(dtype), c_loc.astype(dtype))
         state0 = _initial_state_sharded(
-            b_rep, c_loc, basis_rep, m, shard_width, axis_name, dtype
+            A_loc, b_rep, c_loc, basis_rep, m, shard_width, axis_name, dtype,
+            options.pricing,
         )
         final = solve_state(prob, state0, options, max_iter, backend=backend)
         z = jnp.dot(final.c_b, final.x_b)
         return final, z
 
+    # every state leaf is replicated except the shard-local pricing slices
+    e_spec = P(axis_name) if options.pricing == "devex" else P(None)
+    state_specs = SolverState(
+        B_inv=P(None, None), x_b=P(None), y=P(None), c_b=P(None),
+        basis=P(None), iters=P(), status=P(), degen=P(), last_refac=P(),
+        e=e_spec, gamma=e_spec,
+    )
     fn = jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(P(None, axis_name), P(None), P(axis_name), P(None)),
-            out_specs=(P(), P()),
+            out_specs=(state_specs, P()),
             check_vma=False,
         )
     )

@@ -21,6 +21,8 @@ def _xla_backend() -> types.SimpleNamespace:
     return types.SimpleNamespace(
         name="xla",
         choose_entering=_xla.choose_entering,
+        devex_choose=_xla.devex_choose,
+        pricing_update=_xla.pricing_update,
         gather_column=_xla.gather_column,
         gather_cost=_xla.gather_cost,
         gather_basis_matrix=_xla.gather_basis_matrix,
@@ -35,6 +37,8 @@ def _pallas_backend() -> types.SimpleNamespace:
     return types.SimpleNamespace(
         name="pallas",
         choose_entering=_pl.choose_entering,
+        devex_choose=_xla.devex_choose,
+        pricing_update=_xla.pricing_update,
         gather_column=_xla.gather_column,
         gather_cost=_xla.gather_cost,
         gather_basis_matrix=_xla.gather_basis_matrix,

@@ -62,6 +62,31 @@ def gather_column(A: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dynamic_index_in_dim(A, p, axis=1, keepdims=False)
 
 
+def devex_choose(
+    e: jnp.ndarray, gamma: jnp.ndarray, eps: float, use_bland: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Entering choice from maintained reduced costs with Devex weights.
+
+    Maximizes e_j^2 / gamma_j over eligible columns (e_j < -eps) — the Devex
+    approximation of the steepest-edge criterion. Returns (p, min_e); min_e
+    drives the (incremental) optimality test.
+    """
+    neg = e < -eps
+    score = jnp.where(neg, (e * e) / gamma, -jnp.inf)
+    p_devex = jnp.argmax(score)
+    p_bland = jnp.argmax(neg)
+    p = jnp.where(use_bland, p_bland, p_devex)
+    return p.astype(jnp.int32), jnp.min(e)
+
+
+def pricing_update(A: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    """w = rho . A — the updated pivot row of the tableau (one O(mn) pass,
+    replacing the Dantzig y.A pricing pass at identical HBM traffic). Feeds
+    both the incremental reduced-cost update (e -= e_p * w) and the Devex
+    weight update (gamma = max(gamma, w^2 * gamma_p))."""
+    return rho @ A
+
+
 def gather_cost(c: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """c[p] as a traced scalar."""
     return jax.lax.dynamic_index_in_dim(c, p, axis=0, keepdims=False)
