@@ -34,9 +34,9 @@ def _load(path: str, use_mps: bool):
             return lp.A, lp.b, lp.c, lp.basis0
         c = prob.c if prob.maximize else -prob.c
         return GeneralLP(A=prob.A, b=prob.b, c=c, row_types=prob.row_types)
-    from simplex_tpu.io.text import load_lp
+    from simplex_tpu.io.native import load_lp_fast
 
-    A, b, c = load_lp(path)
+    A, b, c = load_lp_fast(path)  # native mmap parser, python fallback
     return A, b, c, None
 
 

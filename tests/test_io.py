@@ -67,6 +67,41 @@ def test_pad_rows_preserves_solution():
     assert res1.z == pytest.approx(res0.z, rel=1e-6)
 
 
+def test_native_loader_matches_python(tmp_path):
+    from simplex_tpu.io.native import load_lp_fast, save_lp_fast
+
+    A, b, c = random_dense_lp(17, 43, seed=6)  # odd shapes on purpose
+    p = tmp_path / "lp.txt"
+    save_lp_fast(p, A, b, c)
+    A1, b1, c1 = load_lp_fast(p)
+    A2, b2, c2 = loads_lp(p.read_text())
+    np.testing.assert_array_equal(A1, A2)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(A1, A, atol=1e-6)
+
+
+def test_native_loader_tolerates_trailing_prose():
+    from simplex_tpu.io.native import load_lp_fast
+
+    sample = os.path.join(os.path.dirname(__file__), "data", "sample.txt")
+    A, b, c = load_lp_fast(sample)
+    np.testing.assert_array_equal(A, [[1, 1, 1, 0], [2, 1, 0, 1]])
+
+
+def test_native_loader_rejects_garbage(tmp_path):
+    from simplex_tpu.io.native import load_lp_fast
+
+    p = tmp_path / "bad.txt"
+    p.write_text("2 4\n1 2 3\n")  # not enough numbers
+    with pytest.raises(ValueError):
+        load_lp_fast(p)
+    p2 = tmp_path / "hdr.txt"
+    p2.write_text("notanumber\n")
+    with pytest.raises(ValueError):
+        load_lp_fast(p2)
+
+
 SAMPLE_MPS = textwrap.dedent(
     """\
     NAME          SAMPLE
