@@ -44,6 +44,9 @@ def main() -> None:
     ap.add_argument("--pivots", type=int, default=128)
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex"])
+    ap.add_argument(
+        "--pricing-dtype", default="float32", choices=["float32", "bfloat16"]
+    )
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     args = ap.parse_args()
     if args.small:
@@ -60,7 +63,12 @@ def main() -> None:
     log(f"generating dense LP {m}x{n} (A = {m*n*4/2**20:.0f} MiB fp32)...")
     A, b, c = random_dense_lp(m, n, seed=0, dtype=np.float32)
 
-    opts = SimplexOptions(max_iter=k, backend=args.backend, pricing=args.pricing)
+    opts = SimplexOptions(
+        max_iter=k,
+        backend=args.backend,
+        pricing=args.pricing,
+        pricing_dtype=args.pricing_dtype,
+    )
     basis0 = np.arange(n - m, n, dtype=np.int32)
 
     log("transferring to device...")

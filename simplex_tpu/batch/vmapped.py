@@ -29,7 +29,7 @@ import numpy as np
 
 from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
 from simplex_tpu.core.solver import solve_state
-from simplex_tpu.core.state import Problem, initial_state_slack
+from simplex_tpu.core.state import Problem, initial_state_slack, with_pricing_shadow
 from simplex_tpu.status import SolveStatus
 
 
@@ -50,6 +50,7 @@ def _solve_batch_jit(As, bs, cs, opts: SimplexOptions, max_iter: int):
 
     def one(A, b, c):
         prob = Problem(A.astype(dtype), b.astype(dtype), c.astype(dtype))
+        prob = with_pricing_shadow(prob, opts.pricing_dtype)
         state0 = initial_state_slack(prob, dtype, opts.pricing)
         final = solve_state(prob, state0, opts, max_iter)
         z = jnp.dot(final.c_b, final.x_b)

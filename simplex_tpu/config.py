@@ -79,6 +79,15 @@ class SimplexOptions:
     #               (The reference left steepest-edge unchecked, README.md:21.)
     pricing: str = "dantzig"
 
+    # Pricing-pass precision: "float32" (exact, the default) or "bfloat16".
+    # bfloat16 halves the dominant HBM read of every pivot (the O(mn) pass
+    # over A) by pricing against a bf16 shadow copy with f32 accumulation.
+    # Correctness is unchanged: the chosen candidate's reduced cost is
+    # re-verified against fp32 A (O(m)), and if it is not truly improving —
+    # or Bland's anti-cycling rule is active — the pivot falls back to one
+    # exact fp32 pricing pass, so termination decisions are always exact.
+    pricing_dtype: str = "float32"
+
     # Checkpoint the solver state every K pivots into a host-side store
     # (0 = never). Used by simplex_tpu.core.checkpoint.
     checkpoint_every: int = 0

@@ -24,7 +24,12 @@ import numpy as np
 
 from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
 from simplex_tpu.core.solver import SolveResult, solve_state
-from simplex_tpu.core.state import Problem, SolverState, initial_state_slack
+from simplex_tpu.core.state import (
+    Problem,
+    SolverState,
+    initial_state_slack,
+    with_pricing_shadow,
+)
 from simplex_tpu.core.step import refactorize
 from simplex_tpu.kernels.dispatch import get_backend
 from simplex_tpu.status import SolveStatus
@@ -74,6 +79,7 @@ def _chunk_jit(A, b, c, state, opts: SimplexOptions, limit):
     prob = Problem(
         A.astype(opts.dtype), b.astype(opts.dtype), c.astype(opts.dtype)
     )
+    prob = with_pricing_shadow(prob, opts.pricing_dtype)
     return solve_state(prob, state, opts, limit)
 
 

@@ -16,7 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
-from simplex_tpu.core.state import Problem, SolverState, initial_state, initial_state_slack
+from simplex_tpu.core.state import (
+    Problem,
+    SolverState,
+    initial_state,
+    initial_state_slack,
+    with_pricing_shadow,
+)
 from simplex_tpu.core.step import pivot_step, refactorize
 from simplex_tpu.kernels.dispatch import get_backend
 from simplex_tpu.status import SolveStatus
@@ -125,6 +131,7 @@ def _solve_jit(
 ) -> SolverState:
     dtype = opts.dtype
     prob = Problem(A=A.astype(dtype), b=b.astype(dtype), c=c.astype(dtype))
+    prob = with_pricing_shadow(prob, opts.pricing_dtype)
     if slack_init:
         state0 = initial_state_slack(prob, dtype, opts.pricing)
     else:

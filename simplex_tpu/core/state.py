@@ -19,7 +19,7 @@ State leaves (shapes for an m x n problem):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -32,11 +32,30 @@ class Problem(NamedTuple):
     Matches the reference's input contract (``input/sample.txt:7-13``): the
     caller supplies a feasible starting basis (for the reference this is
     always the trailing identity slack block, ``src/v1_baseline.cu:336-339``).
+
+    ``A_price`` is an optional reduced-precision (bfloat16) shadow of ``A``
+    used only for the O(mn) pricing pass — the dominant HBM read of every
+    pivot. Candidate columns chosen from it are re-verified against the fp32
+    ``A`` before pivoting, and termination always uses an exact pass, so it
+    changes the pivot *path*, never the correctness contract (see
+    ``SimplexOptions.pricing_dtype``).
     """
 
     A: jnp.ndarray  # (m, n)
     b: jnp.ndarray  # (m,)
     c: jnp.ndarray  # (n,)
+    A_price: Optional[jnp.ndarray] = None  # (m, n) bf16 pricing shadow
+
+
+def with_pricing_shadow(prob: Problem, pricing_dtype: str) -> Problem:
+    """Attach the reduced-precision pricing shadow of A when requested.
+
+    One cast pass over A at solve start (trivial next to the pivot loop);
+    ``"float32"`` leaves the problem untouched (no shadow, exact pricing).
+    """
+    if pricing_dtype == "float32":
+        return prob
+    return prob._replace(A_price=prob.A.astype(jnp.dtype(pricing_dtype)))
 
 
 class SolverState(NamedTuple):

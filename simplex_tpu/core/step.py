@@ -72,6 +72,29 @@ def pivot_step(
             lambda _: (p1, min_e1),
             None,
         )
+    elif prob.A_price is not None:
+        # Mixed-precision Dantzig: price against the bf16 shadow (half the
+        # HBM read), then verify the candidate's reduced cost exactly in f32
+        # (O(m)). If it is not truly improving — possible only from bf16
+        # noise near the optimum — or Bland's rule is active (its
+        # first-eligible-index semantics must be exact for the anti-cycling
+        # guarantee), fall back to one exact f32 pricing pass. Termination
+        # (min_e >= -eps) is therefore always decided from exact values.
+        p1, _ = backend.choose_entering(
+            state.y, prob.A_price, prob.c, eps_f, use_bland
+        )
+        A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
+        c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
+        e_p1 = jnp.dot(state.y, A_p1) - c_p1
+        stale = jnp.logical_or(e_p1 >= -eps, use_bland)
+        p, min_e = jax.lax.cond(
+            stale,
+            lambda _: backend.choose_entering(
+                state.y, prob.A, prob.c, eps_f, use_bland
+            ),
+            lambda _: (p1, e_p1),
+            None,
+        )
     else:
         p, min_e = backend.choose_entering(
             state.y, prob.A, prob.c, eps_f, use_bland
@@ -121,7 +144,8 @@ def pivot_step(
         # yields both the reduced-cost update (e -= e_p w, since w_p = 1 and
         # e_new_p = 0) and the Devex weight update.
         rho = binv_q * inv_aq
-        w = backend.pricing_update(prob.A.astype(dtype), rho)
+        A_upd = prob.A_price if prob.A_price is not None else prob.A.astype(dtype)
+        w = backend.pricing_update(A_upd, rho)
         e_new = state.e - e_p * w
         gamma_p = backend.gather_cost(state.gamma, p)
         gamma_new = jnp.maximum(state.gamma, (w * w) * jnp.maximum(gamma_p, 1))

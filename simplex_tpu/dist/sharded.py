@@ -32,7 +32,7 @@ from jax.sharding import PartitionSpec as P
 
 from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
 from simplex_tpu.core.solver import SolveResult, solve_state
-from simplex_tpu.core.state import Problem, SolverState
+from simplex_tpu.core.state import Problem, SolverState, with_pricing_shadow
 from simplex_tpu.dist.mesh import COLS_AXIS
 from simplex_tpu.kernels import xla as _xla
 from simplex_tpu.status import SolveStatus
@@ -220,6 +220,7 @@ def solve_sharded(
 
     def shard_fn(A_loc, b_rep, c_loc, basis_rep):
         prob = Problem(A_loc.astype(dtype), b_rep.astype(dtype), c_loc.astype(dtype))
+        prob = with_pricing_shadow(prob, options.pricing_dtype)
         state0 = _initial_state_sharded(
             A_loc, b_rep, c_loc, basis_rep, m, shard_width, axis_name, dtype,
             options.pricing,

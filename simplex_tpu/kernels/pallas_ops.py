@@ -75,11 +75,16 @@ def _pricing_kernel(
     # 127/128 of the systolic array, and the MXU's default bf16 passes lose
     # ~3 decimal digits, which keeps min_e below -eps forever at the optimum
     # (observed on v5e). Pricing is HBM-bound; the VPU does it at full f32.
-    acc_ref[:] += jnp.sum(y_ref[:] * A_ref[:], axis=0, keepdims=True)
+    # A may be the bf16 pricing shadow — upcast per tile, accumulate f32.
+    acc_ref[:] += jnp.sum(
+        y_ref[:].astype(jnp.float32) * A_ref[:].astype(jnp.float32),
+        axis=0,
+        keepdims=True,
+    )
 
     @pl.when(im == gm - 1)
     def _finish_tile():
-        e = acc_ref[:] - c_ref[:]  # (1, TN)
+        e = acc_ref[:] - c_ref[:].astype(jnp.float32)  # (1, TN)
         idx = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
         local_min = jnp.min(e)
         local_arg = jnp.min(jnp.where(e == local_min, idx, INT_MAX))
@@ -102,8 +107,8 @@ def pricing_scan(y: jnp.ndarray, A: jnp.ndarray, c: jnp.ndarray, eps: float):
     """One fused pass over A: returns (min_e, argmin_e, first index with
     e < -eps or INT_MAX). Reads each A tile exactly once; e never hits HBM."""
     m, n = A.shape
-    dtype = A.dtype
-    tm = _pick_tile(m, 512, 8)
+    sublane = 16 if A.dtype.itemsize == 2 else 8
+    tm = _pick_tile(m, 512, sublane)
     tn = _pick_tile(n, 1024, 128)
     if tm == 0 or tn == 0:
         e = _xla.reduced_costs(y, A, c)
@@ -129,16 +134,16 @@ def pricing_scan(y: jnp.ndarray, A: jnp.ndarray, c: jnp.ndarray, eps: float):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((1, tn), dtype)],
+        scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * n, bytes_accessed=m * n * dtype.itemsize, transcendentals=0
+            flops=2 * m * n, bytes_accessed=m * n * A.dtype.itemsize, transcendentals=0
         ),
         interpret=_interpret(),
-    )(y.reshape(m, 1), c.reshape(1, n), A)
+    )(y.astype(jnp.float32).reshape(m, 1), c.astype(jnp.float32).reshape(1, n), A)
     return minval[0, 0], pmin[0, 0], pneg[0, 0]
 
 

@@ -26,8 +26,16 @@ def reduced_costs(y: jnp.ndarray, A: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray
     The reference materializes the augmented matrix ``D = [-c; A]`` purely to
     fuse two GEMMs (``src/v4_cub_reduction.cu:278-290``); under XLA the
     subtraction fuses into the matvec epilogue for free, so we skip D.
+
+    ``A`` may be the bf16 pricing shadow (``Problem.A_price``): the dot then
+    runs with bf16 operands but accumulates in ``c``'s dtype (f32), and the
+    subtraction of ``c`` stays in f32.
     """
-    return y @ A - c
+    acc = jnp.promote_types(c.dtype, jnp.float32)
+    e = jax.lax.dot_general(
+        y.astype(A.dtype), A, (((0,), (0,)), ((), ())), preferred_element_type=acc
+    )
+    return e.astype(c.dtype) - c
 
 
 def choose_entering(
@@ -83,8 +91,18 @@ def pricing_update(A: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
     """w = rho . A — the updated pivot row of the tableau (one O(mn) pass,
     replacing the Dantzig y.A pricing pass at identical HBM traffic). Feeds
     both the incremental reduced-cost update (e -= e_p * w) and the Devex
-    weight update (gamma = max(gamma, w^2 * gamma_p))."""
-    return rho @ A
+    weight update (gamma = max(gamma, w^2 * gamma_p)).
+
+    ``A`` may be the bf16 pricing shadow; accumulation is forced to f32 (the
+    incremental e then carries bf16-level noise, which the solver's exact
+    candidate re-check / stale fallback already absorbs)."""
+    w = jax.lax.dot_general(
+        rho.astype(A.dtype),
+        A,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.promote_types(rho.dtype, jnp.float32),
+    )
+    return w.astype(rho.dtype)
 
 
 def gather_cost(c: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
