@@ -17,6 +17,10 @@ own documented hardware (GTX 1050 Ti, README.md:11 of the reference):
 This is an upper bound for the reference (ignores its 3-4 host syncs per
 pivot), i.e. a conservative baseline for us to beat.
 
+Defaults run the flagship TPU config: bf16 pricing shadow (exact-termination
+fallback) + deferred rank-16 B_inv updates — both verified bit-exact against
+the oracle in tests/.
+
 Usage: python bench.py [--m M] [--n N] [--pivots K] [--small]
 Details go to stderr; the JSON line is the only stdout output.
 """
@@ -45,8 +49,9 @@ def main() -> None:
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex"])
     ap.add_argument(
-        "--pricing-dtype", default="float32", choices=["float32", "bfloat16"]
+        "--pricing-dtype", default="bfloat16", choices=["float32", "bfloat16"]
     )
+    ap.add_argument("--update-defer", type=int, default=16)
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     args = ap.parse_args()
     if args.small:
@@ -68,6 +73,7 @@ def main() -> None:
         backend=args.backend,
         pricing=args.pricing,
         pricing_dtype=args.pricing_dtype,
+        update_defer=args.update_defer,
     )
     basis0 = np.arange(n - m, n, dtype=np.int32)
 

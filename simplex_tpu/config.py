@@ -88,6 +88,16 @@ class SimplexOptions:
     # exact fp32 pricing pass, so termination decisions are always exact.
     pricing_dtype: str = "float32"
 
+    # Defer B_inv product-form updates: instead of one O(m^2) read+write of
+    # B_inv per pivot (the reference's cublasSger), keep up to L pending
+    # (eta, row) pairs and apply them as ONE rank-L GEMM every L pivots.
+    # Exactness is preserved by telescoping: B_k = B_0 + sum_j eta_j (x) r_j
+    # where r_j is row q_j of the true inverse at pivot j, reconstructed from
+    # the base matrix plus earlier pending pairs in O(L m). Cuts per-pivot
+    # B_inv update traffic from m^2 r+w to m^2/L amortized (the ftran read of
+    # the base matrix remains). 0 disables (eager rank-1 update).
+    update_defer: int = 0
+
     # Checkpoint the solver state every K pivots into a host-side store
     # (0 = never). Used by simplex_tpu.core.checkpoint.
     checkpoint_every: int = 0

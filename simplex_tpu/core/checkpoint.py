@@ -36,7 +36,7 @@ from simplex_tpu.status import SolveStatus
 
 _FIELDS = (
     "B_inv", "x_b", "y", "c_b", "basis", "iters", "status", "degen",
-    "last_refac", "e", "gamma",
+    "last_refac", "e", "gamma", "U", "R", "npend",
 )
 
 
@@ -126,10 +126,16 @@ def solve_with_checkpoints(
             from simplex_tpu.core.state import initial_state
 
             state = initial_state(
-                prob, jnp.asarray(basis0, jnp.int32), options.dtype, options.pricing
+                prob,
+                jnp.asarray(basis0, jnp.int32),
+                options.dtype,
+                options.pricing,
+                options.update_defer,
             )
         else:
-            state = initial_state_slack(prob, options.dtype, options.pricing)
+            state = initial_state_slack(
+                prob, options.dtype, options.pricing, options.update_defer
+            )
 
     while True:
         limit = min(int(state.iters) + chunk, max_iter)

@@ -133,9 +133,9 @@ def _solve_jit(
     prob = Problem(A=A.astype(dtype), b=b.astype(dtype), c=c.astype(dtype))
     prob = with_pricing_shadow(prob, opts.pricing_dtype)
     if slack_init:
-        state0 = initial_state_slack(prob, dtype, opts.pricing)
+        state0 = initial_state_slack(prob, dtype, opts.pricing, opts.update_defer)
     else:
-        state0 = initial_state(prob, basis0, dtype, opts.pricing)
+        state0 = initial_state(prob, basis0, dtype, opts.pricing, opts.update_defer)
     return solve_state(prob, state0, opts, max_iter)
 
 

@@ -72,6 +72,12 @@ class SolverState(NamedTuple):
     # (n/D,) inside the column-sharded solver):
     e: jnp.ndarray  # (n,) incremental reduced costs
     gamma: jnp.ndarray  # (n,) devex reference weights
+    # deferred-update extras ((1, 1) dummies when update_defer == 0). The
+    # TRUE inverse is  B_inv + U[:npend].T @ R[:npend]  (exact telescoped
+    # product form; see SimplexOptions.update_defer):
+    U: jnp.ndarray  # (L, m) pending eta vectors
+    R: jnp.ndarray  # (L, m) pending true-inverse rows
+    npend: jnp.ndarray  # () int32 — number of valid pending pairs
 
 
 def _pricing_extras(prob: Problem, y: jnp.ndarray, dtype, pricing: str):
@@ -83,7 +89,21 @@ def _pricing_extras(prob: Problem, y: jnp.ndarray, dtype, pricing: str):
     return jnp.zeros((1,), dtype), jnp.ones((1,), dtype)
 
 
-def initial_state(prob: Problem, basis0: jnp.ndarray, dtype, pricing: str = "dantzig") -> SolverState:
+def _defer_extras(m: int, dtype, update_defer: int):
+    """(U, R, npend) pending-update buffers; (1, 1) dummies when disabled."""
+    if update_defer > 0:
+        zeros = jnp.zeros((update_defer, m), dtype)
+        return zeros, zeros, jnp.int32(0)
+    return jnp.zeros((1, 1), dtype), jnp.zeros((1, 1), dtype), jnp.int32(0)
+
+
+def initial_state(
+    prob: Problem,
+    basis0: jnp.ndarray,
+    dtype,
+    pricing: str = "dantzig",
+    update_defer: int = 0,
+) -> SolverState:
     """Build the starting state for a given feasible basis.
 
     For the canonical slack basis ``basis0 = [n-m, .., n-1]`` this reproduces
@@ -105,6 +125,7 @@ def initial_state(prob: Problem, basis0: jnp.ndarray, dtype, pricing: str = "dan
     y = c_b @ B_inv
     zero = jnp.int32(0)
     e, gamma = _pricing_extras(prob, y, dtype, pricing)
+    U, R, npend = _defer_extras(m, dtype, update_defer)
     return SolverState(
         B_inv=B_inv,
         x_b=x_b,
@@ -117,10 +138,15 @@ def initial_state(prob: Problem, basis0: jnp.ndarray, dtype, pricing: str = "dan
         last_refac=zero,
         e=e,
         gamma=gamma,
+        U=U,
+        R=R,
+        npend=npend,
     )
 
 
-def initial_state_slack(prob: Problem, dtype, pricing: str = "dantzig") -> SolverState:
+def initial_state_slack(
+    prob: Problem, dtype, pricing: str = "dantzig", update_defer: int = 0
+) -> SolverState:
     """Fast path for the canonical trailing-identity slack basis.
 
     Avoids the O(m^3) solve of :func:`initial_state`; exactly the reference's
@@ -132,6 +158,7 @@ def initial_state_slack(prob: Problem, dtype, pricing: str = "dantzig") -> Solve
     c_b = prob.c[n - m :].astype(dtype)
     zero = jnp.int32(0)
     e, gamma = _pricing_extras(prob, c_b, dtype, pricing)
+    U, R, npend = _defer_extras(m, dtype, update_defer)
     return SolverState(
         B_inv=jnp.eye(m, dtype=dtype),
         x_b=prob.b.astype(dtype),
@@ -144,4 +171,7 @@ def initial_state_slack(prob: Problem, dtype, pricing: str = "dantzig") -> Solve
         last_refac=zero,
         e=e,
         gamma=gamma,
+        U=U,
+        R=R,
+        npend=npend,
     )

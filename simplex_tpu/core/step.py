@@ -37,6 +37,19 @@ from simplex_tpu.config import SimplexOptions
 from simplex_tpu.core.state import Problem, SolverState
 from simplex_tpu.status import SolveStatus
 
+# TPU MXU default for f32 matmuls is single-pass bf16 (~3 decimal digits).
+# That is fine for the big streaming ops (pricing / base ftran — HBM-bound,
+# and their noise is absorbed by exact re-checks and refactorization), but
+# NOT for the small exact-verification dots or the deferred-update algebra,
+# where correction errors get baked into later pending rows multiplicatively
+# (observed: divergence to UNBOUNDED on v5e with update_defer>0). All O(m)
+# and O(L m) dots below therefore pin full-f32 accumulation.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=_EXACT)
+
 
 def pivot_step(
     prob: Problem,
@@ -62,7 +75,7 @@ def pivot_step(
         p1, min_e1 = backend.devex_choose(state.e, state.gamma, eps_f, use_bland)
         A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
         c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
-        e_p1 = jnp.dot(state.y, A_p1) - c_p1
+        e_p1 = _dot(state.y, A_p1) - c_p1
         stale = jnp.logical_or(min_e1 >= -eps, e_p1 >= -eps)
         p, min_e = jax.lax.cond(
             stale,
@@ -85,7 +98,7 @@ def pivot_step(
         )
         A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
         c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
-        e_p1 = jnp.dot(state.y, A_p1) - c_p1
+        e_p1 = _dot(state.y, A_p1) - c_p1
         stale = jnp.logical_or(e_p1 >= -eps, use_bland)
         p, min_e = jax.lax.cond(
             stale,
@@ -103,7 +116,16 @@ def pivot_step(
 
     # ---- FTRAN + ratio test / leaving variable (ref :307-325) ----
     A_p = backend.gather_column(prob.A, p).astype(dtype)
-    alpha = state.B_inv @ A_p
+    defer = opts.update_defer > 0
+    if defer:
+        # Lazy product form: the true inverse is B_inv + U.T @ R (telescoped
+        # pending rank-1s), so ftran gains two O(L m) corrections but the
+        # O(m^2) base read stays on the *unmodified* base matrix.
+        alpha = state.B_inv @ A_p + jnp.matmul(
+            state.U.T, jnp.matmul(state.R, A_p, precision=_EXACT), precision=_EXACT
+        )
+    else:
+        alpha = state.B_inv @ A_p
     q, theta_q, unbounded = backend.ratio_argmin(
         state.x_b, alpha, state.basis, opts.pivot_tol, use_bland
     )
@@ -123,15 +145,54 @@ def pivot_step(
     theta_safe = jnp.where(do_pivot, theta_q, jnp.asarray(0, dtype))
 
     binv_q = jax.lax.dynamic_index_in_dim(state.B_inv, q, axis=0, keepdims=False)
+    if defer:
+        # row q of the TRUE inverse: base row + pending corrections.
+        u_q = jax.lax.dynamic_index_in_dim(state.U, q, axis=1, keepdims=False)
+        binv_q = binv_q + jnp.matmul(u_q, state.R, precision=_EXACT)
 
     # ---- Product-form rank-1 update (ref compute_E_q + Sger :331-333) ----
     eta = (-alpha * inv_aq).at[q].set(inv_aq - 1)
-    B_inv_new = backend.rank1_update(state.B_inv, eta, binv_q)
+    if defer:
+        # Append (eta, binv_q) to the pending buffers instead of touching
+        # B_inv; flush all L pairs as one rank-L GEMM when the buffer fills.
+        # Appending a zero pair on non-pivot steps is harmless (rank-0).
+        eta_pend = jnp.where(do_pivot, eta, jnp.zeros_like(eta))
+        row_pend = jnp.where(do_pivot, binv_q, jnp.zeros_like(binv_q))
+        U_new = jax.lax.dynamic_update_index_in_dim(
+            state.U, eta_pend, state.npend, axis=0
+        )
+        R_new = jax.lax.dynamic_update_index_in_dim(
+            state.R, row_pend, state.npend, axis=0
+        )
+        npend_new = state.npend + jnp.where(do_pivot, jnp.int32(1), jnp.int32(0))
+
+        def _flush(args):
+            B, U, R = args
+            return (
+                B + jnp.matmul(U.T, R, precision=_EXACT),
+                jnp.zeros_like(U),
+                jnp.zeros_like(R),
+                jnp.int32(0),
+            )
+
+        def _keep(args):
+            B, U, R = args
+            return B, U, R, npend_new
+
+        B_inv_new, U_new, R_new, npend_new = jax.lax.cond(
+            npend_new >= opts.update_defer,
+            _flush,
+            _keep,
+            (state.B_inv, U_new, R_new),
+        )
+    else:
+        B_inv_new = backend.rank1_update(state.B_inv, eta, binv_q)
+        U_new, R_new, npend_new = state.U, state.R, state.npend
 
     # ---- O(m) primal / dual updates (ref :347-356) ----
     x_b_new = (state.x_b - theta_safe * alpha).at[q].set(theta_safe)
     c_p = backend.gather_cost(prob.c, p).astype(dtype)
-    e_p = jnp.dot(state.y, A_p) - c_p  # == min_e under Dantzig; exact under Bland
+    e_p = _dot(state.y, A_p) - c_p  # == min_e under Dantzig; exact under Bland
     y_new = state.y - (e_p * inv_aq) * binv_q
 
     c_b_new = state.c_b.at[q].set(c_p)
@@ -171,7 +232,9 @@ def pivot_step(
         return jnp.where(do_pivot, new, old)
 
     return SolverState(
-        B_inv=sel(B_inv_new, state.B_inv),
+        # defer mode: the flush cond already applies only on pivot steps; a
+        # do_pivot select here would add a full m^2 pass every pivot
+        B_inv=B_inv_new if defer else sel(B_inv_new, state.B_inv),
         x_b=sel(x_b_new, state.x_b),
         y=sel(y_new, state.y),
         c_b=sel(c_b_new, state.c_b),
@@ -182,6 +245,11 @@ def pivot_step(
         last_refac=state.last_refac,
         e=sel(e_new, state.e),
         gamma=sel(gamma_new, state.gamma),
+        # non-pivot steps appended a zero (rank-0) pair and left npend alone,
+        # so these are already no-ops without do_pivot masking
+        U=U_new,
+        R=R_new,
+        npend=npend_new,
     )
 
 
@@ -203,7 +271,14 @@ def refactorize(
     x_b = B_inv @ prob.b.astype(dtype)
     y = state.c_b @ B_inv
     new = state._replace(
-        B_inv=B_inv, x_b=jnp.maximum(x_b, 0), y=y, last_refac=state.iters
+        B_inv=B_inv,
+        x_b=jnp.maximum(x_b, 0),
+        y=y,
+        last_refac=state.iters,
+        # pending deferred updates are subsumed by the exact re-inversion
+        U=jnp.zeros_like(state.U),
+        R=jnp.zeros_like(state.R),
+        npend=jnp.int32(0),
     )
     if pricing == "devex":
         e = y @ prob.A.astype(dtype) - prob.c.astype(dtype)

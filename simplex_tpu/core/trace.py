@@ -54,6 +54,12 @@ def trace_pivots(
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
+    # Trace reporting reads state.B_inv directly for its alpha recompute, so
+    # run the traced solve with eager updates (deferred mode would leave
+    # B_inv stale between flushes; pivot paths are identical either way up to
+    # fp reassociation, which is exactly what a trace wants pinned down).
+    if options.update_defer:
+        options = dataclasses.replace(options, update_defer=0)
     dtype = options.dtype
     prob = Problem(A.astype(dtype), b.astype(dtype), c.astype(dtype))
     backend = get_backend(options.backend)

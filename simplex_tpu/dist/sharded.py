@@ -32,7 +32,12 @@ from jax.sharding import PartitionSpec as P
 
 from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
 from simplex_tpu.core.solver import SolveResult, solve_state
-from simplex_tpu.core.state import Problem, SolverState, with_pricing_shadow
+from simplex_tpu.core.state import (
+    Problem,
+    SolverState,
+    _defer_extras,
+    with_pricing_shadow,
+)
 from simplex_tpu.dist.mesh import COLS_AXIS
 from simplex_tpu.kernels import xla as _xla
 from simplex_tpu.status import SolveStatus
@@ -146,7 +151,8 @@ def make_collective_backend(axis_name: str, shard_width: int):
 
 
 def _initial_state_sharded(
-    A_loc, b, c_loc, basis0, m, shard_width, axis_name, dtype, pricing
+    A_loc, b, c_loc, basis0, m, shard_width, axis_name, dtype, pricing,
+    update_defer=0,
 ) -> SolverState:
     """Identity-basis init inside shard_map.
 
@@ -167,6 +173,7 @@ def _initial_state_sharded(
     else:
         e = jnp.zeros((1,), dtype)
         gamma = jnp.ones((1,), dtype)
+    U, R, npend = _defer_extras(m, dtype, update_defer)
     return SolverState(
         B_inv=jnp.eye(m, dtype=dtype),
         x_b=b.astype(dtype),
@@ -179,6 +186,9 @@ def _initial_state_sharded(
         last_refac=zero,
         e=e,
         gamma=gamma,
+        U=U,
+        R=R,
+        npend=npend,
     )
 
 
@@ -223,7 +233,7 @@ def solve_sharded(
         prob = with_pricing_shadow(prob, options.pricing_dtype)
         state0 = _initial_state_sharded(
             A_loc, b_rep, c_loc, basis_rep, m, shard_width, axis_name, dtype,
-            options.pricing,
+            options.pricing, options.update_defer,
         )
         final = solve_state(prob, state0, options, max_iter, backend=backend)
         z = jnp.dot(final.c_b, final.x_b)
@@ -235,6 +245,7 @@ def solve_sharded(
         B_inv=P(None, None), x_b=P(None), y=P(None), c_b=P(None),
         basis=P(None), iters=P(), status=P(), degen=P(), last_refac=P(),
         e=e_spec, gamma=e_spec,
+        U=P(None, None), R=P(None, None), npend=P(),
     )
     fn = jax.jit(
         jax.shard_map(
