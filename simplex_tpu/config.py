@@ -88,6 +88,15 @@ class SimplexOptions:
     # exact fp32 pricing pass, so termination decisions are always exact.
     pricing_dtype: str = "float32"
 
+    # Ratio test: "harris" (default; two-pass stabilized: relax feasibility
+    # by ~1e-6, then pick the largest pivot magnitude among near-tying rows)
+    # or "classic" (exact smallest ratio, the reference's rule). Harris
+    # bounds 1/alpha_q, preventing fp32 inverse blow-ups from tiny pivots —
+    # the failure mode behind the reference's open division-by-small-pivot
+    # TODO (README.md:29); at 8k x 16k fp32 the classic rule diverges to
+    # SINGULAR/NaN (observed on v5e), Harris converges to the exact optimum.
+    ratio: str = "harris"
+
     # Defer B_inv product-form updates: instead of one O(m^2) read+write of
     # B_inv per pivot (the reference's cublasSger), keep up to L pending
     # (eta, row) pairs and apply them as ONE rank-L GEMM every L pivots.
@@ -103,7 +112,7 @@ class SimplexOptions:
     checkpoint_every: int = 0
 
     # Recompute x_b and z in float64 on the host from the final basis
-    # (exact objective for the returned basis). Applied when m <= 4096;
+    # (exact objective for the returned basis). Applied when m <= 16384;
     # O(m^3) numpy, negligible next to the solve below that size.
     polish: bool = True
 

@@ -114,7 +114,11 @@ def solve_with_checkpoints(
             A.astype(options.dtype), b.astype(options.dtype), c.astype(options.dtype)
         )
         state = refactorize(
-            prob, state, get_backend(options.backend), options.pricing
+            prob,
+            state,
+            get_backend(options.backend),
+            options.pricing,
+            options.update_defer > 0,
         )
     else:
         prob = Problem(

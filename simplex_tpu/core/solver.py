@@ -69,7 +69,9 @@ def solve_state(
             )
             s = jax.lax.cond(
                 due,
-                lambda st: refactorize(prob, st, backend, opts.pricing),
+                lambda st: refactorize(
+                    prob, st, backend, opts.pricing, opts.update_defer > 0
+                ),
                 lambda st: st,
                 s,
             )
@@ -103,7 +105,7 @@ def solve_state(
 
         def reverify(carry):
             s, rounds = carry
-            s = refactorize(prob, s, backend, opts.pricing)
+            s = refactorize(prob, s, backend, opts.pricing, opts.update_defer > 0)
             s = s._replace(status=jnp.int32(SolveStatus.RUNNING))
             return jax.lax.while_loop(cond, body, s), rounds + 1
 
@@ -171,7 +173,7 @@ def solve(
     final = _solve_jit(A, b, c, basis_arr, options, max_iter, slack_init)
     final = jax.device_get(final)
 
-    if options.polish and m <= 4096:
+    if options.polish and m <= 16384:
         # Exact objective for the returned (combinatorial) basis: re-derive
         # x_b in float64 on the host. Removes fp32 accumulation error from
         # the reported optimum without touching the device solve.

@@ -116,7 +116,10 @@ def make_collective_backend(axis_name: str, shard_width: int):
         return p, min_e
 
     def pricing_update(A_loc, rho):
-        return rho @ A_loc  # shard-local, no communication
+        # shard-local, no communication; exact f32 (see kernels.xla)
+        return jnp.matmul(
+            rho, A_loc.astype(rho.dtype), precision=jax.lax.Precision.HIGHEST
+        )
 
     def gather_column(A_loc, p):
         mine, loc = _owned(p)
@@ -146,6 +149,7 @@ def make_collective_backend(axis_name: str, shard_width: int):
         gather_cost=gather_cost,
         gather_basis_matrix=gather_basis_matrix,
         ratio_argmin=_xla.ratio_argmin,
+        ratio_argmin_harris=_xla.ratio_argmin_harris,
         rank1_update=_xla.rank1_update,
     )
 

@@ -27,6 +27,7 @@ def _xla_backend() -> types.SimpleNamespace:
         gather_cost=_xla.gather_cost,
         gather_basis_matrix=_xla.gather_basis_matrix,
         ratio_argmin=_xla.ratio_argmin,
+        ratio_argmin_harris=_xla.ratio_argmin_harris,
         rank1_update=_xla.rank1_update,
     )
 
@@ -43,6 +44,7 @@ def _pallas_backend() -> types.SimpleNamespace:
         gather_cost=_xla.gather_cost,
         gather_basis_matrix=_xla.gather_basis_matrix,
         ratio_argmin=_pl.ratio_argmin,
+        ratio_argmin_harris=_xla.ratio_argmin_harris,
         rank1_update=_pl.rank1_update,
     )
 

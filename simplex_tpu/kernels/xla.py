@@ -93,16 +93,12 @@ def pricing_update(A: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
     both the incremental reduced-cost update (e -= e_p * w) and the Devex
     weight update (gamma = max(gamma, w^2 * gamma_p)).
 
-    ``A`` may be the bf16 pricing shadow; accumulation is forced to f32 (the
-    incremental e then carries bf16-level noise, which the solver's exact
-    candidate re-check / stale fallback already absorbs)."""
-    w = jax.lax.dot_general(
-        rho.astype(A.dtype),
-        A,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.promote_types(rho.dtype, jnp.float32),
-    )
-    return w.astype(rho.dtype)
+    Runs at full f32 precision (Precision.HIGHEST): w feeds the *incremental*
+    reduced costs, whose errors accumulate over pivots — on the TPU MXU the
+    default f32 matmul is single-pass bf16, and that noise compounds into
+    divergent pivot choices (observed at 8k x 16k on v5e). HIGHEST costs only
+    extra MXU passes over the same HBM bytes; the pass stays HBM-bound."""
+    return jnp.matmul(rho, A.astype(rho.dtype), precision=jax.lax.Precision.HIGHEST)
 
 
 def gather_cost(c: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -150,6 +146,51 @@ def ratio_argmin(
     q_bland = jnp.argmin(jnp.where(tie, basis, big))
     q = jnp.where(use_bland, q_bland, q_plain).astype(jnp.int32)
     theta_q = jnp.where(unbounded, inf, tmin)
+    return q, theta_q, unbounded
+
+
+def ratio_argmin_harris(
+    x_b: jnp.ndarray,
+    alpha: jnp.ndarray,
+    basis: jnp.ndarray,
+    pivot_tol: float,
+    use_bland: jnp.ndarray,
+    feas_tol: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Harris two-pass stabilized ratio test. Same contract as
+    :func:`ratio_argmin`.
+
+    Pass 1 relaxes primal feasibility by ``feas_tol`` to get an upper bound
+    ``theta_max = min (x_b_j + feas_tol) / alpha_j``; pass 2 picks, among
+    rows whose true ratio is within the bound, the LARGEST pivot magnitude
+    ``alpha_q``. The classic test's smallest-ratio row can have an
+    arbitrarily tiny alpha_q, whose ``1/alpha_q`` blows up the product-form
+    inverse in fp32 (the reference lists division-by-small-pivot as an open
+    TODO, README.md:29); Harris bounds it at the cost of O(feas_tol) primal
+    infeasibility, which refactorization's ``max(x_b, 0)`` clamp absorbs.
+
+    Under Bland's anti-cycling rule, falls back to the classic smallest-
+    basis-index tie-break (the Bland guarantee needs it).
+    """
+    mask = alpha > pivot_tol
+    unbounded = ~jnp.any(mask)
+    inf = jnp.asarray(jnp.inf, x_b.dtype)
+    safe_alpha = jnp.where(mask, alpha, 1)
+    x_pos = jnp.maximum(x_b, 0)
+    # pass 1: relaxed bound
+    theta_rel = jnp.where(mask, (x_pos + feas_tol) / safe_alpha, inf)
+    theta_max = jnp.min(theta_rel)
+    # pass 2: largest pivot among rows whose true ratio fits the bound
+    theta = jnp.where(mask, x_pos / safe_alpha, inf)
+    ok = jnp.logical_and(mask, theta <= theta_max)
+    q_harris = jnp.argmax(jnp.where(ok, alpha, -inf))
+    # classic + Bland path (exact smallest ratio, smallest basis index ties)
+    tmin = jnp.min(theta)
+    tie = theta <= tmin * (1 + 1e-6) + 1e-12
+    big = jnp.iinfo(jnp.int32).max
+    q_bland = jnp.argmin(jnp.where(tie, basis, big))
+    q = jnp.where(use_bland, q_bland, q_harris).astype(jnp.int32)
+    theta_q = jnp.where(unbounded, inf, jnp.where(use_bland, tmin, theta[q]))
     return q, theta_q, unbounded
 
 
