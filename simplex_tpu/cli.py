@@ -49,6 +49,9 @@ def _options(args):
         dtype=jnp.float64 if args.fp64 else jnp.float32,
         backend=args.backend,
         pricing=getattr(args, "pricing", "dantzig"),
+        pricing_dtype=getattr(args, "pricing_dtype", "float32"),
+        update_defer=getattr(args, "update_defer", 0),
+        ratio=getattr(args, "ratio", "harris"),
         max_iter=args.max_iter,
         refactor_every=args.refactor_every,
     )
@@ -154,6 +157,23 @@ def main(argv=None) -> int:
         p.add_argument("--cpu", action="store_true", help="force the CPU backend")
         p.add_argument("--max-iter", type=int, default=0)
         p.add_argument("--refactor-every", type=int, default=0)
+        p.add_argument(
+            "--pricing-dtype", default="float32", choices=["float32", "bfloat16"],
+            help="price against a bf16 shadow of A (exact-termination fallback)",
+        )
+        p.add_argument(
+            "--update-defer", type=int, default=0, metavar="L",
+            help="batch L rank-1 B_inv updates into one rank-L GEMM",
+        )
+        p.add_argument(
+            "--ratio", default="harris", choices=["harris", "classic"],
+            help="ratio test (harris = stabilized two-pass, the default)",
+        )
+        p.add_argument(
+            "--fast", action="store_true",
+            help="shorthand for --pricing-dtype bfloat16 --update-defer 16 "
+                 "--refactor-every 1024 (the flagship TPU config)",
+        )
 
     ps = sub.add_parser("solve", help="solve an LP from a file")
     ps.add_argument("input")
@@ -185,6 +205,11 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    if getattr(args, "fast", False):
+        args.pricing_dtype = "bfloat16"
+        args.update_defer = 16
+        if args.refactor_every == 0:
+            args.refactor_every = 1024
     import jax
 
     if getattr(args, "cpu", False):

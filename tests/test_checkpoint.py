@@ -86,3 +86,39 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(getattr(state, f)), np.asarray(getattr(state2, f))
         )
+
+
+def test_light_checkpoint_roundtrip(tmp_path):
+    # light snapshots drop B_inv/U/R; load rebuilds the exact inverse on the
+    # host from A + basis (this is what chunked solves use at m >= 2048,
+    # where pulling the O(m^2) leaves through the device link dominates).
+    import jax.numpy as jnp
+
+    from simplex_tpu.core.solver import _solve_jit
+    from simplex_tpu.core.state import Problem
+
+    A, b, c = random_dense_lp(16, 40, seed=12)
+    opts = SimplexOptions(max_iter=6, verify_terminal=False, update_defer=4)
+    basis0 = np.arange(40 - 16, 40, dtype=np.int32)
+    state = _solve_jit(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+        jnp.asarray(basis0), opts, 6, True,
+    )
+    ckpt = tmp_path / "light.npz"
+    save_checkpoint(ckpt, state, light=True)
+    with np.load(ckpt) as data:
+        assert "B_inv" not in data and "U" not in data
+
+    loaded = load_checkpoint(ckpt, A=A, b=b, c=c)
+    validate_checkpoint(loaded, A, b)
+    np.testing.assert_array_equal(np.asarray(loaded.basis), np.asarray(state.basis))
+    # rebuilt inverse is exact for the basis
+    B_exact = np.linalg.inv(np.asarray(A, np.float64)[:, np.asarray(state.basis)])
+    np.testing.assert_allclose(
+        np.asarray(loaded.B_inv), B_exact.astype(np.float32), rtol=1e-5, atol=1e-6
+    )
+    assert loaded.U.shape == state.U.shape
+    assert int(loaded.npend) == 0
+
+    with pytest.raises(ValueError, match="light checkpoint"):
+        load_checkpoint(ckpt)
