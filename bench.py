@@ -53,6 +53,12 @@ def main() -> None:
     )
     ap.add_argument("--update-defer", type=int, default=16)
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
+    ap.add_argument(
+        "--mode", default="single", choices=["single", "batch"],
+        help="single = one large LP (the headline); batch = vmap-batched "
+             "solve of many independent small LPs (BASELINE configs[3])",
+    )
+    ap.add_argument("--batch", type=int, default=4096, help="batch-mode LP count")
     args = ap.parse_args()
     if args.small:
         args.m, args.n = 512, 1024
@@ -62,6 +68,10 @@ def main() -> None:
     from simplex_tpu.config import SimplexOptions
     from simplex_tpu.core.solver import _solve_jit
     from simplex_tpu.oracle.generator import random_dense_lp
+
+    if args.mode == "batch":
+        bench_batch(args)
+        return
 
     m, n, k = args.m, args.n, args.pivots
     log(f"devices: {jax.devices()}")
@@ -113,6 +123,75 @@ def main() -> None:
                 "value": round(pps, 2),
                 "unit": "pivots/sec",
                 "vs_baseline": round(pps / REFERENCE_ROOFLINE_PIVOTS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+def bench_batch(args) -> None:
+    """vmap-batched mode: B independent small LPs solved to termination.
+
+    Metric: LP solves/sec. Default shapes 64x160 x 4096 LPs (BASELINE
+    configs[3] is '10k small LPs sharded across chips'; one v5e chip takes
+    the per-chip shard of that workload).
+    """
+    import jax
+
+    from simplex_tpu.batch.vmapped import _solve_batch_jit
+    from simplex_tpu.config import SimplexOptions
+    from simplex_tpu.oracle.generator import random_dense_lp
+
+    B, m, n = args.batch, 64, 160
+    log(f"devices: {jax.devices()}")
+    log(f"generating {B} dense LPs {m}x{n}...")
+    rng = np.random.default_rng(0)
+    As = np.empty((B, m, n), np.float32)
+    bs = np.empty((B, m), np.float32)
+    cs = np.empty((B, n), np.float32)
+    A0, b0, c0 = random_dense_lp(m, n, seed=0, dtype=np.float32)
+    for i in range(B):  # cheap perturbations of one instance
+        As[i] = A0 + 0.01 * rng.standard_normal((m, n)).astype(np.float32)
+        bs[i] = b0 + 0.01 * np.abs(rng.standard_normal(m)).astype(np.float32)
+        cs[i] = c0
+    opts = SimplexOptions(
+        backend=args.backend,
+        pricing=args.pricing,
+        verify_terminal=False,  # per-instance O(m^3) select under vmap
+        polish=False,
+        max_iter=1000,
+    )
+    As, bs, cs = jax.device_put((As, bs, cs))
+    jax.block_until_ready(As)
+
+    def run():
+        out = _solve_batch_jit(As, bs, cs, opts, 1000)
+        jax.block_until_ready(out)
+        return out
+
+    log("compile + warmup...")
+    t0 = time.time()
+    out = run()
+    log(f"warmup: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    out = run()
+    dt = time.time() - t0
+    status = np.asarray(out[3])
+    iters = np.asarray(out[4])
+    solved = int((status == 1).sum())
+    sps = B / dt
+    log(
+        f"{B} LPs in {dt:.3f}s -> {sps:.0f} solves/s "
+        f"({solved}/{B} optimal, median {int(np.median(iters))} pivots)"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"lp_solves_per_sec_batched_{B}x{m}x{n}_fp32",
+                "value": round(sps, 2),
+                "unit": "solves/sec",
+                "vs_baseline": round(sps / (1.0 / 0.011), 2),
+                # baseline: the reference solves one LP per process; its own
+                # roofline at 64x160 is ~0.011 s/LP (launch+alloc dominated)
             }
         )
     )

@@ -43,6 +43,23 @@ _FIELDS = (
 _LIGHT_SKIP = ("B_inv", "U", "R")
 
 
+def _exact_inverse(A_basis: np.ndarray, dtype) -> np.ndarray:
+    """inv(A[:, basis]) for light-checkpoint resume.
+
+    On an accelerator backend the LU runs on-device at the solve dtype
+    (top-level linalg.solve is fine on TPU; only nested-control-flow LU
+    faults, see core.step.refactorize). The host fallback is float64 numpy
+    — correct anywhere but O(m^3) on what may be a single core, so it is
+    only used when no accelerator is available.
+    """
+    if jax.default_backend() != "cpu":
+        m = A_basis.shape[0]
+        B = jnp.asarray(A_basis, dtype)
+        X = jax.jit(lambda B: jnp.linalg.solve(B, jnp.eye(m, dtype=B.dtype)))(B)
+        return np.asarray(X)
+    return np.linalg.inv(np.asarray(A_basis, np.float64)).astype(dtype)
+
+
 def save_checkpoint(
     path: str | os.PathLike, state: SolverState, light: bool = False
 ) -> None:
@@ -86,17 +103,19 @@ def load_checkpoint(
         shape = tuple(int(x) for x in data["_defer_shape"])
         basis = fields["basis"]
         dtype = fields["x_b"].dtype
-        A64 = np.asarray(A, np.float64)
-        B_inv64 = np.linalg.inv(A64[:, basis])
-        fields["B_inv"] = B_inv64.astype(dtype)
-        fields["y"] = (fields["c_b"].astype(np.float64) @ B_inv64).astype(dtype)
+        B_inv = _exact_inverse(np.asarray(A)[:, basis], dtype)
+        fields["B_inv"] = B_inv
+        fields["y"] = (
+            fields["c_b"].astype(np.float64) @ B_inv.astype(np.float64)
+        ).astype(dtype)
         if b is not None:
-            x64 = B_inv64 @ np.asarray(b, np.float64)
-            fields["x_b"] = np.maximum(x64, 0.0).astype(dtype)
-        if c is not None and fields["e"].shape[0] == A64.shape[1]:
+            x = B_inv.astype(np.float64) @ np.asarray(b, np.float64)
+            fields["x_b"] = np.maximum(x, 0.0).astype(dtype)
+        if c is not None and fields["e"].shape[0] == np.asarray(A).shape[1]:
             # devex: re-derive the incremental reduced costs from the exact y
             fields["e"] = (
-                fields["y"].astype(np.float64) @ A64 - np.asarray(c, np.float64)
+                fields["y"].astype(np.float64) @ np.asarray(A, np.float64)
+                - np.asarray(c, np.float64)
             ).astype(dtype)
         fields["last_refac"] = fields["iters"]
         return SolverState(

@@ -126,7 +126,20 @@ def pivot_step(
         )
     else:
         alpha = state.B_inv @ A_p
-    if opts.ratio == "harris":
+    fused = getattr(backend, "ratio_eta", None)
+    fused_out = (
+        fused(
+            state.x_b, alpha, state.basis, opts.pivot_tol, use_bland,
+            opts.ratio == "harris",
+        )
+        if fused is not None
+        else None
+    )
+    if fused_out is not None:
+        # one kernel for the whole post-ftran O(m) chain (ratio test + eta
+        # vector + x_b axpy) — dispatch latency dominates these at small m
+        q, theta_q, unbounded, eta_fused, x_b_fused = fused_out
+    elif opts.ratio == "harris":
         q, theta_q, unbounded = backend.ratio_argmin_harris(
             state.x_b, alpha, state.basis, opts.pivot_tol, use_bland
         )
@@ -156,7 +169,10 @@ def pivot_step(
         binv_q = binv_q + jnp.matmul(u_q, state.R, precision=_EXACT)
 
     # ---- Product-form rank-1 update (ref compute_E_q + Sger :331-333) ----
-    eta = (-alpha * inv_aq).at[q].set(inv_aq - 1)
+    if fused_out is not None:
+        eta = eta_fused
+    else:
+        eta = (-alpha * inv_aq).at[q].set(inv_aq - 1)
     if defer:
         # Append (eta, binv_q) to the pending buffers instead of touching
         # B_inv; flush all L pairs as one rank-L GEMM when the buffer fills.
@@ -195,7 +211,10 @@ def pivot_step(
         U_new, R_new, npend_new = state.U, state.R, state.npend
 
     # ---- O(m) primal / dual updates (ref :347-356) ----
-    x_b_new = (state.x_b - theta_safe * alpha).at[q].set(theta_safe)
+    if fused_out is not None:
+        x_b_new = x_b_fused
+    else:
+        x_b_new = (state.x_b - theta_safe * alpha).at[q].set(theta_safe)
     c_p = backend.gather_cost(prob.c, p).astype(dtype)
     e_p = _dot(state.y, A_p) - c_p  # == min_e under Dantzig; exact under Bland
     y_new = state.y - (e_p * inv_aq) * binv_q

@@ -98,7 +98,12 @@ def trace_pivots(
                 state.y, prob.A, prob.c, eps_f, use_bland
             )
         alpha = state.B_inv @ backend.gather_column(prob.A, p).astype(dtype)
-        q, theta, unb = backend.ratio_argmin(
+        ratio_fn = (
+            backend.ratio_argmin_harris
+            if options.ratio == "harris"
+            else backend.ratio_argmin
+        )
+        q, theta, unb = ratio_fn(
             state.x_b, alpha, state.basis, options.pivot_tol, use_bland
         )
         state = step(state)

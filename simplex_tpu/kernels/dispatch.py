@@ -18,8 +18,13 @@ from simplex_tpu.kernels import xla as _xla
 
 
 def _xla_backend() -> types.SimpleNamespace:
+    from simplex_tpu.kernels import pallas_ops as _pl
+
     return types.SimpleNamespace(
         name="xla",
+        # the fused post-ftran kernel is a dispatch-latency optimization,
+        # orthogonal to the big-op backend choice — both backends use it
+        ratio_eta=_pl.ratio_eta,
         choose_entering=_xla.choose_entering,
         devex_choose=_xla.devex_choose,
         pricing_update=_xla.pricing_update,
@@ -37,6 +42,7 @@ def _pallas_backend() -> types.SimpleNamespace:
 
     return types.SimpleNamespace(
         name="pallas",
+        ratio_eta=_pl.ratio_eta,
         choose_entering=_pl.choose_entering,
         devex_choose=_xla.devex_choose,
         pricing_update=_xla.pricing_update,

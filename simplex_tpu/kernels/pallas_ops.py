@@ -212,6 +212,116 @@ def ratio_argmin(x_b, alpha, basis, pivot_tol, use_bland):
 
 
 # --------------------------------------------------------------------------
+# Fused ratio test + eta vector + x_b update (one dispatch for the post-ftran
+# O(m) chain: the solver's per-pivot cost at small m is dominated by kernel
+# dispatch latency, ~25-50us per op on the tunneled v5e)
+# --------------------------------------------------------------------------
+
+
+def _ratio_eta_kernel(
+    xb_ref, alpha_ref, basis_ref, bland_ref,
+    q_ref, theta_ref, unb_ref,
+    eta_ref, xbnew_ref,
+    *, pivot_tol, feas_tol, harris,
+):
+    alpha = alpha_ref[:]  # (1, m)
+    x_b = xb_ref[:]
+    dtype = x_b.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    idx = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+
+    mask = alpha > pivot_tol
+    unbounded = jnp.logical_not(jnp.any(mask))
+    x_pos = jnp.maximum(x_b, 0)
+    safe = jnp.where(mask, alpha, 1)
+    theta = jnp.where(mask, x_pos / safe, inf)
+    tmin = jnp.min(theta)
+
+    if harris:
+        theta_rel = jnp.where(mask, (x_pos + feas_tol) / safe, inf)
+        tmax = jnp.min(theta_rel)
+        ok = jnp.logical_and(mask, theta <= tmax)
+        amax = jnp.max(jnp.where(ok, alpha, -inf))
+        q_main = jnp.min(jnp.where(jnp.logical_and(ok, alpha == amax), idx, INT_MAX))
+    else:
+        q_main = jnp.min(jnp.where(theta == tmin, idx, INT_MAX))
+
+    tie = theta <= tmin * (1 + 1e-6) + 1e-12
+    big = jnp.where(tie, basis_ref[:], INT_MAX)
+    bmin = jnp.min(big)
+    q_bland = jnp.min(jnp.where(big == bmin, idx, INT_MAX))
+
+    q = jnp.where(bland_ref[0, 0] != 0, q_bland, q_main)
+    q = jnp.where(q == INT_MAX, 0, q)
+    sel = idx == q
+    theta_q = jnp.max(jnp.where(sel, theta, -inf))
+    alpha_q = jnp.max(jnp.where(sel, alpha, -inf))
+    theta_q = jnp.where(unbounded, inf, theta_q)
+
+    live = jnp.logical_and(~unbounded, jnp.isfinite(theta_q))
+    inv_aq = jnp.asarray(1, dtype) / jnp.where(live, alpha_q, 1)
+    th = jnp.where(live, theta_q, 0)
+    eta_ref[:] = jnp.where(sel, inv_aq - 1, -alpha * inv_aq)
+    xbnew_ref[:] = jnp.where(sel, th, x_b - th * alpha)
+
+    q_ref[0, 0] = q
+    theta_ref[0, 0] = theta_q
+    unb_ref[0, 0] = unbounded.astype(jnp.int32)
+
+
+def ratio_eta(x_b, alpha, basis, pivot_tol, use_bland, harris, feas_tol=1e-6):
+    """Fused (q, theta_q, unbounded, eta, x_b_new) in one kernel dispatch.
+
+    eta / x_b_new are computed as if the pivot proceeds; on terminal steps
+    the caller's do_pivot select discards them (same contract as composing
+    ratio_argmin + the eta expression + the x_b axpy, but ~6 fewer kernels).
+    Returns None when the shape cannot run as a single block (caller
+    composes the unfused ops instead).
+    """
+    m = x_b.shape[0]
+    if m % 128 != 0 or m > 64 * 1024:
+        return None
+    bland = use_bland.astype(jnp.int32).reshape(1, 1)
+    kernel = functools.partial(
+        _ratio_eta_kernel,
+        pivot_tol=pivot_tol,
+        feas_tol=feas_tol,
+        harris=harris,
+    )
+    q, theta_q, unb, eta, xbnew = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), x_b.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), x_b.dtype),
+            jax.ShapeDtypeStruct((1, m), x_b.dtype),
+        ],
+        interpret=_interpret(),
+    )(x_b.reshape(1, m), alpha.reshape(1, m), basis.reshape(1, m), bland)
+    return (
+        q[0, 0],
+        theta_q[0, 0],
+        unb[0, 0].astype(bool),
+        eta.reshape(m),
+        xbnew.reshape(m),
+    )
+
+
+# --------------------------------------------------------------------------
 # Rank-1 product-form B_inv update
 # --------------------------------------------------------------------------
 
