@@ -46,17 +46,21 @@ _LIGHT_SKIP = ("B_inv", "U", "R")
 def _exact_inverse(A_basis: np.ndarray, dtype) -> np.ndarray:
     """inv(A[:, basis]) for light-checkpoint resume.
 
-    On an accelerator backend the LU runs on-device at the solve dtype
-    (top-level linalg.solve is fine on TPU; only nested-control-flow LU
-    faults, see core.step.refactorize). The host fallback is float64 numpy
-    — correct anywhere but O(m^3) on what may be a single core, so it is
-    only used when no accelerator is available.
+    On an accelerator backend, scaled Newton-Schulz iteration (pure GEMMs on
+    the MXU; seeded with B.T / (||B||_1 ||B||_inf), which guarantees
+    contraction for any nonsingular B). TPU LU is not an option at scale:
+    the LuDecompositionBlock custom call exceeds the v5e scoped-VMEM limit
+    at m=16384. The host fallback is float64 numpy — correct anywhere but
+    O(m^3) on what may be a single core, so only used without an
+    accelerator.
     """
     if jax.default_backend() != "cpu":
-        m = A_basis.shape[0]
-        B = jnp.asarray(A_basis, dtype)
-        X = jax.jit(lambda B: jnp.linalg.solve(B, jnp.eye(m, dtype=B.dtype)))(B)
-        return np.asarray(X)
+        from simplex_tpu.core.linalg import inverse_newton
+
+        X, resid = inverse_newton(jnp.asarray(A_basis, dtype))
+        if float(resid) < 1e-3:
+            return np.asarray(X)
+        # pathologically conditioned basis: fall back to host LAPACK
     return np.linalg.inv(np.asarray(A_basis, np.float64)).astype(dtype)
 
 

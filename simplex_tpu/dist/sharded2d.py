@@ -1,0 +1,406 @@
+"""2-D sharded solve: pricing over ALL chips, B_inv update/ftran over rows.
+
+The 1-D column-sharded mode (:mod:`simplex_tpu.dist.sharded`) replicates
+B_inv, so per-pivot cost is ``pricing/D + update`` — once bf16 pricing
+shrinks the pricing term, the replicated O(m^2) update caps scaling
+efficiency. This mode shards BOTH:
+
+  mesh ("rows" R, "cols" C), D = R*C chips
+    A      (m, n)     columns sharded over the flattened mesh  -> n/D per chip
+    c, e   (n,)       same column sharding
+    B_inv  (m, m)     rows over "rows" (replicated over "cols") -> m/R per chip
+    x_b, basis, c_b   (m,)  rows over "rows"
+    y, b   (m,)       replicated (pricing needs full y; ftran needs full A_p)
+
+Per-pivot communication (all ICI):
+  1 allreduce-argmin over (rows, cols)   entering column        [2 scalars]
+  1 psum over (rows, cols)               broadcast column A_p   [m floats]
+  1 allreduce over "rows"                ratio test + alpha_q   [4 scalars]
+  1 psum over "rows"                     broadcast row binv_q   [m floats]
+
+Everything else — the O(mn/D) pricing pass, the O(m^2/R) ftran and rank-1
+update, the O(m/R) vector updates — is embarrassingly parallel. This is the
+decomposition for the 32k x 131k north-star config (BASELINE.md): per-pivot
+traffic per chip falls as 1/D for pricing AND 1/R for the inverse.
+
+No in-loop refactorization in this mode (a distributed Newton-Schulz needs
+m^2 all-gathers; planned). Long fp32 runs should chunk + host-verify via the
+checkpoint driver; the Harris ratio test (default) keeps the product form
+stable. Reference: none — the reference is single-GPU (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
+from simplex_tpu.core.solver import SolveResult
+from simplex_tpu.status import SolveStatus
+
+ROWS_AXIS = "rows"
+COLS_AXIS = "cols"
+INT_MAX = jnp.iinfo(jnp.int32).max
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _argmin_all(val, gidx, axes):
+    """Global (min value, lowest global index attaining it) over mesh axes."""
+    vmin = jax.lax.pmin(val, axes)
+    cand = jnp.where(val == vmin, gidx, INT_MAX)
+    return vmin, jax.lax.pmin(cand, axes)
+
+
+def _solve_2d_local(
+    A_loc, Ap_loc, b, c_loc, basis_loc, opts: SimplexOptions, max_iter,
+    m, n, m_loc, n_loc,
+):
+    """Shard-local solve body (runs inside shard_map on each chip)."""
+    dtype = opts.dtype
+    eps_f = opts.resolve_eps()
+    eps = jnp.asarray(eps_f, dtype)
+    harris = opts.ratio == "harris"
+    feas_tol = 1e-6
+
+    r_ix = jax.lax.axis_index(ROWS_AXIS).astype(jnp.int32)
+    c_ix = jax.lax.axis_index(COLS_AXIS).astype(jnp.int32)
+    ncols = jax.lax.axis_size(COLS_AXIS)
+    col_base = (r_ix * ncols + c_ix) * n_loc  # flattened-mesh column shard
+    row_base = r_ix * m_loc
+    both = (ROWS_AXIS, COLS_AXIS)
+
+    # ---- slack-basis init (basis columns are an identity block in A) ----
+    loc = basis_loc - col_base
+    mine = jnp.logical_and(loc >= 0, loc < n_loc)
+    c_b_loc = jax.lax.psum(
+        jnp.where(
+            mine, jnp.take(c_loc, jnp.clip(loc, 0, n_loc - 1)), 0
+        ).astype(dtype),
+        both,
+    )
+    # rows owned here of the replicated y = c_b (B_inv = I): need FULL c_b.
+    # basis rows are sharded over "rows"; gather full c_b by psum of the
+    # row-slot contributions.
+    y0 = jax.lax.psum(
+        jnp.zeros((m,), dtype).at[row_base + jnp.arange(m_loc)].set(c_b_loc),
+        ROWS_AXIS,
+    )
+    eye_rows = jnp.zeros((m_loc, m), dtype).at[
+        jnp.arange(m_loc), row_base + jnp.arange(m_loc)
+    ].set(1)
+
+    def cond(s):
+        return jnp.logical_and(
+            s["status"] == jnp.int32(SolveStatus.RUNNING), s["iters"] < max_iter
+        )
+
+    def body(s):
+        use_bland = jnp.logical_and(
+            opts.bland_after > 0, s["degen"] >= opts.bland_after
+        )
+
+        # ---- pricing over the local column shard + global argmin ----
+        def local_price(Amat):
+            e = (
+                jax.lax.dot_general(
+                    s["y"].astype(Amat.dtype),
+                    Amat,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                )
+                - c_loc
+            )
+            j = jnp.argmin(e).astype(jnp.int32)
+            neg = e < -eps
+            jb = jnp.where(jnp.any(neg), jnp.argmax(neg).astype(jnp.int32), INT_MAX)
+            return e[j], col_base + j, jnp.where(
+                jb == INT_MAX, INT_MAX, col_base + jb
+            )
+
+        if Ap_loc is not None:
+            v1, g1, _ = local_price(Ap_loc)
+            min1, p1 = _argmin_all(v1, g1, both)
+            # exact recheck of the bf16 candidate
+            own1 = jnp.logical_and(p1 >= col_base, p1 < col_base + n_loc)
+            j1 = jnp.clip(p1 - col_base, 0, n_loc - 1)
+            A_p1 = jax.lax.psum(
+                jnp.where(own1, A_loc[:, j1], 0).astype(dtype), both
+            )
+            c_p1 = jax.lax.psum(jnp.where(own1, c_loc[j1], 0), both)
+            e_p1 = jnp.dot(s["y"], A_p1, precision=_EXACT) - c_p1
+            stale = jnp.logical_or(e_p1 >= -eps, use_bland)
+
+            def exact(_):
+                v, g, gb = local_price(A_loc)
+                mn, pd = _argmin_all(v, g, both)
+                pb = jax.lax.pmin(gb, both)
+                pp = jnp.where(use_bland, jnp.where(pb == INT_MAX, 0, pb), pd)
+                return pp.astype(jnp.int32), mn
+
+            p, min_e = jax.lax.cond(
+                stale, exact, lambda _: (p1.astype(jnp.int32), e_p1), None
+            )
+        else:
+            v, g, gb = local_price(A_loc)
+            min_e, p_d = _argmin_all(v, g, both)
+            p_b = jax.lax.pmin(gb, both)
+            p = jnp.where(
+                use_bland, jnp.where(p_b == INT_MAX, 0, p_b), p_d
+            ).astype(jnp.int32)
+        optimal = min_e >= -eps
+
+        # ---- broadcast entering column (owner -> all) ----
+        own = jnp.logical_and(p >= col_base, p < col_base + n_loc)
+        jp = jnp.clip(p - col_base, 0, n_loc - 1)
+        A_p = jax.lax.psum(jnp.where(own, A_loc[:, jp], 0).astype(dtype), both)
+        c_p = jax.lax.psum(jnp.where(own, c_loc[jp], 0), both)
+
+        # ---- ftran on the local row block ----
+        alpha_loc = jnp.matmul(s["B_inv"], A_p, precision=_EXACT)
+
+        # ---- distributed (harris) ratio test over "rows" ----
+        mask = alpha_loc > opts.pivot_tol
+        unbounded = jax.lax.pmin(
+            (~jnp.any(mask)).astype(jnp.int32), ROWS_AXIS
+        ).astype(bool)
+        inf = jnp.asarray(jnp.inf, dtype)
+        x_pos = jnp.maximum(s["x_b"], 0)
+        safe = jnp.where(mask, alpha_loc, 1)
+        theta = jnp.where(mask, x_pos / safe, inf)
+        tmin = jax.lax.pmin(jnp.min(theta), ROWS_AXIS)
+        if harris:
+            tmax = jax.lax.pmin(
+                jnp.min(jnp.where(mask, (x_pos + feas_tol) / safe, inf)),
+                ROWS_AXIS,
+            )
+            ok = jnp.logical_and(mask, theta <= tmax)
+            amax = jax.lax.pmax(
+                jnp.max(jnp.where(ok, alpha_loc, -inf)), ROWS_AXIS
+            )
+            i_loc = jnp.min(
+                jnp.where(
+                    jnp.logical_and(ok, alpha_loc == amax),
+                    row_base + jnp.arange(m_loc),
+                    INT_MAX,
+                )
+            )
+            q_main = jax.lax.pmin(i_loc, ROWS_AXIS)
+        else:
+            i_loc = jnp.min(
+                jnp.where(theta == tmin, row_base + jnp.arange(m_loc), INT_MAX)
+            )
+            q_main = jax.lax.pmin(i_loc, ROWS_AXIS)
+        # Bland: smallest basis index among near-minimal ratios
+        tie = theta <= tmin * (1 + 1e-6) + 1e-12
+        bmin = jax.lax.pmin(
+            jnp.min(jnp.where(tie, s["basis"], INT_MAX)), ROWS_AXIS
+        )
+        ib = jnp.min(
+            jnp.where(
+                jnp.logical_and(tie, s["basis"] == bmin),
+                row_base + jnp.arange(m_loc),
+                INT_MAX,
+            )
+        )
+        q_bland = jax.lax.pmin(ib, ROWS_AXIS)
+        q = jnp.where(use_bland, q_bland, q_main)
+        q = jnp.where(q == INT_MAX, 0, q).astype(jnp.int32)
+
+        own_q = jnp.logical_and(q >= row_base, q < row_base + m_loc)
+        ql = jnp.clip(q - row_base, 0, m_loc - 1)
+        alpha_q = jax.lax.psum(jnp.where(own_q, alpha_loc[ql], 0), ROWS_AXIS)
+        theta_q = jax.lax.psum(jnp.where(own_q, theta[ql], 0), ROWS_AXIS)
+        theta_q = jnp.where(unbounded, inf, theta_q)
+
+        do_pivot = jnp.logical_and(~optimal, ~unbounded)
+        bad = jnp.logical_or(
+            ~jnp.isfinite(min_e),
+            jnp.logical_and(do_pivot, ~jnp.isfinite(theta_q)),
+        )
+        do_pivot = jnp.logical_and(do_pivot, ~bad)
+        inv_aq = jnp.asarray(1, dtype) / jnp.where(do_pivot, alpha_q, 1)
+        th = jnp.where(do_pivot, theta_q, 0)
+
+        # ---- broadcast pivot row of B_inv (owner rows-group -> all) ----
+        binv_q = jax.lax.psum(
+            jnp.where(own_q, s["B_inv"][ql], 0), ROWS_AXIS
+        )
+
+        # ---- local rank-1 update + vector updates ----
+        eta_loc = -alpha_loc * inv_aq
+        eta_loc = jnp.where(
+            jnp.logical_and(own_q, jnp.arange(m_loc) == ql),
+            inv_aq - 1,
+            eta_loc,
+        )
+        B_new = s["B_inv"] + eta_loc[:, None] * binv_q[None, :]
+        x_new = x_pos - th * alpha_loc
+        x_new = jnp.where(
+            jnp.logical_and(own_q, jnp.arange(m_loc) == ql), th, x_new
+        )
+        e_p = jnp.dot(s["y"], A_p, precision=_EXACT) - c_p
+        y_new = s["y"] - (e_p * inv_aq) * binv_q
+        cb_new = jnp.where(
+            jnp.logical_and(own_q, jnp.arange(m_loc) == ql), c_p, s["c_b"]
+        )
+        basis_new = jnp.where(
+            jnp.logical_and(own_q, jnp.arange(m_loc) == ql), p, s["basis"]
+        )
+
+        status_new = jnp.where(
+            optimal,
+            jnp.int32(SolveStatus.OPTIMAL),
+            jnp.where(
+                unbounded,
+                jnp.int32(SolveStatus.UNBOUNDED),
+                jnp.where(
+                    bad,
+                    jnp.int32(SolveStatus.SINGULAR),
+                    jnp.int32(SolveStatus.RUNNING),
+                ),
+            ),
+        )
+        degen_new = jnp.where(
+            theta_q <= jnp.asarray(opts.degen_tol, dtype),
+            s["degen"] + 1,
+            jnp.int32(0),
+        )
+
+        def sel(new, old):
+            return jnp.where(do_pivot, new, old)
+
+        return {
+            "B_inv": sel(B_new, s["B_inv"]),
+            "x_b": sel(x_new, s["x_b"]),
+            "y": sel(y_new, s["y"]),
+            "c_b": sel(cb_new, s["c_b"]),
+            "basis": sel(basis_new, s["basis"]),
+            "iters": s["iters"] + jnp.where(do_pivot, 1, 0).astype(jnp.int32),
+            "status": status_new,
+            "degen": jnp.where(do_pivot, degen_new, s["degen"]),
+        }
+
+    state0 = {
+        "B_inv": eye_rows,
+        "x_b": jnp.take(
+            b.astype(dtype), row_base + jnp.arange(m_loc)
+        ),
+        "y": y0,
+        "c_b": c_b_loc,
+        "basis": basis_loc,
+        "iters": jnp.int32(0),
+        "status": jnp.int32(SolveStatus.RUNNING),
+        "degen": jnp.int32(0),
+    }
+    final = jax.lax.while_loop(cond, body, state0)
+    status = jnp.where(
+        final["status"] == jnp.int32(SolveStatus.RUNNING),
+        jnp.int32(SolveStatus.MAX_ITER),
+        final["status"],
+    )
+    final["status"] = status
+    z = jax.lax.psum(jnp.dot(final["c_b"], final["x_b"]), ROWS_AXIS)
+    return final, z
+
+
+def solve_sharded_2d(
+    A,
+    b,
+    c,
+    mesh: jax.sharding.Mesh,
+    *,
+    basis0=None,
+    options: SimplexOptions = DEFAULT_OPTIONS,
+) -> SolveResult:
+    """Solve one large LP with a 2-D (rows x cols) mesh decomposition.
+
+    Requires mesh axes named ("rows", "cols"); n must divide by R*C and m by
+    R. ``basis0`` (default trailing slacks) must satisfy A[:, basis0] = I.
+    In-loop refactorization is not available in this mode — prefer the
+    Harris ratio test (default) and bounded pivot budgets; the final
+    objective is host-verified in f64 when m <= 16384.
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    m, n = A.shape
+    R = mesh.shape[ROWS_AXIS]
+    C = mesh.shape[COLS_AXIS]
+    if n % (R * C) != 0 or m % R != 0:
+        raise ValueError(
+            f"shapes must divide the mesh: n={n} by R*C={R * C}, m={m} by R={R}"
+        )
+    m_loc, n_loc = m // R, n // (R * C)
+    basis0 = (
+        jnp.arange(n - m, n, dtype=jnp.int32)
+        if basis0 is None
+        else jnp.asarray(basis0, jnp.int32)
+    )
+    max_iter = options.resolve_max_iter(m, n)
+    dtype = options.dtype
+    use_bf16 = options.pricing_dtype != "float32"
+
+    def shard_fn(A_loc, b_rep, c_loc, basis_loc):
+        A_loc = A_loc.astype(dtype)
+        Ap_loc = (
+            A_loc.astype(jnp.dtype(options.pricing_dtype)) if use_bf16 else None
+        )
+        return _solve_2d_local(
+            A_loc, Ap_loc, b_rep, c_loc.astype(dtype), basis_loc, options,
+            max_iter, m, n, m_loc, n_loc,
+        )
+
+    state_specs = {
+        "B_inv": P(ROWS_AXIS, None),
+        "x_b": P(ROWS_AXIS),
+        "y": P(None),
+        "c_b": P(ROWS_AXIS),
+        "basis": P(ROWS_AXIS),
+        "iters": P(),
+        "status": P(),
+        "degen": P(),
+    }
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P(None, (ROWS_AXIS, COLS_AXIS)),
+                P(None),
+                P((ROWS_AXIS, COLS_AXIS)),
+                P(ROWS_AXIS),
+            ),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+    )
+    final, z = fn(A, b, c, basis0)
+    final = jax.device_get(final)
+    z = float(z)
+    basis = np.asarray(final["basis"])
+    x_b = np.asarray(final["x_b"])
+    status = SolveStatus(int(final["status"]))
+    if options.polish and status == SolveStatus.OPTIMAL and m <= 16384:
+        try:
+            x64 = np.linalg.solve(
+                np.asarray(A, np.float64)[:, basis], np.asarray(b, np.float64)
+            )
+            x_b = np.maximum(x64, 0.0).astype(x_b.dtype)
+            z = float(np.asarray(c, np.float64)[basis] @ np.maximum(x64, 0.0))
+        except np.linalg.LinAlgError:
+            pass
+    x = np.zeros(n, dtype=x_b.dtype)
+    x[basis] = x_b
+    return SolveResult(
+        z=z,
+        x=x,
+        x_b=x_b,
+        basis=basis,
+        status=status,
+        iters=int(final["iters"]),
+    )

@@ -1,0 +1,83 @@
+"""2-D (rows x cols) sharded solver: oracle parity on a faked CPU mesh.
+
+Row-shards B_inv/x_b/basis over "rows" and columns of A over the whole mesh
+(SURVEY.md §7 step 5's 'row-shard B_inv' extension). conftest fakes 8 CPU
+devices, so 2x4 / 4x2 / 2x2 meshes run real collectives.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from simplex_tpu import SimplexOptions, SolveStatus
+from simplex_tpu.dist.mesh import make_mesh
+from simplex_tpu.dist.sharded2d import COLS_AXIS, ROWS_AXIS, solve_sharded_2d
+from simplex_tpu.oracle.generator import random_dense_lp
+from simplex_tpu.oracle.reference import relative_gap, solve_scipy
+
+
+def mesh_2d(R, C):
+    return make_mesh(
+        axis_names=(ROWS_AXIS, COLS_AXIS),
+        shape=(R, C),
+        devices=jax.devices()[: R * C],
+    )
+
+
+@pytest.mark.parametrize("R,C", [(2, 4), (4, 2), (2, 2), (1, 4)])
+def test_2d_matches_oracle(R, C):
+    m, n = 8 * R, 16 * R * C
+    A, b, c = random_dense_lp(m, n, seed=3, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded_2d(A, b, c, mesh_2d(R, C))
+    assert res.status == ref.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+    np.testing.assert_allclose(A @ res.x, b, atol=1e-3)
+
+
+def test_2d_matches_1d_and_single():
+    from simplex_tpu.core.solver import solve
+    from simplex_tpu.dist.sharded import solve_sharded
+
+    m, n = 16, 64
+    A, b, c = random_dense_lp(m, n, seed=5, dtype=np.float32)
+    single = solve(A, b, c)
+    one_d = solve_sharded(
+        A, b, c, make_mesh(devices=jax.devices()[:4])
+    )
+    two_d = solve_sharded_2d(A, b, c, mesh_2d(2, 2))
+    assert single.status == one_d.status == two_d.status == SolveStatus.OPTIMAL
+    assert two_d.z == pytest.approx(single.z, rel=1e-5)
+    assert one_d.z == pytest.approx(single.z, rel=1e-5)
+
+
+def test_2d_bf16_pricing():
+    m, n = 16, 32
+    A, b, c = random_dense_lp(m, n, seed=7, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded_2d(
+        A, b, c, mesh_2d(2, 2),
+        options=SimplexOptions(pricing_dtype="bfloat16"),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_2d_unbounded():
+    # max x0 with one <=-row whose slack can grow: unbounded detected globally
+    m, n = 2, 8
+    A = np.zeros((m, n), np.float32)
+    A[0, 0] = -1.0
+    A[1, 1] = 1.0
+    A[:, n - m:] = np.eye(m, dtype=np.float32)
+    b = np.array([1.0, 2.0], np.float32)
+    c = np.zeros(n, np.float32)
+    c[0] = 1.0
+    res = solve_sharded_2d(A, b, c, mesh_2d(2, 2))
+    assert res.status == SolveStatus.UNBOUNDED
+
+
+def test_2d_shape_validation():
+    A, b, c = random_dense_lp(6, 24, seed=1, dtype=np.float32)
+    with pytest.raises(ValueError, match="divide the mesh"):
+        solve_sharded_2d(A, b, c, mesh_2d(4, 2))  # m=6 not divisible by R=4

@@ -123,3 +123,21 @@ def test_flagship_config_parity():
     )
     assert res.status == SolveStatus.OPTIMAL
     assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_inverse_newton_from_scratch():
+    from simplex_tpu.core.linalg import inverse_newton
+
+    rng = np.random.default_rng(3)
+    for m in (16, 96):
+        B = np.asarray(rng.standard_normal((m, m)), np.float32)
+        B += m * np.eye(m, dtype=np.float32) * 0.1  # keep well-conditioned
+        X, resid = inverse_newton(jnp.asarray(B))
+        assert float(resid) < 1e-4
+        # Newton drives the RIGHT residual ||B X - I|| to the fp floor
+        np.testing.assert_allclose(B @ np.asarray(X), np.eye(m), atol=1e-4)
+
+    # singular input: reports a non-contracting residual instead of raising
+    S = jnp.zeros((8, 8), jnp.float32)
+    _, resid = inverse_newton(S)
+    assert float(resid) >= 1.0
