@@ -151,3 +151,20 @@ def test_read_mps_rejects_ranges(tmp_path):
     path.write_text("NAME R\nROWS\n N C\nRANGES\nENDATA\n")
     with pytest.raises(NotImplementedError):
         read_mps(path)
+
+
+def test_thesis_field_order_roundtrip():
+    # archive/thesis uses M N, c, b, A (lpsolver.c:74-82) — different from
+    # src/'s m n, A, b, c. Same 2x4 sample LP expressed both ways must load
+    # identically.
+    from simplex_tpu.io.text import loads_lp, loads_lp_thesis
+
+    src_text = "2 4  2 1 1 0  1 3 0 1  5 10  3 2 0 0"
+    thesis_text = "2 4  3 2 0 0  5 10  2 1 1 0  1 3 0 1"
+    A1, b1, c1 = loads_lp(src_text)
+    A2, b2, c2 = loads_lp_thesis(thesis_text)
+    import numpy as np
+
+    np.testing.assert_array_equal(A1, A2)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(c1, c2)
