@@ -24,23 +24,8 @@ import jax.numpy as jnp
 _EXACT = jax.lax.Precision.HIGHEST
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def inverse_newton(B: jnp.ndarray, max_iter: int = 100):
-    """Return (X ~= inv(B), final residual ||I - B X||_max).
-
-    Stops when the residual stops improving (fp floor) or after ``max_iter``
-    iterations. A residual that never contracts (singular B) is reported to
-    the caller, not raised.
-    """
-    m = B.shape[0]
+def _newton_loop(B, X0, Y0, r0, eye, max_iter):
     dtype = B.dtype
-    eye = jnp.eye(m, dtype=dtype)
-    norm1 = jnp.max(jnp.sum(jnp.abs(B), axis=0))
-    norminf = jnp.max(jnp.sum(jnp.abs(B), axis=1))
-    scale = jnp.maximum(norm1 * norminf, jnp.finfo(dtype).tiny)
-    X0 = B.T / scale
-    Y0 = jnp.matmul(B, X0, precision=_EXACT)
-    r0 = jnp.max(jnp.abs(Y0 - eye))
 
     def cond(carry):
         _, _, resid, prev, it = carry
@@ -59,3 +44,44 @@ def inverse_newton(B: jnp.ndarray, max_iter: int = 100):
         cond, body, (X0, Y0, r0, jnp.asarray(jnp.inf, dtype), jnp.int32(0))
     )
     return X, jnp.minimum(resid, prev)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def inverse_newton(B: jnp.ndarray, seed=None, max_iter: int = 100):
+    """Return (X ~= inv(B), final residual ||I - B X||_max).
+
+    ``seed``: an approximate inverse to refine (e.g. the solver's drifted
+    product-form B_inv — 1-2 iterations to the fp floor). If the seed does
+    not contract (residual >= 0.5, or a non-finite seed), restarts from the
+    Pan-Schreiber scaling, which contracts for any nonsingular B. Stops at
+    the fp floor, on a non-improving residual, or after ``max_iter``
+    iterations; a residual that never contracts (singular B) is reported to
+    the caller, not raised.
+    """
+    m = B.shape[0]
+    dtype = B.dtype
+    eye = jnp.eye(m, dtype=dtype)
+    norm1 = jnp.max(jnp.sum(jnp.abs(B), axis=0))
+    norminf = jnp.max(jnp.sum(jnp.abs(B), axis=1))
+    scale = jnp.maximum(norm1 * norminf, jnp.finfo(dtype).tiny)
+    Xs = B.T / scale
+
+    if seed is None:
+        X0 = Xs
+        Y0 = jnp.matmul(B, X0, precision=_EXACT)
+        r0 = jnp.max(jnp.abs(Y0 - eye))
+    else:
+        Yd = jnp.matmul(B, seed, precision=_EXACT)
+        rd = jnp.max(jnp.abs(Yd - eye))
+        use_seed = jnp.logical_and(jnp.isfinite(rd), rd < 0.5)
+
+        def from_seed(_):
+            return seed, Yd, rd
+
+        def from_scratch(_):
+            Ys = jnp.matmul(B, Xs, precision=_EXACT)
+            return Xs, Ys, jnp.max(jnp.abs(Ys - eye))
+
+        X0, Y0, r0 = jax.lax.cond(use_seed, from_seed, from_scratch, None)
+
+    return _newton_loop(B, X0, Y0, r0, eye, max_iter)

@@ -235,7 +235,14 @@ def pivot_step(
         w = backend.pricing_update(prob.A.astype(dtype), rho)
         e_new = state.e - e_p * w
         gamma_p = backend.gather_cost(state.gamma, p)
-        gamma_new = jnp.maximum(state.gamma, (w * w) * jnp.maximum(gamma_p, 1))
+        # clamp: gamma grows multiplicatively across pivots and can overflow
+        # fp32 over tens of thousands of iterations (observed nan at 16k);
+        # the weights are a steepest-edge heuristic, so capping is harmless
+        gamma_new = jnp.clip(
+            jnp.maximum(state.gamma, (w * w) * jnp.maximum(gamma_p, 1)),
+            1.0,
+            1e30,
+        )
     else:
         e_new = state.e
         gamma_new = state.gamma
@@ -298,42 +305,23 @@ def refactorize(
     m = state.B_inv.shape[0]
     B = backend.gather_basis_matrix(prob.A, state.basis).astype(dtype)
 
-    # Newton-Schulz refinement seeded with the current (drifted) product-form
+    # Newton-Schulz inversion seeded with the current (drifted) product-form
     # inverse: X <- X (2I - B X), squaring the residual each iteration — the
     # seed's ~1e-4 drift hits the fp32 floor in two iterations. Measured
     # 200 ms vs 37 s for LU inversion at m=8192 on v5e (LU parallelizes
     # poorly on the MXU; it also cannot be lowered inside this nested
-    # control flow without faulting the v5e worker). Iterates until the
-    # residual stops improving (max 6); a seed too far gone to contract
-    # (||I - B X|| >= 1, e.g. a checkpoint that carried only the basis)
-    # surfaces as a non-improving residual and is left to the caller's
-    # SINGULAR handling / host-side LU (checkpoint resume does this).
-    eye = jnp.eye(m, dtype=dtype)
+    # control flow without faulting the v5e worker). A seed too far gone to
+    # contract — heavy drift from a run of huge 1/alpha_q pivots, or a
+    # checkpoint that carried only the basis — restarts from the
+    # Pan-Schreiber scaled transpose, which converges for ANY nonsingular
+    # basis (pure GEMMs, so also safe inside this control flow).
+    from simplex_tpu.core.linalg import inverse_newton
+
     X0 = state.B_inv
     if defer:
         # fold any pending deferred pairs into the seed (exact telescoping)
         X0 = X0 + jnp.matmul(state.U.T, state.R, precision=_EXACT)
-    Y0 = jnp.matmul(B, X0, precision=_EXACT)
-    resid0 = jnp.max(jnp.abs(Y0 - eye))
-
-    def _ns_cond(carry):
-        _, _, resid, prev, it = carry
-        return jnp.logical_and(
-            jnp.logical_and(resid > 16 * jnp.finfo(dtype).eps, resid < prev),
-            it < 6,
-        )
-
-    def _ns_body(carry):
-        X, Y, resid, _, it = carry
-        X1 = jnp.matmul(X, 2 * eye - Y, precision=_EXACT)
-        Y1 = jnp.matmul(B, X1, precision=_EXACT)
-        return X1, Y1, jnp.max(jnp.abs(Y1 - eye)), resid, it + 1
-
-    B_inv, _, _, _, _ = jax.lax.while_loop(
-        _ns_cond,
-        _ns_body,
-        (X0, Y0, resid0, jnp.asarray(jnp.inf, dtype), jnp.int32(0)),
-    )
+    B_inv, _resid = inverse_newton(B, seed=X0)
     x_b = jnp.matmul(B_inv, prob.b.astype(dtype), precision=_EXACT)
     y = jnp.matmul(state.c_b, B_inv, precision=_EXACT)
     new = state._replace(
