@@ -39,6 +39,11 @@ class SolveResult(NamedTuple):
     basis: np.ndarray  # (m,) int32
     status: SolveStatus
     iters: int
+    # worst primal infeasibility of the returned basic solution
+    # (max(0, -min x_b), exact f64 when polish ran): fp32 noise at small
+    # scale; a large value means the fp32 path drifted off the feasible
+    # region and the 'optimum' overshoots — check before trusting z.
+    feas_err: float = 0.0
 
 
 def solve_state(
@@ -173,22 +178,28 @@ def solve(
     final = _solve_jit(A, b, c, basis_arr, options, max_iter, slack_init)
     final = jax.device_get(final)
 
+    feas_err = 0.0
     if options.polish and m <= 16384:
-        # Exact objective for the returned (combinatorial) basis: re-derive
+        # Exact values for the returned (combinatorial) basis: re-derive
         # x_b in float64 on the host. Removes fp32 accumulation error from
-        # the reported optimum without touching the device solve.
+        # the reported optimum without touching the device solve. NO
+        # clamping: z must be the objective of the true basic solution
+        # (A_B x_b = b), and any genuine negativity is surfaced as feas_err
+        # rather than silently zeroed into an A x != b 'solution'.
         A64 = np.asarray(A, np.float64)
         basis_np = np.asarray(final.basis)
         try:
             x_b64 = np.linalg.solve(A64[:, basis_np], np.asarray(b, np.float64))
+            feas_err = float(max(0.0, -x_b64.min()))
             final = final._replace(
-                x_b=np.maximum(x_b64, 0.0).astype(np.asarray(final.x_b).dtype)
+                x_b=x_b64.astype(np.asarray(final.x_b).dtype)
             )
-            z = float(np.asarray(c, np.float64)[basis_np] @ np.maximum(x_b64, 0.0))
+            z = float(np.asarray(c, np.float64)[basis_np] @ x_b64)
         except np.linalg.LinAlgError:
             z = float(np.dot(final.c_b, final.x_b))
     else:
         z = float(np.dot(final.c_b, final.x_b))
+        feas_err = float(max(0.0, -np.asarray(final.x_b).min()))
     x = np.zeros(n, dtype=np.asarray(final.x_b).dtype)
     x[final.basis] = final.x_b
     return SolveResult(
@@ -198,4 +209,5 @@ def solve(
         basis=np.asarray(final.basis),
         status=SolveStatus(int(final.status)),
         iters=int(final.iters),
+        feas_err=feas_err,
     )

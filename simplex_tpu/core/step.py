@@ -326,7 +326,13 @@ def refactorize(
     y = jnp.matmul(state.c_b, B_inv, precision=_EXACT)
     new = state._replace(
         B_inv=B_inv,
-        x_b=jnp.maximum(x_b, 0),
+        # NO clamp: x_b must stay the exact basic solution (A_B x_b = b).
+        # Clamping negatives here breaks that invariant, and the error
+        # compounds across refactorizations — observed as a primal-infeasible
+        # "optimum" overshooting the true objective by 1e-3 at 16k x 32k
+        # (13 clamped refactorizations). Slightly negative entries are fp
+        # noise the ratio test already tolerates (it prices max(x_b, 0)).
+        x_b=x_b,
         y=y,
         last_refac=state.iters,
         # pending deferred updates are subsumed by the exact re-inversion

@@ -84,8 +84,9 @@ def test_newton_refactorize_matches_exact_inverse():
     )(prob, state)
     B_exact = np.linalg.inv(A[:, basis])
     np.testing.assert_allclose(np.asarray(out.B_inv), B_exact, rtol=1e-10, atol=1e-12)
+    # x_b is the TRUE basic solution (no clamping — A_B x_b = b must hold)
     np.testing.assert_allclose(
-        np.asarray(out.x_b), np.maximum(B_exact @ b, 0), rtol=1e-9, atol=1e-11
+        np.asarray(out.x_b), B_exact @ b, rtol=1e-9, atol=1e-11
     )
 
 
