@@ -82,6 +82,8 @@ def cmd_solve(args) -> int:
         if res.status == SolveStatus.OPTIMAL:
             # same shape of report as the reference main()
             print(f"Optimum found: {res.z:g}")
+            if getattr(res, "feas_err", 0.0) > 1e-5:
+                print(f"\twarning: primal infeasibility {res.feas_err:.2e}")
             if isinstance(loaded, GeneralLP):
                 for i, v in enumerate(res.x):
                     print(f"\tx_{i} = {v:g}")

@@ -173,6 +173,7 @@ def solve_with_checkpoints(
     options: SimplexOptions = DEFAULT_OPTIONS,
     resume: bool = True,
     on_chunk: Optional[Callable[[SolverState], None]] = None,
+    max_retries: int = 3,
 ) -> SolveResult:
     """Solve with periodic host checkpoints (every ``options.checkpoint_every``
     pivots, default 1024). If ``resume`` and ``path`` exists, continue from it.
@@ -225,10 +226,29 @@ def solve_with_checkpoints(
                 prob, options.dtype, options.pricing, options.update_defer
             )
 
+    retries = 0
     while True:
         limit = min(int(state.iters) + chunk, max_iter)
-        state = _chunk_jit(A, b, c, state, options, jnp.int32(limit))
-        jax.block_until_ready(state.x_b)
+        try:
+            state = _chunk_jit(A, b, c, state, options, jnp.int32(limit))
+            jax.block_until_ready(state.x_b)
+            retries = 0
+        except jax.errors.JaxRuntimeError as exc:
+            # Elastic recovery: a device/worker crash loses the in-memory
+            # state, but the last light checkpoint has everything needed.
+            # (The reference's failure model is exit(1) on any error,
+            # src/v1_baseline.cu:70-72.) If the runtime cannot recover
+            # in-process, re-running the same command resumes from the same
+            # checkpoint file.
+            if "UNAVAILABLE" not in str(exc) or retries >= max_retries:
+                raise
+            retries += 1
+            import time as _time
+
+            _time.sleep(10.0 * retries)
+            state = load_checkpoint(path, A=A, b=b, c=c)
+            state = state._replace(status=jnp.int32(SolveStatus.RUNNING))
+            continue
         status = SolveStatus(int(state.status))
         done = status != SolveStatus.MAX_ITER or int(state.iters) >= max_iter
         # MAX_ITER from a chunk just means "budget exhausted, keep going"
