@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
-from simplex_tpu.core.state import Problem, SolverState, initial_state_slack
+from simplex_tpu.core.state import Problem, initial_state_slack
 from simplex_tpu.core.step import pivot_step
 from simplex_tpu.kernels.dispatch import get_backend
 from simplex_tpu.status import SolveStatus

@@ -21,9 +21,7 @@ the five backend ops absorb all communication:
 
 from __future__ import annotations
 
-import functools
 import types
-from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

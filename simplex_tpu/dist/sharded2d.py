@@ -31,9 +31,6 @@ stable. Reference: none — the reference is single-GPU (SURVEY.md §2.5).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
