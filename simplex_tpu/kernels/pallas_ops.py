@@ -20,6 +20,7 @@ exercises them; shapes that don't tile cleanly fall back to the XLA backend
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -281,6 +282,8 @@ def ratio_eta(x_b, alpha, basis, pivot_tol, use_bland, harris, feas_tol=1e-6):
     m = x_b.shape[0]
     if m % 128 != 0 or m > 64 * 1024:
         return None
+    if os.environ.get("SIMPLEX_TPU_NO_FUSED"):
+        return None  # diagnostic escape hatch: compose unfused ops instead
     bland = use_bland.astype(jnp.int32).reshape(1, 1)
     kernel = functools.partial(
         _ratio_eta_kernel,

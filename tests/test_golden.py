@@ -73,3 +73,16 @@ def test_already_optimal():
 def test_rejects_m_gt_n():
     with pytest.raises(ValueError):
         solve(np.zeros((3, 2)), np.zeros(3), np.zeros(2))
+
+
+def test_feas_err_reported():
+    # the golden sample solves exactly: feasibility error must be ~0, and
+    # the field must exist (honest infeasibility reporting — solver state is
+    # never clamped, see core/step.py refactorize)
+    from simplex_tpu import solve
+    from simplex_tpu.io.text import load_lp
+
+    A, b, c = load_lp("tests/data/sample.txt")
+    res = solve(A, b, c)
+    assert hasattr(res, "feas_err")
+    assert res.feas_err < 1e-9

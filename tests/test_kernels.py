@@ -98,3 +98,22 @@ def test_solver_end_to_end_pallas_backend():
     # identical pivot path as the XLA backend
     assert res.iters == res_x.iters
     np.testing.assert_array_equal(res.basis, res_x.basis)
+
+
+def test_fused_ratio_eta_escape_hatch(monkeypatch):
+    import importlib
+
+    import jax.numpy as jnp
+
+    from simplex_tpu.kernels import pallas_ops
+
+    x_b = jnp.arange(1.0, 129.0, dtype=jnp.float32)
+    alpha = jnp.ones(128, jnp.float32)
+    basis = jnp.arange(128, dtype=jnp.int32)
+    out = pallas_ops.ratio_eta(x_b, alpha, basis, 1e-7, jnp.asarray(False), True)
+    assert out is not None
+    monkeypatch.setenv("SIMPLEX_TPU_NO_FUSED", "1")
+    assert (
+        pallas_ops.ratio_eta(x_b, alpha, basis, 1e-7, jnp.asarray(False), True)
+        is None
+    )
