@@ -55,11 +55,11 @@ def _exact_inverse(A_basis: np.ndarray, dtype) -> np.ndarray:
     accelerator.
     """
     if jax.default_backend() != "cpu":
-        from simplex_tpu.core.linalg import inverse_newton
+        from simplex_tpu.core.linalg import inverse_newton_hostloop
 
-        X, resid = inverse_newton(jnp.asarray(A_basis, dtype))
-        if float(resid) < 1e-3:
-            return np.asarray(X)
+        X, resid = inverse_newton_hostloop(A_basis, dtype)
+        if resid < 1e-3:
+            return X
         # pathologically conditioned basis: fall back to host LAPACK
     return np.linalg.inv(np.asarray(A_basis, np.float64)).astype(dtype)
 
@@ -113,8 +113,9 @@ def load_checkpoint(
             fields["c_b"].astype(np.float64) @ B_inv.astype(np.float64)
         ).astype(dtype)
         if b is not None:
+            # true basic solution — never clamped (see core/step.refactorize)
             x = B_inv.astype(np.float64) @ np.asarray(b, np.float64)
-            fields["x_b"] = np.maximum(x, 0.0).astype(dtype)
+            fields["x_b"] = x.astype(dtype)
         if c is not None and fields["e"].shape[0] == np.asarray(A).shape[1]:
             # devex: re-derive the incremental reduced costs from the exact y
             fields["e"] = (

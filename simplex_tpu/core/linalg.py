@@ -85,3 +85,48 @@ def inverse_newton(B: jnp.ndarray, seed=None, max_iter: int = 100):
         X0, Y0, r0 = jax.lax.cond(use_seed, from_seed, from_scratch, None)
 
     return _newton_loop(B, X0, Y0, r0, eye, max_iter)
+
+
+def inverse_newton_hostloop(B_np, dtype, iters_per_dispatch: int = 2,
+                            max_dispatches: int = 40):
+    """From-scratch Newton inversion driven from the host in short dispatches.
+
+    Same math as :func:`inverse_newton`, but each device dispatch runs only
+    ``iters_per_dispatch`` iterations (~2 GEMMs) — long single dispatches
+    (minutes of continuous MXU at m=16k) are where flaky workers die, and a
+    host-side loop loses at most one short dispatch to a crash. Used by
+    checkpoint resume; the in-loop solver refactorization keeps the fused
+    while_loop version.
+    """
+    import numpy as np
+
+    B = jnp.asarray(B_np, dtype)
+    m = B.shape[0]
+
+    @jax.jit
+    def _start(B):
+        eye = jnp.eye(m, dtype=dtype)
+        norm1 = jnp.max(jnp.sum(jnp.abs(B), axis=0))
+        norminf = jnp.max(jnp.sum(jnp.abs(B), axis=1))
+        X = B.T / jnp.maximum(norm1 * norminf, jnp.finfo(dtype).tiny)
+        Y = jnp.matmul(B, X, precision=_EXACT)
+        return X, jnp.max(jnp.abs(Y - eye))
+
+    @jax.jit
+    def _steps(B, X):
+        eye = jnp.eye(m, dtype=dtype)
+        for _ in range(iters_per_dispatch):
+            Y = jnp.matmul(B, X, precision=_EXACT)
+            X = jnp.matmul(X, 2 * eye - Y, precision=_EXACT)
+        Y = jnp.matmul(B, X, precision=_EXACT)
+        return X, jnp.max(jnp.abs(Y - eye))
+
+    X, resid = _start(B)
+    prev = float("inf")
+    r = float(resid)
+    for _ in range(max_dispatches):
+        if r <= 16 * float(jnp.finfo(dtype).eps) or r >= prev:
+            break
+        X, resid = _steps(B, X)
+        prev, r = r, float(resid)
+    return np.asarray(X), min(r, prev)
