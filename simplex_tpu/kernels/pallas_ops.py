@@ -282,8 +282,13 @@ def ratio_eta(x_b, alpha, basis, pivot_tol, use_bland, harris, feas_tol=1e-6):
     m = x_b.shape[0]
     if m % 128 != 0 or m > 64 * 1024:
         return None
-    if os.environ.get("SIMPLEX_TPU_NO_FUSED"):
-        return None  # diagnostic escape hatch: compose unfused ops instead
+    if not os.environ.get("SIMPLEX_TPU_FUSED"):
+        # Disabled by default: measured a wash at m=512 and -3% at m=8192 on
+        # the tunneled v5e (XLA's composed ops pipeline better with the
+        # surrounding loop than a single pallas_call here). Set
+        # SIMPLEX_TPU_FUSED=1 to enable; kept because the dispatch-latency
+        # tradeoff differs on directly-attached TPUs.
+        return None
     bland = use_bland.astype(jnp.int32).reshape(1, 1)
     kernel = functools.partial(
         _ratio_eta_kernel,

@@ -110,10 +110,12 @@ def test_fused_ratio_eta_escape_hatch(monkeypatch):
     x_b = jnp.arange(1.0, 129.0, dtype=jnp.float32)
     alpha = jnp.ones(128, jnp.float32)
     basis = jnp.arange(128, dtype=jnp.int32)
-    out = pallas_ops.ratio_eta(x_b, alpha, basis, 1e-7, jnp.asarray(False), True)
-    assert out is not None
-    monkeypatch.setenv("SIMPLEX_TPU_NO_FUSED", "1")
     assert (
         pallas_ops.ratio_eta(x_b, alpha, basis, 1e-7, jnp.asarray(False), True)
-        is None
+        is None  # off by default
     )
+    monkeypatch.setenv("SIMPLEX_TPU_FUSED", "1")
+    out = pallas_ops.ratio_eta(x_b, alpha, basis, 1e-7, jnp.asarray(False), True)
+    assert out is not None
+    q, theta_q, unb, eta, xbnew = out
+    assert int(q) == 0 and not bool(unb)
