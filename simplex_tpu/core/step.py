@@ -66,6 +66,12 @@ def pivot_step(
         opts.bland_after > 0, state.degen >= opts.bland_after
     )
 
+    # Price-mask the basic columns (kernels.xla.mask_basic): drifted fp32
+    # duals can make a BASIC column's reduced cost read below -eps, and
+    # re-entering one duplicates it in the basis -> singular. Selection and
+    # the optimality test use c_eff; all value math uses the true c.
+    c_eff = backend.mask_basic(prob.c, state.basis)
+
     # ---- Pricing / entering variable (ref :289-302) ----
     if opts.pricing == "devex":
         # Incremental reduced costs + Devex weights. Termination stays exact:
@@ -76,11 +82,16 @@ def pivot_step(
         A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
         c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
         e_p1 = _dot(state.y, A_p1) - c_p1
-        stale = jnp.logical_or(min_e1 >= -eps, e_p1 >= -eps)
+        # stale also when the incremental e picked an already-basic column
+        # (its true reduced cost is ~0; drifted e said otherwise)
+        already_basic = jnp.any(state.basis == p1)
+        stale = jnp.logical_or(
+            jnp.logical_or(min_e1 >= -eps, e_p1 >= -eps), already_basic
+        )
         p, min_e = jax.lax.cond(
             stale,
             lambda _: backend.choose_entering(
-                state.y, prob.A, prob.c, eps_f, use_bland
+                state.y, prob.A, c_eff, eps_f, use_bland
             ),
             lambda _: (p1, min_e1),
             None,
@@ -94,7 +105,7 @@ def pivot_step(
         # guarantee), fall back to one exact f32 pricing pass. Termination
         # (min_e >= -eps) is therefore always decided from exact values.
         p1, _ = backend.choose_entering(
-            state.y, prob.A_price, prob.c, eps_f, use_bland
+            state.y, prob.A_price, c_eff, eps_f, use_bland
         )
         A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
         c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
@@ -103,14 +114,14 @@ def pivot_step(
         p, min_e = jax.lax.cond(
             stale,
             lambda _: backend.choose_entering(
-                state.y, prob.A, prob.c, eps_f, use_bland
+                state.y, prob.A, c_eff, eps_f, use_bland
             ),
             lambda _: (p1, e_p1),
             None,
         )
     else:
         p, min_e = backend.choose_entering(
-            state.y, prob.A, prob.c, eps_f, use_bland
+            state.y, prob.A, c_eff, eps_f, use_bland
         )
     optimal = min_e >= -eps
 

@@ -113,6 +113,15 @@ def make_collective_backend(axis_name: str, shard_width: int):
         p = jnp.where(use_bland, p_bland, p_devex).astype(jnp.int32)
         return p, min_e
 
+    def mask_basic(c_loc, basis):
+        # basis holds GLOBAL column ids; scatter the -1e30 penalty onto the
+        # locally-owned ones (see kernels.xla.mask_basic for why)
+        base = jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_width
+        loc = basis - base
+        mine = jnp.logical_and(loc >= 0, loc < shard_width)
+        pen = jnp.where(mine, -_xla.BASIC_PENALTY, 0.0).astype(c_loc.dtype)
+        return c_loc.at[jnp.clip(loc, 0, shard_width - 1)].add(pen)
+
     def pricing_update(A_loc, rho):
         # shard-local, no communication; exact f32 (see kernels.xla)
         return jnp.matmul(
@@ -141,6 +150,7 @@ def make_collective_backend(axis_name: str, shard_width: int):
     return types.SimpleNamespace(
         name=f"collective[{axis_name}]",
         choose_entering=choose_entering,
+        mask_basic=mask_basic,
         devex_choose=devex_choose,
         pricing_update=pricing_update,
         gather_column=gather_column,

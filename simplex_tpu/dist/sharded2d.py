@@ -101,6 +101,24 @@ def _solve_2d_local(
             opts.bland_after > 0, s["degen"] >= opts.bland_after
         )
 
+        # Price-mask the basic columns (see kernels.xla.mask_basic): the
+        # basis is row-sharded, so reconstruct the full index list with one
+        # m-int psum over "rows", then penalize the locally-owned entries.
+        basis_full = (
+            jax.lax.psum(
+                jnp.zeros((m,), jnp.int32)
+                .at[row_base + jnp.arange(m_loc)]
+                .set(s["basis"] + 1),
+                ROWS_AXIS,
+            )
+            - 1
+        )
+        loc_b = basis_full - col_base
+        mine_b = jnp.logical_and(loc_b >= 0, loc_b < n_loc)
+        c_pen = c_loc.at[jnp.clip(loc_b, 0, n_loc - 1)].add(
+            jnp.where(mine_b, jnp.asarray(-1e30, dtype), 0)
+        )
+
         # ---- pricing over the local column shard + global argmin ----
         def local_price(Amat):
             e = (
@@ -110,7 +128,7 @@ def _solve_2d_local(
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=dtype,
                 )
-                - c_loc
+                - c_pen
             )
             j = jnp.argmin(e).astype(jnp.int32)
             neg = e < -eps

@@ -26,6 +26,7 @@ def _xla_backend() -> types.SimpleNamespace:
         # orthogonal to the big-op backend choice — both backends use it
         ratio_eta=_pl.ratio_eta,
         choose_entering=_xla.choose_entering,
+        mask_basic=_xla.mask_basic,
         devex_choose=_xla.devex_choose,
         pricing_update=_xla.pricing_update,
         gather_column=_xla.gather_column,
@@ -44,6 +45,7 @@ def _pallas_backend() -> types.SimpleNamespace:
         name="pallas",
         ratio_eta=_pl.ratio_eta,
         choose_entering=_pl.choose_entering,
+        mask_basic=_xla.mask_basic,
         devex_choose=_xla.devex_choose,
         pricing_update=_xla.pricing_update,
         gather_column=_xla.gather_column,

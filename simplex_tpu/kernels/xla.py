@@ -65,6 +65,22 @@ def choose_entering(
     return p.astype(jnp.int32), jnp.min(e)
 
 
+BASIC_PENALTY = 1e30
+
+
+def mask_basic(c: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    """Price-mask the basic columns: c_eff = c - 1e30 at basis positions, so
+    their effective reduced cost e + 1e30 can never win the argmin.
+
+    In exact arithmetic a basic column's reduced cost is 0 and Dantzig never
+    re-selects it; under fp32 drift it can read below -eps, and re-entering
+    a basic column makes the basis SINGULAR (observed at 16384x32768: a
+    duplicated basis column after ~16k pivots poisoned the checkpoint).
+    Masking also sharpens termination: min_e becomes the minimum over
+    NONBASIC columns, which is the actual optimality criterion."""
+    return c.at[basis].add(-BASIC_PENALTY)
+
+
 def gather_column(A: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """A[:, p] via dynamic slice (stays on device under jit)."""
     return jax.lax.dynamic_index_in_dim(A, p, axis=1, keepdims=False)

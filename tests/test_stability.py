@@ -142,3 +142,33 @@ def test_inverse_newton_from_scratch():
     S = jnp.zeros((8, 8), jnp.float32)
     _, resid = inverse_newton(S)
     assert float(resid) >= 1.0
+
+
+def test_mask_basic_blocks_reentry():
+    c = jnp.zeros(6, jnp.float32)
+    basis = jnp.asarray([1, 4], jnp.int32)
+    c_eff = _xla.mask_basic(c, basis)
+    y = jnp.zeros(2, jnp.float32)
+    A = jnp.ones((2, 6), jnp.float32)
+    p, min_e = _xla.choose_entering(y, A, c_eff, 1e-5, NO)
+    assert int(p) not in (1, 4)
+    # all columns basic -> masked min_e is hugely positive -> "optimal"
+    c_all = _xla.mask_basic(jnp.zeros(2, jnp.float32), jnp.asarray([0, 1]))
+    _, min_all = _xla.choose_entering(y, A[:, :2], c_all, 1e-5, NO)
+    assert float(min_all) > 1e20
+
+
+@pytest.mark.parametrize("pricing", ["dantzig", "devex"])
+def test_basis_never_duplicates(pricing):
+    # drifted duals must not re-admit a basic column (observed at 16k:
+    # duplicate basis -> singular). Pin uniqueness on a long-ish solve.
+    A, b, c = random_dense_lp(48, 120, seed=17, dtype=np.float32)
+    res = solve(
+        A, b, c,
+        options=SimplexOptions(
+            pricing=pricing, pricing_dtype="bfloat16", update_defer=8,
+            refactor_every=32,
+        ),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert len(np.unique(res.basis)) == len(res.basis)
