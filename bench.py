@@ -17,9 +17,10 @@ own documented hardware (GTX 1050 Ti, README.md:11 of the reference):
 This is an upper bound for the reference (ignores its 3-4 host syncs per
 pivot), i.e. a conservative baseline for us to beat.
 
-Defaults run the flagship TPU config: bf16 pricing shadow (exact-termination
-fallback) + deferred rank-16 B_inv updates — both verified bit-exact against
-the oracle in tests/.
+Defaults run the flagship TPU config: bf16 pricing shadow + segmented
+(partial) pricing + deferred rank-16 B_inv updates — all exact-fallback
+protected and verified against the oracle in tests/ (and to 9 digits vs
+HiGHS on full solves at 8k and 16k).
 
 Usage: python bench.py [--m M] [--n N] [--pivots K] [--small]
 Details go to stderr; the JSON line is the only stdout output.
@@ -52,6 +53,7 @@ def main() -> None:
         "--pricing-dtype", default="bfloat16", choices=["float32", "bfloat16"]
     )
     ap.add_argument("--update-defer", type=int, default=16)
+    ap.add_argument("--partial-pricing", type=int, default=8)
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     ap.add_argument(
         "--mode", default="single", choices=["single", "batch"],
@@ -84,6 +86,7 @@ def main() -> None:
         pricing=args.pricing,
         pricing_dtype=args.pricing_dtype,
         update_defer=args.update_defer,
+        partial_pricing=args.partial_pricing,
     )
     basis0 = np.arange(n - m, n, dtype=np.int32)
 

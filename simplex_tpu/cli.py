@@ -51,6 +51,7 @@ def _options(args):
         pricing=getattr(args, "pricing", "dantzig"),
         pricing_dtype=getattr(args, "pricing_dtype", "float32"),
         update_defer=getattr(args, "update_defer", 0),
+        partial_pricing=getattr(args, "partial_pricing", 0),
         ratio=getattr(args, "ratio", "harris"),
         max_iter=args.max_iter,
         refactor_every=args.refactor_every,
@@ -168,6 +169,10 @@ def main(argv=None) -> int:
             help="batch L rank-1 B_inv updates into one rank-L GEMM",
         )
         p.add_argument(
+            "--partial-pricing", type=int, default=0, metavar="S",
+            help="price 1/S of the columns per pivot (exact fallback)",
+        )
+        p.add_argument(
             "--ratio", default="harris", choices=["harris", "classic"],
             help="ratio test (harris = stabilized two-pass, the default)",
         )
@@ -210,6 +215,7 @@ def main(argv=None) -> int:
     if getattr(args, "fast", False):
         args.pricing_dtype = "bfloat16"
         args.update_defer = 16
+        args.partial_pricing = 8
         if args.refactor_every == 0:
             args.refactor_every = 1024
     import jax

@@ -107,6 +107,15 @@ class SimplexOptions:
     # the base matrix remains). 0 disables (eager rank-1 update).
     update_defer: int = 0
 
+    # Partial (segmented) pricing for the Dantzig rule: price only segment
+    # (iters mod S) of the columns each pivot — 1/S of the dominant HBM
+    # read. The segment winner's reduced cost is re-verified exactly; if the
+    # segment has no improving column (or Bland is active), that pivot falls
+    # back to one full exact pass, so termination stays exact. S=0/1
+    # disables. Classic tradeoff: cheaper pivots, usually more of them —
+    # measure time-to-optimal, not just pivots/sec. n must divide by S.
+    partial_pricing: int = 0
+
     # Checkpoint the solver state every K pivots into a host-side store
     # (0 = never). Used by simplex_tpu.core.checkpoint.
     checkpoint_every: int = 0

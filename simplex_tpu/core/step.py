@@ -96,7 +96,10 @@ def pivot_step(
             lambda _: (p1, min_e1),
             None,
         )
-    elif prob.A_price is not None:
+    elif prob.A_price is not None and not (
+        opts.partial_pricing > 1
+        and prob.A.shape[1] % opts.partial_pricing == 0
+    ):
         # Mixed-precision Dantzig: price against the bf16 shadow (half the
         # HBM read), then verify the candidate's reduced cost exactly in f32
         # (O(m)). If it is not truly improving — possible only from bf16
@@ -107,6 +110,36 @@ def pivot_step(
         p1, _ = backend.choose_entering(
             state.y, prob.A_price, c_eff, eps_f, use_bland
         )
+        A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
+        c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
+        e_p1 = _dot(state.y, A_p1) - c_p1
+        stale = jnp.logical_or(e_p1 >= -eps, use_bland)
+        p, min_e = jax.lax.cond(
+            stale,
+            lambda _: backend.choose_entering(
+                state.y, prob.A, c_eff, eps_f, use_bland
+            ),
+            lambda _: (p1, e_p1),
+            None,
+        )
+    elif opts.partial_pricing > 1 and prob.A.shape[1] % opts.partial_pricing == 0:
+        # Segmented Dantzig: price only the (iters mod S)-th column block
+        # (1/S of the O(mn) read), verify the winner exactly, and fall back
+        # to one full pass when the segment is dry or Bland is active.
+        S = opts.partial_pricing
+        n_all = prob.A.shape[1]
+        w = n_all // S
+        start = (state.iters % S).astype(jnp.int32) * w
+        A_src = prob.A_price if prob.A_price is not None else prob.A
+        zero = jnp.int32(0)
+        A_seg = jax.lax.dynamic_slice(
+            A_src, (zero, start), (A_src.shape[0], w)
+        )
+        c_seg = jax.lax.dynamic_slice(c_eff, (start,), (w,))
+        p_loc, _ = backend.choose_entering(
+            state.y, A_seg, c_seg, eps_f, jnp.asarray(False)
+        )
+        p1 = (start + p_loc).astype(jnp.int32)
         A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
         c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
         e_p1 = _dot(state.y, A_p1) - c_p1

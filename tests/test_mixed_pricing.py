@@ -113,3 +113,44 @@ def test_bf16_shadow_attached_only_when_requested():
     assert shadow is not None
     assert shadow.dtype == jnp.bfloat16
     assert shadow.shape == A.shape
+
+
+@pytest.mark.parametrize("pricing_dtype", ["float32", "bfloat16"])
+def test_partial_pricing_matches_oracle(pricing_dtype):
+    A, b, c = random_dense_lp(16, 40, seed=19, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve(
+        A, b, c,
+        options=SimplexOptions(
+            partial_pricing=4, pricing_dtype=pricing_dtype, refactor_every=32
+        ),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+    assert len(np.unique(res.basis)) == len(res.basis)
+
+
+def test_partial_pricing_non_divisible_falls_back():
+    # n=41 not divisible by 4: silently uses full pricing (same answer)
+    A, b, c = random_dense_lp(16, 41, seed=20, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve(A, b, c, options=SimplexOptions(partial_pricing=4))
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_partial_pricing_unbounded_and_degenerate():
+    A = np.array([[1.0, -1.0, 1.0, 0.0]], np.float32)
+    b = np.array([1.0], np.float32)
+    c = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+    res = solve(A, b, c, options=SimplexOptions(partial_pricing=2))
+    assert res.status == SolveStatus.UNBOUNDED
+
+    A, b, c = random_dense_lp(24, 60, seed=11, dtype=np.float32, degenerate=True)
+    ref = solve_scipy(A, b, c)
+    res = solve(
+        A, b, c,
+        options=SimplexOptions(partial_pricing=3, bland_after=8, refactor_every=32),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-4
