@@ -96,9 +96,11 @@ def main() -> None:
     jax.block_until_ready((A, b, c))
     log(f"H2D: {time.time()-t0:.1f}s")
 
-    def run():
-        final = _solve_jit(A, b, c, basis0, opts, k, True)
-        final.x_b.block_until_ready()
+    def run(scale=1.0):
+        # perturb + scalar-pull: the dev tunnel memoizes identical dispatches
+        # and block_until_ready alone can return early (see bench_batch)
+        final = _solve_jit(A, b * scale, c, basis0, opts, k, True)
+        float(final.x_b.sum())
         return final
 
     log("compile + warmup run...")
@@ -109,7 +111,7 @@ def main() -> None:
 
     log("timed run...")
     t0 = time.time()
-    final = run()
+    final = run(1.0 + 1e-6)
     dt = time.time() - t0
     iters = int(final.iters)
     pps = iters / dt if dt > 0 else float("nan")
@@ -166,17 +168,20 @@ def bench_batch(args) -> None:
     As, bs, cs = jax.device_put((As, bs, cs))
     jax.block_until_ready(As)
 
-    def run():
-        out = _solve_batch_jit(As, bs, cs, opts, 1000)
-        jax.block_until_ready(out)
+    def run(scale):
+        # scale perturbs b so repeat dispatches differ (the dev tunnel
+        # memoizes identical dispatches), and the float() pulls a scalar —
+        # block_until_ready alone can return before the work completes there
+        out = _solve_batch_jit(As, bs * scale, cs, opts, 1000)
+        float(out[0].sum())
         return out
 
     log("compile + warmup...")
     t0 = time.time()
-    out = run()
+    out = run(1.0)
     log(f"warmup: {time.time()-t0:.1f}s")
     t0 = time.time()
-    out = run()
+    out = run(1.0 + 1e-6)
     dt = time.time() - t0
     status = np.asarray(out[3])
     iters = np.asarray(out[4])
