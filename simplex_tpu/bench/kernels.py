@@ -4,8 +4,12 @@ a serialization-forcing carry, timed with block_until_ready).
 
 Each op is timed as one jitted lax.scan of K applications whose inputs depend
 on the previous output (prevents batching/hoisting/memoization — the tunneled
-dev runtime memoizes identical dispatches), so wall time / K is a faithful
-per-op latency.
+dev runtime memoizes identical dispatches), so wall time / K approximates
+per-op latency. Caveat: on the tunneled dev runtime each serialized scan
+iteration carries a substantial fixed overhead that the real solver's
+while_loop amortizes by overlapping independent ops, so these numbers are
+upper bounds useful for RELATIVE comparison; the full-solve benches
+(bench.py) are the ground truth.
 """
 
 from __future__ import annotations
@@ -19,13 +23,19 @@ import numpy as np
 
 
 def _timed(fn: Callable, *args, iters: int = 3) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    def force(out):
+        # scalar pull: block_until_ready alone can return early on the
+        # tunneled dev runtime
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.asarray(leaf).ravel()[0])
+
+    force(fn(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        force(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -105,6 +115,52 @@ def bench_ops(m: int, n: int, k: int = 32, backend: str = "xla") -> Dict[str, di
         return Bc
 
     record("rank1_update", _timed(rank1_loop, B), 8 * m * m)
+
+    # --- flagship-path extras: segment pricing (1/S read), rank-L flush ---
+    S, L = 8, 16
+    if n % S == 0:
+        Ab = A.astype(jnp.bfloat16)
+
+        @jax.jit
+        def seg_loop(y, Aa, ca):
+            w = n // S
+
+            def step(yc, i):
+                start = (i % S) * w
+                A_seg = jax.lax.dynamic_slice(Aa, (jnp.int32(0), start), (m, w))
+                c_seg = jax.lax.dynamic_slice(ca, (start,), (w,))
+                p, mn = be.choose_entering(yc, A_seg, c_seg, 1e-6, no)
+                return yc + mn * 1e-20 + p.astype(jnp.float32) * 0, None
+
+            yc, _ = jax.lax.scan(
+                step, y, jnp.arange(k, dtype=jnp.int32), length=k
+            )
+            return yc
+
+        record(
+            "pricing_segment_bf16", _timed(seg_loop, y0, Ab, c), 2 * m * (n // S)
+        )
+
+    U = jnp.asarray(rng.standard_normal((L, m)) * 1e-3, jnp.float32)
+    R = jnp.asarray(rng.standard_normal((L, m)) * 1e-3, jnp.float32)
+
+    @jax.jit
+    def flush_loop(Bv, Uv, Rv):
+        def step(Bc, _):
+            Bn = Bc + jnp.matmul(
+                Uv.T, Rv, precision=jax.lax.Precision.HIGHEST
+            ) * 1e-20
+            return Bn, None
+
+        Bc, _ = jax.lax.scan(step, Bv, None, length=k)
+        return Bc
+
+    # amortized: one flush per L pivots
+    t_flush = _timed(flush_loop, B, U, R) / L
+    results["flush_rankL_amortized"] = {
+        "ms": round(t_flush * 1e3, 4),
+        "gbps": round(8 * m * m / L / t_flush / 1e9, 1),
+    }
 
     return results
 

@@ -160,8 +160,9 @@ def solve_general(
             )
         feas_tol = 1e-5 if options.dtype == np.float32 else 1e-8
         if r1.z < -feas_tol * max(1.0, abs(b).max()):
+            # artificials cannot all reach zero: no feasible point exists
             return GeneralSolveResult(
-                z=float("nan"), x=np.zeros(k), status=SolveStatus.SINGULAR,
+                z=float("nan"), x=np.zeros(k), status=SolveStatus.INFEASIBLE,
                 iters=p1_iters, phase1_iters=p1_iters,
             )
         basis = _drive_out_artificials(A_std, r1.basis, art_set)

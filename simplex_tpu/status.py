@@ -24,6 +24,7 @@ class SolveStatus(enum.IntEnum):
     UNBOUNDED = 2
     MAX_ITER = 3
     SINGULAR = 4  # pivot element too small (reference: ThetaOverflow)
+    INFEASIBLE = 5  # phase 1 proved no feasible point exists (two-phase only)
 
     def describe(self) -> str:
         return {
@@ -32,4 +33,5 @@ class SolveStatus(enum.IntEnum):
             SolveStatus.UNBOUNDED: "Problem unbounded.",
             SolveStatus.MAX_ITER: "MAX_ITER exceeded.",
             SolveStatus.SINGULAR: "Pivot element too small (theta overflow).",
+            SolveStatus.INFEASIBLE: "Problem infeasible (phase 1 optimum < 0).",
         }[self]

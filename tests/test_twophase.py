@@ -68,7 +68,7 @@ def test_infeasible_detected():
         row_types=["L", "G"],  # x0+x1 <= 1 AND >= 3
     )
     res = solve_general(lp, options=F64)
-    assert res.status == SolveStatus.SINGULAR  # infeasible signal
+    assert res.status == SolveStatus.INFEASIBLE
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
