@@ -22,6 +22,35 @@ from simplex_tpu.core.state import Problem, SolverState
 from simplex_tpu.io.text import dumps_lp, load_lp, loads_lp, save_lp
 from simplex_tpu.status import SolveStatus
 
+
+def __getattr__(name):
+    # lazy heavyweight entry points (import jax transitively)
+    if name == "solve_batched":
+        from simplex_tpu.batch.vmapped import solve_batched
+
+        return solve_batched
+    if name == "solve_sharded":
+        from simplex_tpu.dist.sharded import solve_sharded
+
+        return solve_sharded
+    if name == "solve_sharded_2d":
+        from simplex_tpu.dist.sharded2d import solve_sharded_2d
+
+        return solve_sharded_2d
+    if name == "solve_general":
+        from simplex_tpu.core.twophase import solve_general
+
+        return solve_general
+    if name == "solve_with_checkpoints":
+        from simplex_tpu.core.checkpoint import solve_with_checkpoints
+
+        return solve_with_checkpoints
+    if name == "trace_pivots":
+        from simplex_tpu.core.trace import trace_pivots
+
+        return trace_pivots
+    raise AttributeError(f"module 'simplex_tpu' has no attribute {name!r}")
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -36,5 +65,11 @@ __all__ = [
     "loads_lp",
     "save_lp",
     "solve",
+    "solve_batched",
+    "solve_general",
+    "solve_sharded",
+    "solve_sharded_2d",
+    "solve_with_checkpoints",
+    "trace_pivots",
     "__version__",
 ]
