@@ -56,9 +56,10 @@ def main() -> None:
     ap.add_argument("--partial-pricing", type=int, default=8)
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     ap.add_argument(
-        "--mode", default="single", choices=["single", "batch"],
-        help="single = one large LP (the headline); batch = vmap-batched "
-             "solve of many independent small LPs (BASELINE configs[3])",
+        "--mode", default="single", choices=["single", "batch", "full"],
+        help="single = one large LP, fixed pivot budget (the headline); "
+             "batch = vmap-batched independent small LPs; full = solve one "
+             "large LP to OPTIMAL and report time-to-optimal",
     )
     ap.add_argument("--batch", type=int, default=4096, help="batch-mode LP count")
     args = ap.parse_args()
@@ -73,6 +74,9 @@ def main() -> None:
 
     if args.mode == "batch":
         bench_batch(args)
+        return
+    if args.mode == "full":
+        bench_full(args)
         return
 
     m, n, k = args.m, args.n, args.pivots
@@ -128,6 +132,57 @@ def main() -> None:
                 "value": round(pps, 2),
                 "unit": "pivots/sec",
                 "vs_baseline": round(pps / REFERENCE_ROOFLINE_PIVOTS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+def bench_full(args) -> None:
+    """Solve one LP to OPTIMAL; metric = wall seconds to optimum (excluding
+    problem generation; including compile — chunked via the checkpoint
+    driver so the number survives worker hiccups)."""
+    import tempfile
+
+    import jax
+
+    from simplex_tpu.config import SimplexOptions
+    from simplex_tpu.core.checkpoint import solve_with_checkpoints
+    from simplex_tpu.oracle.generator import random_dense_lp
+
+    m, n = args.m, args.n
+    log(f"devices: {jax.devices()}")
+    log(f"generating dense LP {m}x{n}...")
+    A, b, c = random_dense_lp(m, n, seed=0, dtype=np.float32)
+    opts = SimplexOptions(
+        backend=args.backend,
+        pricing=args.pricing,
+        pricing_dtype=args.pricing_dtype,
+        update_defer=args.update_defer,
+        partial_pricing=args.partial_pricing,
+        refactor_every=1024,
+        checkpoint_every=2048,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        res = solve_with_checkpoints(
+            A, b, c, path=f"{td}/ckpt.npz", options=opts, resume=False
+        )
+        dt = time.time() - t0
+    log(
+        f"{res.status.name} z={res.z:.8f} iters={res.iters} "
+        f"feasibility(min x_b)={-res.feas_err:.2e}"
+        if hasattr(res, "feas_err")
+        else f"{res.status.name} z={res.z:.8f} iters={res.iters}"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"seconds_to_optimal_dense_{m}x{n}_fp32",
+                "value": round(dt, 2),
+                "unit": "seconds",
+                "vs_baseline": round((res.iters * 0.0115) / dt, 2),
+                # baseline: reference roofline 87 pivots/s -> 11.5 ms/pivot
+                # for the same pivot count
             }
         )
     )
