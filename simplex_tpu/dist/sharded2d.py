@@ -23,10 +23,10 @@ update, the O(m/R) vector updates — is embarrassingly parallel. This is the
 decomposition for the 32k x 131k north-star config (BASELINE.md): per-pivot
 traffic per chip falls as 1/D for pricing AND 1/R for the inverse.
 
-No in-loop refactorization in this mode (a distributed Newton-Schulz needs
-m^2 all-gathers; planned). Long fp32 runs should chunk + host-verify via the
-checkpoint driver; the Harris ratio test (default) keeps the product form
-stable. Reference: none — the reference is single-GPU (SURVEY.md §2.5).
+In-loop refactorization (``refactor_every``) runs a DISTRIBUTED
+Newton-Schulz re-inversion over the "rows" axis (see ``refactorize_2d``).
+The Harris ratio test (default) keeps the product form stable between
+refreshes. Reference: none — the reference is single-GPU (SURVEY.md §2.5).
 """
 
 from __future__ import annotations
@@ -254,7 +254,9 @@ def _solve_2d_local(
             eta_loc,
         )
         B_new = s["B_inv"] + eta_loc[:, None] * binv_q[None, :]
-        x_new = x_pos - th * alpha_loc
+        # update from the TRUE x_b, never the ratio test's clamped copy
+        # (clamping breaks A_B x_b = b and compounds; see core/step.py)
+        x_new = s["x_b"] - th * alpha_loc
         x_new = jnp.where(
             jnp.logical_and(own_q, jnp.arange(m_loc) == ql), th, x_new
         )
@@ -289,7 +291,7 @@ def _solve_2d_local(
         def sel(new, old):
             return jnp.where(do_pivot, new, old)
 
-        return {
+        out = {
             "B_inv": sel(B_new, s["B_inv"]),
             "x_b": sel(x_new, s["x_b"]),
             "y": sel(y_new, s["y"]),
@@ -298,6 +300,128 @@ def _solve_2d_local(
             "iters": s["iters"] + jnp.where(do_pivot, 1, 0).astype(jnp.int32),
             "status": status_new,
             "degen": jnp.where(do_pivot, degen_new, s["degen"]),
+        }
+        if opts.refactor_every > 0:
+            due = jnp.logical_and(
+                jnp.logical_and(
+                    out["iters"] > 0,
+                    out["iters"] % opts.refactor_every == 0,
+                ),
+                out["status"] == jnp.int32(SolveStatus.RUNNING),
+            )
+            out = jax.lax.cond(due, refactorize_2d, lambda st: st, out)
+        return out
+
+    def refactorize_2d(s):
+        """Distributed Newton-Schulz re-inversion over the 'rows' axis.
+
+        Rebuilds the row block of the true basis matrix with one
+        (m_loc, m) psum, then iterates X <- X (2I - B X) with two
+        m^2/R-byte all-gathers per iteration (X and Y are materialized
+        full per chip TRANSIENTLY — peak memory 2 m^2/R extra, fine every
+        refactor_every pivots). A seed that does not contract restarts
+        from the Pan-Schreiber scaled transpose, which always does.
+        x_b / y / c_b-consistent duals are re-derived exactly.
+        """
+        basis_full = (
+            jax.lax.psum(
+                jnp.zeros((m,), jnp.int32)
+                .at[row_base + jnp.arange(m_loc)]
+                .set(s["basis"] + 1),
+                ROWS_AXIS,
+            )
+            - 1
+        )
+        loc_b = basis_full - col_base
+        mine_b = jnp.logical_and(loc_b >= 0, loc_b < n_loc)
+        # Assemble the FULL-height basis columns (each column owner holds all
+        # m rows of its columns), then slice my row block. The psum payload
+        # is transiently (m, m) — same class as the Newton all-gathers below;
+        # a ppermute-based owner->rows-group exchange could shrink it.
+        contrib = jnp.take(
+            A_loc, jnp.clip(loc_b, 0, n_loc - 1), axis=1
+        ).astype(dtype)
+        B_full_cols = jax.lax.psum(jnp.where(mine_b[None, :], contrib, 0), both)
+        B_loc = jax.lax.dynamic_slice(
+            B_full_cols, (row_base, jnp.int32(0)), (m_loc, m)
+        )  # (m_loc, m): my rows of A[:, basis]
+
+        eye_loc = eye_rows  # (m_loc, m) rows of I
+
+        def resid_of(Y_loc):
+            return jax.lax.pmax(jnp.max(jnp.abs(Y_loc - eye_loc)), ROWS_AXIS)
+
+        def bx(X_loc):
+            X_full = jax.lax.all_gather(
+                X_loc, ROWS_AXIS, axis=0, tiled=True
+            )  # (m, m) transient
+            return jnp.matmul(B_loc, X_full, precision=_EXACT)
+
+        def ns_step(X_loc, Y_loc):
+            Y_full = jax.lax.all_gather(Y_loc, ROWS_AXIS, axis=0, tiled=True)
+            return jnp.matmul(
+                X_loc, 2 * jnp.eye(m, dtype=dtype) - Y_full, precision=_EXACT
+            )
+
+        # seed 1: the drifted product-form inverse
+        X = s["B_inv"]
+        Y = bx(X)
+        r0 = resid_of(Y)
+        # seed 2 (rescue): Pan-Schreiber scaled transpose. My rows of B.T
+        # are columns [row_base, row_base+m_loc) of B — slice them from a
+        # transient all-gather of B (same m^2/R-byte collective class as the
+        # Newton iterations; only reached when the drifted seed fails).
+        rowsums = jnp.sum(jnp.abs(B_loc), axis=1)  # my rows' l1
+        norminf = jax.lax.pmax(jnp.max(rowsums), ROWS_AXIS)
+        colsums = jax.lax.psum(jnp.sum(jnp.abs(B_loc), axis=0), ROWS_AXIS)
+        norm1 = jnp.max(colsums)
+        scale = jnp.maximum(norm1 * norminf, jnp.finfo(dtype).tiny)
+
+        def from_seed(_):
+            return X, Y, r0
+
+        def from_scratch(_):
+            B_full = jax.lax.all_gather(B_loc, ROWS_AXIS, axis=0, tiled=True)
+            Xs = (
+                jax.lax.dynamic_slice(
+                    B_full, (jnp.int32(0), row_base), (m, m_loc)
+                ).T
+                / scale
+            )
+            Ys = bx(Xs)
+            return Xs, Ys, resid_of(Ys)
+
+        use_seed = jnp.logical_and(jnp.isfinite(r0), r0 < 0.5)
+        X, Y, r = jax.lax.cond(use_seed, from_seed, from_scratch, None)
+
+        def ns_cond(carry):
+            _, _, resid, prev, it = carry
+            return jnp.logical_and(
+                jnp.logical_and(
+                    resid > 16 * jnp.finfo(dtype).eps, resid < prev
+                ),
+                it < 60,
+            )
+
+        def ns_body(carry):
+            Xc, Yc, resid, _, it = carry
+            X1 = ns_step(Xc, Yc)
+            Y1 = bx(X1)
+            return X1, Y1, resid_of(Y1), resid, it + 1
+
+        X, _, _, _, _ = jax.lax.while_loop(
+            ns_cond, ns_body, (X, Y, r, jnp.asarray(jnp.inf, dtype), jnp.int32(0))
+        )
+
+        x_loc = jnp.matmul(X, b.astype(dtype), precision=_EXACT)
+        y_new = jax.lax.psum(
+            jnp.matmul(s["c_b"], X, precision=_EXACT), ROWS_AXIS
+        )
+        return {
+            **s,
+            "B_inv": X,
+            "x_b": x_loc,
+            "y": y_new,
         }
 
     state0 = {
@@ -336,9 +460,8 @@ def solve_sharded_2d(
 
     Requires mesh axes named ("rows", "cols"); n must divide by R*C and m by
     R. ``basis0`` (default trailing slacks) must satisfy A[:, basis0] = I.
-    In-loop refactorization is not available in this mode — prefer the
-    Harris ratio test (default) and bounded pivot budgets; the final
-    objective is host-verified in f64 when m <= 16384.
+    ``refactor_every`` triggers the distributed Newton-Schulz re-inversion;
+    the final objective is host-verified in f64 when m <= 16384.
     """
     A = jnp.asarray(A)
     b = jnp.asarray(b)

@@ -81,3 +81,36 @@ def test_2d_shape_validation():
     A, b, c = random_dense_lp(6, 24, seed=1, dtype=np.float32)
     with pytest.raises(ValueError, match="divide the mesh"):
         solve_sharded_2d(A, b, c, mesh_2d(4, 2))  # m=6 not divisible by R=4
+
+
+def test_2d_with_refactorization():
+    # distributed Newton refactorization fires in-loop and the solve still
+    # reaches the oracle optimum
+    m, n = 16, 64
+    A, b, c = random_dense_lp(m, n, seed=9, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded_2d(
+        A, b, c, mesh_2d(2, 2),
+        options=SimplexOptions(refactor_every=4, pricing_dtype="bfloat16"),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_2d_refactorization_rescues_corrupt_inverse():
+    # f64 path with aggressive refactor interval: objective matches the
+    # single-chip solver exactly (refactorization path is exercised and
+    # exact on every interval)
+    import jax.numpy as jnp
+
+    from simplex_tpu.core.solver import solve
+
+    m, n = 8, 32
+    A, b, c = random_dense_lp(m, n, seed=14, dtype=np.float64)
+    single = solve(A, b, c, options=SimplexOptions(dtype=jnp.float64))
+    res = solve_sharded_2d(
+        A, b, c, mesh_2d(2, 2),
+        options=SimplexOptions(dtype=jnp.float64, refactor_every=2),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert res.z == pytest.approx(single.z, rel=1e-9)
