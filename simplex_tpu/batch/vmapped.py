@@ -50,7 +50,7 @@ def _solve_batch_jit(As, bs, cs, opts: SimplexOptions, max_iter: int):
 
     def one(A, b, c):
         prob = Problem(A.astype(dtype), b.astype(dtype), c.astype(dtype))
-        prob = with_pricing_shadow(prob, opts.pricing_dtype)
+        prob = with_pricing_shadow(prob, opts.pricing_dtype, opts.pricing)
         state0 = initial_state_slack(prob, dtype, opts.pricing, opts.update_defer)
         final = solve_state(prob, state0, opts, max_iter)
         z = jnp.dot(final.c_b, final.x_b)

@@ -83,7 +83,10 @@ def save_checkpoint(
     if light:
         # remember the deferred-buffer shape so resume can re-create dummies
         arrays["_defer_shape"] = np.asarray(state.U.shape, np.int64)
-    np.savez(path, **arrays)
+    # write to a file object: np.savez(path) silently appends '.npz' to
+    # extension-less paths, which would break resume's os.path.exists(path)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_checkpoint(
@@ -160,7 +163,7 @@ def _chunk_jit(A, b, c, state, opts: SimplexOptions, limit):
     prob = Problem(
         A.astype(opts.dtype), b.astype(opts.dtype), c.astype(opts.dtype)
     )
-    prob = with_pricing_shadow(prob, opts.pricing_dtype)
+    prob = with_pricing_shadow(prob, opts.pricing_dtype, opts.pricing)
     return solve_state(prob, state, opts, limit)
 
 
@@ -247,8 +250,20 @@ def solve_with_checkpoints(
             import time as _time
 
             _time.sleep(10.0 * retries)
-            state = load_checkpoint(path, A=A, b=b, c=c)
-            state = state._replace(status=jnp.int32(SolveStatus.RUNNING))
+            if os.path.exists(path):
+                state = load_checkpoint(path, A=A, b=b, c=c)
+                validate_checkpoint(state, A, b)
+                state = state._replace(status=jnp.int32(SolveStatus.RUNNING))
+            else:
+                # crashed before the first snapshot: restart from scratch
+                prob0 = Problem(
+                    A.astype(options.dtype),
+                    b.astype(options.dtype),
+                    c.astype(options.dtype),
+                )
+                state = initial_state_slack(
+                    prob0, options.dtype, options.pricing, options.update_defer
+                )
             continue
         status = SolveStatus(int(state.status))
         done = status != SolveStatus.MAX_ITER or int(state.iters) >= max_iter

@@ -28,22 +28,33 @@ def _newton_loop(B, X0, Y0, r0, eye, max_iter):
     dtype = B.dtype
 
     def cond(carry):
-        _, _, resid, prev, it = carry
+        _, _, resid, _, _, it = carry
         return jnp.logical_and(
-            jnp.logical_and(resid > 16 * jnp.finfo(dtype).eps, resid < prev),
+            jnp.logical_and(resid > 16 * jnp.finfo(dtype).eps, resid < prev_of(carry)),
             it < max_iter,
         )
 
+    def prev_of(carry):
+        return carry[4]
+
     def body(carry):
-        X, Y, resid, _, it = carry
+        X, Y, resid, _, _, it = carry
         X1 = jnp.matmul(X, 2 * eye - Y, precision=_EXACT)
         Y1 = jnp.matmul(B, X1, precision=_EXACT)
-        return X1, Y1, jnp.max(jnp.abs(Y1 - eye)), resid, it + 1
+        # keep the best iterate: the loop exits when a step makes the
+        # residual worse, and the caller must get the iterate matching the
+        # residual it is told about
+        r1 = jnp.max(jnp.abs(Y1 - eye))
+        return X1, Y1, r1, X, resid, it + 1
 
-    X, _, resid, prev, _ = jax.lax.while_loop(
-        cond, body, (X0, Y0, r0, jnp.asarray(jnp.inf, dtype), jnp.int32(0))
+    X, _, resid, X_prev, prev, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (X0, Y0, r0, X0, jnp.asarray(jnp.inf, dtype), jnp.int32(0)),
     )
-    return X, jnp.minimum(resid, prev)
+    worse = resid >= prev
+    best = jnp.where(worse, X_prev, X)
+    return best, jnp.minimum(resid, prev)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -124,9 +135,12 @@ def inverse_newton_hostloop(B_np, dtype, iters_per_dispatch: int = 2,
     X, resid = _start(B)
     prev = float("inf")
     r = float(resid)
+    X_best, r_best = X, r
     for _ in range(max_dispatches):
         if r <= 16 * float(jnp.finfo(dtype).eps) or r >= prev:
             break
         X, resid = _steps(B, X)
         prev, r = r, float(resid)
-    return np.asarray(X), min(r, prev)
+        if r < r_best:
+            X_best, r_best = X, r
+    return np.asarray(X_best), r_best

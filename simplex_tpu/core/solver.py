@@ -138,7 +138,7 @@ def _solve_jit(
 ) -> SolverState:
     dtype = opts.dtype
     prob = Problem(A=A.astype(dtype), b=b.astype(dtype), c=c.astype(dtype))
-    prob = with_pricing_shadow(prob, opts.pricing_dtype)
+    prob = with_pricing_shadow(prob, opts.pricing_dtype, opts.pricing)
     if slack_init:
         state0 = initial_state_slack(prob, dtype, opts.pricing, opts.update_defer)
     else:

@@ -47,13 +47,17 @@ class Problem(NamedTuple):
     A_price: Optional[jnp.ndarray] = None  # (m, n) bf16 pricing shadow
 
 
-def with_pricing_shadow(prob: Problem, pricing_dtype: str) -> Problem:
+def with_pricing_shadow(
+    prob: Problem, pricing_dtype: str, pricing: str = "dantzig"
+) -> Problem:
     """Attach the reduced-precision pricing shadow of A when requested.
 
     One cast pass over A at solve start (trivial next to the pivot loop);
-    ``"float32"`` leaves the problem untouched (no shadow, exact pricing).
+    ``"float32"`` leaves the problem untouched. Devex never reads the
+    shadow (its incremental updates must be exact), so skip the ~n*m*2-byte
+    HBM copy there.
     """
-    if pricing_dtype == "float32":
+    if pricing_dtype == "float32" or pricing == "devex":
         return prob
     return prob._replace(A_price=prob.A.astype(jnp.dtype(pricing_dtype)))
 

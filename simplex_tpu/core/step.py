@@ -86,7 +86,10 @@ def pivot_step(
         # (its true reduced cost is ~0; drifted e said otherwise)
         already_basic = jnp.any(state.basis == p1)
         stale = jnp.logical_or(
-            jnp.logical_or(min_e1 >= -eps, e_p1 >= -eps), already_basic
+            jnp.logical_or(
+                jnp.logical_or(min_e1 >= -eps, e_p1 >= -eps), already_basic
+            ),
+            use_bland,  # Bland's first-eligible-index rule must be exact
         )
         p, min_e = jax.lax.cond(
             stale,

@@ -76,49 +76,44 @@ def trace_pivots(
     # (no donation: the initial state aliases y and c_b to the same buffer)
     step = jax.jit(lambda s: pivot_step(prob, s, options, backend))
 
+    from simplex_tpu.kernels import xla as _xla
+
     for it in range(limit):
         prev_basis = np.asarray(state.basis)
-        # recompute the step's own selections for reporting (cheap, small m/n)
-        use_bland = jnp.logical_and(
-            options.bland_after > 0, state.degen >= options.bland_after
-        )
-        if options.pricing == "devex":
-            p, min_e = backend.devex_choose(
-                state.e, state.gamma, eps_f, use_bland
-            )
-            # mirror the step's exact-termination fallback
-            A_p1 = backend.gather_column(prob.A, p).astype(dtype)
-            e_p1 = jnp.dot(state.y, A_p1) - backend.gather_cost(prob.c, p).astype(dtype)
-            if float(min_e) >= -eps_f or float(e_p1) >= -eps_f:
-                p, min_e = backend.choose_entering(
-                    state.y, prob.A, prob.c, eps_f, use_bland
-                )
-        else:
-            p, min_e = backend.choose_entering(
-                state.y, prob.A, prob.c, eps_f, use_bland
-            )
-        alpha = state.B_inv @ backend.gather_column(prob.A, p).astype(dtype)
-        ratio_fn = (
-            backend.ratio_argmin_harris
-            if options.ratio == "harris"
-            else backend.ratio_argmin
-        )
-        q, theta, unb = ratio_fn(
-            state.x_b, alpha, state.basis, options.pivot_tol, use_bland
-        )
+        prev_y = state.y
         state = step(state)
         status = SolveStatus(int(state.status))
         terminal = status != SolveStatus.RUNNING
+
+        # Derive the EXECUTED pivot from the basis transition — faithful for
+        # every pricing configuration (bf16 shadow, partial pricing, devex:
+        # they may pick a different improving column than full Dantzig).
+        # The reported min_reduced_cost is the exact masked Dantzig bound
+        # from the pre-pivot duals (the step's own optimality criterion).
+        new_basis = np.asarray(state.basis)
+        changed = np.nonzero(new_basis != prev_basis)[0]
+        if len(changed) and not terminal:
+            q = int(changed[0])
+            p = int(new_basis[q])
+            leaving = int(prev_basis[q])
+            theta = float(np.asarray(state.x_b)[q])  # x_b_new[q] = theta
+        else:
+            q = p = leaving = -1
+            theta = float("nan")
+        c_eff = _xla.mask_basic(prob.c, jnp.asarray(prev_basis))
+        _, min_e = backend.choose_entering(
+            prev_y, prob.A, c_eff, eps_f, jnp.asarray(False)
+        )
         rec = PivotRecord(
             iteration=it + 1,
-            entering=-1 if terminal else int(p),
-            leaving_row=-1 if terminal else int(q),
-            leaving=-1 if terminal else int(prev_basis[int(q)]),
+            entering=p,
+            leaving_row=q,
+            leaving=leaving,
             min_reduced_cost=float(min_e),
-            theta=float("nan") if terminal else float(theta),
+            theta=theta,
             objective=float(jnp.dot(state.c_b, state.x_b)),
             status=status,
-            basis=np.asarray(state.basis),
+            basis=new_basis,
             x_b=np.asarray(state.x_b),
         )
         yield rec

@@ -170,19 +170,36 @@ def solve_general(
     # Phase 2: true objective; artificials blocked by a large negative cost
     c2 = np.zeros(n)
     c2[:k] = c
-    if len(art_cols) > 0:
-        big = phase2_artificial_cost
-        if big is None:
-            big = -1e4 * max(1.0, float(np.abs(c).max()))
-        c2[art_cols] = big
-    r2 = solve(A_std, b, c2, basis0=basis, options=options)
+    big = phase2_artificial_cost
+    if big is None:
+        big = -1e4 * max(1.0, float(np.abs(c).max()))
+    iters2 = 0
+    art_tol = 1e-5 * max(1.0, float(np.abs(b).max()))
+    for _ in range(3):
+        if len(art_cols) > 0:
+            c2[art_cols] = big
+        r2 = solve(A_std, b, c2, basis0=basis, options=options)
+        iters2 += r2.iters
+        # an artificial re-entering at a nonzero value means the penalty was
+        # too small for this problem's duals: the "solution" would violate
+        # the original constraints by exactly that value. Escalate and
+        # re-solve from the same basis instead of reporting it as OPTIMAL.
+        art_resid = (
+            float(np.abs(r2.x[art_cols]).max()) if len(art_cols) else 0.0
+        )
+        if art_resid <= art_tol or r2.status != SolveStatus.OPTIMAL:
+            break
+        big *= 1e3
+        basis = r2.basis
+    status = r2.status
+    if status == SolveStatus.OPTIMAL and art_resid > art_tol:
+        status = SolveStatus.SINGULAR  # could not pin the artificials at 0
     x = r2.x[:k]
-    # subtract any residual artificial contribution from z (pinned at ~0)
     z = float(np.dot(c, x))
     return GeneralSolveResult(
         z=z,
         x=x,
-        status=r2.status,
-        iters=p1_iters + r2.iters,
+        status=status,
+        iters=p1_iters + iters2,
         phase1_iters=p1_iters,
     )

@@ -242,7 +242,7 @@ def solve_sharded(
 
     def shard_fn(A_loc, b_rep, c_loc, basis_rep):
         prob = Problem(A_loc.astype(dtype), b_rep.astype(dtype), c_loc.astype(dtype))
-        prob = with_pricing_shadow(prob, options.pricing_dtype)
+        prob = with_pricing_shadow(prob, options.pricing_dtype, options.pricing)
         state0 = _initial_state_sharded(
             A_loc, b_rep, c_loc, basis_rep, m, shard_width, axis_name, dtype,
             options.pricing, options.update_defer,

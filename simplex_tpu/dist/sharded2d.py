@@ -72,21 +72,30 @@ def _solve_2d_local(
     both = (ROWS_AXIS, COLS_AXIS)
 
     # ---- slack-basis init (basis columns are an identity block in A) ----
-    loc = basis_loc - col_base
-    mine = jnp.logical_and(loc >= 0, loc < n_loc)
-    c_b_loc = jax.lax.psum(
+    # The basis is row-sharded but its columns are owned anywhere on the
+    # flattened mesh, so FIRST reconstruct the full (m,) basis (one int
+    # psum over "rows"), THEN psum each slot's cost from its column owner
+    # over both axes. (Masking each group's local slots against the local
+    # column shard and psum-ing would mix slot positions across groups.)
+    basis_full0 = (
+        jax.lax.psum(
+            jnp.zeros((m,), jnp.int32)
+            .at[row_base + jnp.arange(m_loc)]
+            .set(basis_loc + 1),
+            ROWS_AXIS,
+        )
+        - 1
+    )
+    loc0 = basis_full0 - col_base
+    mine0 = jnp.logical_and(loc0 >= 0, loc0 < n_loc)
+    c_b_full = jax.lax.psum(
         jnp.where(
-            mine, jnp.take(c_loc, jnp.clip(loc, 0, n_loc - 1)), 0
+            mine0, jnp.take(c_loc, jnp.clip(loc0, 0, n_loc - 1)), 0
         ).astype(dtype),
         both,
-    )
-    # rows owned here of the replicated y = c_b (B_inv = I): need FULL c_b.
-    # basis rows are sharded over "rows"; gather full c_b by psum of the
-    # row-slot contributions.
-    y0 = jax.lax.psum(
-        jnp.zeros((m,), dtype).at[row_base + jnp.arange(m_loc)].set(c_b_loc),
-        ROWS_AXIS,
-    )
+    )  # (m,) replicated: c[basis] in row order
+    c_b_loc = jax.lax.dynamic_slice(c_b_full, (row_base,), (m_loc,))
+    y0 = c_b_full  # y = c_b @ I
     eye_rows = jnp.zeros((m_loc, m), dtype).at[
         jnp.arange(m_loc), row_base + jnp.arange(m_loc)
     ].set(1)
@@ -292,6 +301,7 @@ def _solve_2d_local(
             return jnp.where(do_pivot, new, old)
 
         out = {
+            "last_refac": s["last_refac"],
             "B_inv": sel(B_new, s["B_inv"]),
             "x_b": sel(x_new, s["x_b"]),
             "y": sel(y_new, s["y"]),
@@ -422,9 +432,11 @@ def _solve_2d_local(
             "B_inv": X,
             "x_b": x_loc,
             "y": y_new,
+            "last_refac": s["iters"],
         }
 
     state0 = {
+        "last_refac": jnp.int32(0),
         "B_inv": eye_rows,
         "x_b": jnp.take(
             b.astype(dtype), row_base + jnp.arange(m_loc)
@@ -437,6 +449,34 @@ def _solve_2d_local(
         "degen": jnp.int32(0),
     }
     final = jax.lax.while_loop(cond, body, state0)
+
+    if opts.verify_terminal:
+        # same contract as solve_state: never accept a terminal status
+        # decided from a drifted inverse — refactorize (distributed) and
+        # re-run until the decision comes from an exact one
+        def needs_verify(carry):
+            s, rounds = carry
+            return jnp.logical_and(
+                jnp.logical_and(
+                    jnp.logical_and(
+                        s["status"] != jnp.int32(SolveStatus.RUNNING),
+                        s["iters"] < max_iter,
+                    ),
+                    s["iters"] > s["last_refac"],
+                ),
+                rounds < 4,
+            )
+
+        def reverify(carry):
+            s, rounds = carry
+            s = refactorize_2d(s)
+            s = {**s, "status": jnp.int32(SolveStatus.RUNNING)}
+            return jax.lax.while_loop(cond, body, s), rounds + 1
+
+        final, _ = jax.lax.while_loop(
+            needs_verify, reverify, (final, jnp.int32(0))
+        )
+
     status = jnp.where(
         final["status"] == jnp.int32(SolveStatus.RUNNING),
         jnp.int32(SolveStatus.MAX_ITER),
@@ -463,6 +503,16 @@ def solve_sharded_2d(
     ``refactor_every`` triggers the distributed Newton-Schulz re-inversion;
     the final objective is host-verified in f64 when m <= 16384.
     """
+    if options.pricing != "dantzig":
+        raise NotImplementedError(
+            "solve_sharded_2d supports Dantzig pricing only (use the 1-D "
+            "column-sharded mode for devex)"
+        )
+    if options.update_defer > 0 or options.partial_pricing > 1:
+        raise NotImplementedError(
+            "update_defer / partial_pricing are not implemented in the 2-D "
+            "mode yet"
+        )
     A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
@@ -494,6 +544,7 @@ def solve_sharded_2d(
         )
 
     state_specs = {
+        "last_refac": P(),
         "B_inv": P(ROWS_AXIS, None),
         "x_b": P(ROWS_AXIS),
         "y": P(None),
@@ -523,13 +574,18 @@ def solve_sharded_2d(
     basis = np.asarray(final["basis"])
     x_b = np.asarray(final["x_b"])
     status = SolveStatus(int(final["status"]))
+    feas_err = float(max(0.0, -x_b.min()))
     if options.polish and status == SolveStatus.OPTIMAL and m <= 16384:
         try:
+            # exact f64 basic solution, NEVER clamped (core/solver.py): z is
+            # the objective of the true solution of A_B x = b; negativity is
+            # surfaced via feas_err, not zeroed into an A x != b 'solution'
             x64 = np.linalg.solve(
                 np.asarray(A, np.float64)[:, basis], np.asarray(b, np.float64)
             )
-            x_b = np.maximum(x64, 0.0).astype(x_b.dtype)
-            z = float(np.asarray(c, np.float64)[basis] @ np.maximum(x64, 0.0))
+            x_b = x64.astype(x_b.dtype)
+            feas_err = float(max(0.0, -x64.min()))
+            z = float(np.asarray(c, np.float64)[basis] @ x64)
         except np.linalg.LinAlgError:
             pass
     x = np.zeros(n, dtype=x_b.dtype)
@@ -541,4 +597,5 @@ def solve_sharded_2d(
         basis=basis,
         status=status,
         iters=int(final["iters"]),
+        feas_err=feas_err,
     )

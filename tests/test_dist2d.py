@@ -114,3 +114,22 @@ def test_2d_refactorization_rescues_corrupt_inverse():
     )
     assert res.status == SolveStatus.OPTIMAL
     assert res.z == pytest.approx(single.z, rel=1e-9)
+
+
+def test_2d_nonzero_slack_costs():
+    # regression: the 2-D init must source each basis slot's cost from its
+    # column OWNER (which can sit in a different rows-group) — a per-group
+    # ownership mask psum mixed slot positions across groups and was only
+    # invisible because random LPs use zero slack costs.
+    rng = np.random.default_rng(0)
+    m, n = 8, 32
+    A = np.zeros((m, n), np.float32)
+    A[:, : n - m] = rng.uniform(0.2, 1.0, (m, n - m)).astype(np.float32)
+    A[:, n - m:] = np.eye(m, dtype=np.float32)
+    b = rng.uniform(1.0, 2.0, m).astype(np.float32)
+    c = rng.standard_normal(n).astype(np.float32)
+    c[n - m:] = rng.uniform(-1.0, -0.1, m)  # NONZERO slack costs
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded_2d(A, b, c, mesh_2d(2, 2))
+    assert res.status == ref.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
