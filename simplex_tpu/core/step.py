@@ -51,6 +51,17 @@ def _dot(a, b):
     return jnp.dot(a, b, precision=_EXACT)
 
 
+def _partial_active(opts: SimplexOptions, prob: Problem) -> bool:
+    """Static decision: segmented pricing needs divisible n and segments big
+    enough to amortize the exact-recheck / dry-segment fallbacks (tiny LPs
+    were measured 2.5x SLOWER with S=8 than with full pricing)."""
+    return (
+        opts.partial_pricing > 1
+        and prob.A.shape[1] % opts.partial_pricing == 0
+        and prob.A.shape[1] // opts.partial_pricing >= 512
+    )
+
+
 def pivot_step(
     prob: Problem,
     state: SolverState,
@@ -99,10 +110,7 @@ def pivot_step(
             lambda _: (p1, min_e1),
             None,
         )
-    elif prob.A_price is not None and not (
-        opts.partial_pricing > 1
-        and prob.A.shape[1] % opts.partial_pricing == 0
-    ):
+    elif prob.A_price is not None and not _partial_active(opts, prob):
         # Mixed-precision Dantzig: price against the bf16 shadow (half the
         # HBM read), then verify the candidate's reduced cost exactly in f32
         # (O(m)). If it is not truly improving — possible only from bf16
@@ -125,7 +133,7 @@ def pivot_step(
             lambda _: (p1, e_p1),
             None,
         )
-    elif opts.partial_pricing > 1 and prob.A.shape[1] % opts.partial_pricing == 0:
+    elif _partial_active(opts, prob):
         # Segmented Dantzig: price only the (iters mod S)-th column block
         # (1/S of the O(mn) read), verify the winner exactly, and fall back
         # to one full pass when the segment is dry or Bland is active.

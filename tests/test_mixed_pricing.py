@@ -117,7 +117,9 @@ def test_bf16_shadow_attached_only_when_requested():
 
 @pytest.mark.parametrize("pricing_dtype", ["float32", "bfloat16"])
 def test_partial_pricing_matches_oracle(pricing_dtype):
-    A, b, c = random_dense_lp(16, 40, seed=19, dtype=np.float32)
+    # n/S = 512: large enough that the segmented path is actually active
+    # (see core.step._partial_active)
+    A, b, c = random_dense_lp(16, 2048, seed=19, dtype=np.float32)
     ref = solve_scipy(A, b, c)
     res = solve(
         A, b, c,
@@ -139,18 +141,28 @@ def test_partial_pricing_non_divisible_falls_back():
     assert relative_gap(res.z, ref.z) < 1e-5
 
 
-def test_partial_pricing_unbounded_and_degenerate():
-    A = np.array([[1.0, -1.0, 1.0, 0.0]], np.float32)
-    b = np.array([1.0], np.float32)
-    c = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+def test_partial_pricing_small_segment_guard():
+    from simplex_tpu.core.state import Problem
+    from simplex_tpu.core.step import _partial_active
+
+    import jax.numpy as jnp
+
+    small = Problem(jnp.ones((4, 40)), jnp.ones(4), jnp.ones(40))
+    big = Problem(jnp.ones((4, 4096)), jnp.ones(4), jnp.ones(4096))
+    opts = SimplexOptions(partial_pricing=8)
+    assert not _partial_active(opts, small)  # 5-column segments: not worth it
+    assert _partial_active(opts, big)  # 512-column segments
+
+
+def test_partial_pricing_unbounded():
+    # unbounded detection with the segmented path genuinely active
+    rng = np.random.default_rng(5)
+    m, n = 2, 2048
+    A = rng.uniform(0.1, 1.0, (m, n)).astype(np.float32)
+    A[:, 5] = [-1.0, -0.5]  # a column that can grow without bound
+    A[:, n - m:] = np.eye(m, dtype=np.float32)
+    b = np.array([1.0, 2.0], np.float32)
+    c = np.zeros(n, np.float32)
+    c[5] = 1.0
     res = solve(A, b, c, options=SimplexOptions(partial_pricing=2))
     assert res.status == SolveStatus.UNBOUNDED
-
-    A, b, c = random_dense_lp(24, 60, seed=11, dtype=np.float32, degenerate=True)
-    ref = solve_scipy(A, b, c)
-    res = solve(
-        A, b, c,
-        options=SimplexOptions(partial_pricing=3, bland_after=8, refactor_every=32),
-    )
-    assert res.status == SolveStatus.OPTIMAL
-    assert relative_gap(res.z, ref.z) < 1e-4
