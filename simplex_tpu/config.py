@@ -46,6 +46,15 @@ class SimplexOptions:
     # Re-invert the true basis every K pivots (0 = never). Amortized O(m^3/K).
     refactor_every: int = 0
 
+    # Recompute x_b = B_inv b and y = c_b B_inv from the CURRENT inverse
+    # every K pivots (0 = never): two O(m^2) matvecs, ~free amortized. The
+    # incremental O(m) updates drift over hundreds of pivots, and a drifted
+    # x_b misleads the ratio test into pivots that leave the basis slightly
+    # infeasible (observed at 16k: -8e-4 exact infeasibility at "OPTIMAL").
+    # This bounds x_b/y error by the inverse's own drift instead of the
+    # chained-update error; full refactor_every still refreshes the inverse.
+    recompute_every: int = 64
+
     # Never accept a terminal status (optimal/unbounded/singular) computed
     # from a stale product-form inverse: refactorize and re-check first.
     # Guarantees the reported optimum is exact for the final basis and that

@@ -23,7 +23,7 @@ from simplex_tpu.core.state import (
     initial_state_slack,
     with_pricing_shadow,
 )
-from simplex_tpu.core.step import pivot_step, refactorize
+from simplex_tpu.core.step import pivot_step, recompute_xy, refactorize
 from simplex_tpu.kernels.dispatch import get_backend
 from simplex_tpu.status import SolveStatus
 
@@ -67,6 +67,19 @@ def solve_state(
 
     def body(s: SolverState):
         s = pivot_step(prob, s, opts, backend)
+        if opts.recompute_every > 0:
+            due_xy = jnp.logical_and(
+                jnp.logical_and(
+                    s.iters > 0, s.iters % opts.recompute_every == 0
+                ),
+                s.status == jnp.int32(SolveStatus.RUNNING),
+            )
+            s = jax.lax.cond(
+                due_xy,
+                lambda st: recompute_xy(prob, st, opts.update_defer > 0),
+                lambda st: st,
+                s,
+            )
         if opts.refactor_every > 0:
             due = jnp.logical_and(
                 jnp.logical_and(s.iters > 0, s.iters % opts.refactor_every == 0),

@@ -402,3 +402,26 @@ def refactorize(
         )
         new = new._replace(e=e, gamma=jnp.ones_like(state.gamma))
     return new
+
+
+def recompute_xy(prob: Problem, state: SolverState, defer: bool) -> SolverState:
+    """Refresh x_b and y from the current (possibly lazy) inverse.
+
+    O(m^2) matvecs at exact precision — cheap next to a pivot, and it stops
+    the incremental O(m) updates' drift from compounding into ratio-test
+    errors. Does NOT touch the inverse itself (that is refactorize's job).
+    """
+    dtype = state.B_inv.dtype
+    b = prob.b.astype(dtype)
+    x_b = jnp.matmul(state.B_inv, b, precision=_EXACT)
+    y = jnp.matmul(state.c_b, state.B_inv, precision=_EXACT)
+    if defer:
+        x_b = x_b + jnp.matmul(
+            state.U.T, jnp.matmul(state.R, b, precision=_EXACT), precision=_EXACT
+        )
+        y = y + jnp.matmul(
+            jnp.matmul(state.c_b, state.U.T, precision=_EXACT),
+            state.R,
+            precision=_EXACT,
+        )
+    return state._replace(x_b=x_b, y=y)
