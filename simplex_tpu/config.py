@@ -47,13 +47,14 @@ class SimplexOptions:
     refactor_every: int = 0
 
     # Recompute x_b = B_inv b and y = c_b B_inv from the CURRENT inverse
-    # every K pivots (0 = never): two O(m^2) matvecs, ~free amortized. The
-    # incremental O(m) updates drift over hundreds of pivots, and a drifted
-    # x_b misleads the ratio test into pivots that leave the basis slightly
-    # infeasible (observed at 16k: -8e-4 exact infeasibility at "OPTIMAL").
-    # This bounds x_b/y error by the inverse's own drift instead of the
-    # chained-update error; full refactor_every still refreshes the inverse.
-    recompute_every: int = 64
+    # every K pivots (0 = never, the default): two O(m^2) matvecs, ~free
+    # amortized. Bounds the incremental updates' drift (which can mislead
+    # the ratio test into slightly-infeasible bases at 16k+), BUT the exact
+    # refresh resurfaces the Harris tolerance's tiny-negative x_b entries
+    # every interval, which measured 3x+ MORE pivots on a 16k devex solve
+    # (degenerate churn). Off by default; consider 256-1024 with
+    # ratio="classic" workloads if final feas_err matters more than pivots.
+    recompute_every: int = 0
 
     # Never accept a terminal status (optimal/unbounded/singular) computed
     # from a stale product-form inverse: refactorize and re-check first.
