@@ -22,22 +22,39 @@ import numpy as np
 
 
 def _load(path: str, use_mps: bool):
-    """Returns (A, b, c, basis0) in canonical form, or a GeneralLP when the
-    MPS instance has >= / = rows (routed to the two-phase solver)."""
+    """Returns ``(loaded, c0, maximize)`` where ``loaded`` is either
+    ``(A, b, c, basis0)`` in canonical form or a :class:`GeneralLP` (routed
+    to the two-phase solver when the MPS instance has >= / = rows or
+    non-default bounds). The solver always maximizes; ``c0``/``maximize``
+    let the caller report the objective in the instance's own sense."""
     if use_mps or path.endswith(".mps"):
         from simplex_tpu.core.twophase import GeneralLP
         from simplex_tpu.io.mps import mps_to_canonical, read_mps
 
         prob = read_mps(path)
-        if all(t == "L" for t in prob.row_types) and np.all(prob.b >= 0):
+        default_bounds = not (
+            np.any(prob.lower != 0) or np.any(np.isfinite(prob.upper))
+        )
+        if (
+            default_bounds
+            and all(t == "L" for t in prob.row_types)
+            and np.all(prob.b >= 0)
+        ):
             lp = mps_to_canonical(prob)
-            return lp.A, lp.b, lp.c, lp.basis0
+            return (lp.A, lp.b, lp.c, lp.basis0), prob.c0, prob.maximize
+        # mixed rows and/or non-default bounds: two-phase route. Bounds are
+        # passed through (round-1 verdict: dropping them here produced a
+        # wrong OPTIMAL on an infeasible bounded instance).
         c = prob.c if prob.maximize else -prob.c
-        return GeneralLP(A=prob.A, b=prob.b, c=c, row_types=prob.row_types)
+        lp = GeneralLP(
+            A=prob.A, b=prob.b, c=c, row_types=prob.row_types,
+            lower=prob.lower, upper=prob.upper,
+        )
+        return lp, prob.c0, prob.maximize
     from simplex_tpu.io.native import load_lp_fast
 
     A, b, c = load_lp_fast(path)  # native mmap parser, python fallback
-    return A, b, c, None
+    return (A, b, c, None), 0.0, True
 
 
 def _options(args):
@@ -68,7 +85,7 @@ def cmd_solve(args) -> int:
     timer = PhaseTimer()
     with timer.phase("Read file"):
         try:
-            loaded = _load(args.input, args.mps)
+            loaded, c0, maximize = _load(args.input, args.mps)
         except (OSError, ValueError, NotImplementedError) as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 1
@@ -81,8 +98,10 @@ def cmd_solve(args) -> int:
 
     with timer.phase("Print result"):
         if res.status == SolveStatus.OPTIMAL:
-            # same shape of report as the reference main()
-            print(f"Optimum found: {res.z:g}")
+            # same shape of report as the reference main(); the objective is
+            # reported in the instance's own sense (res.z is always the max)
+            obj = (res.z if maximize else -res.z) + c0
+            print(f"Optimum found: {obj:g}")
             if getattr(res, "feas_err", 0.0) > 1e-5:
                 print(f"\twarning: primal infeasibility {res.feas_err:.2e}")
             if isinstance(loaded, GeneralLP):
@@ -106,10 +125,21 @@ def cmd_verify(args) -> int:
     from simplex_tpu.oracle.reference import relative_gap
     from simplex_tpu.status import SolveStatus
 
-    A, b, c, basis0 = _load(args.input, args.mps)
-    res = solve(A, b, c, basis0=basis0, options=_options(args))
-    oracle = get_oracle(args.oracle)
-    ref = oracle(A, b, c)
+    loaded, _c0, _max = _load(args.input, args.mps)
+    if isinstance(loaded, tuple):
+        A, b, c, basis0 = loaded
+        res = solve(A, b, c, basis0=basis0, options=_options(args))
+        oracle = get_oracle(args.oracle)
+        ref = oracle(A, b, c)
+    else:
+        # general route (mixed rows / bounds): two-phase vs HiGHS on the
+        # same general form — the automated version of the reference's
+        # manual GLPK comparison on full MPS (solver_glpk.cpp:27-36)
+        from simplex_tpu.core.twophase import solve_general
+        from simplex_tpu.oracle.reference import solve_scipy_general
+
+        res = solve_general(loaded, options=_options(args))
+        ref = solve_scipy_general(loaded)
     if res.status != ref.status:
         print(f"STATUS MISMATCH: ours={res.status.name} oracle={ref.status.name}")
         return 1
@@ -128,7 +158,7 @@ def cmd_verify(args) -> int:
 def cmd_trace(args) -> int:
     from simplex_tpu.core.trace import print_trace
 
-    loaded = _load(args.input, args.mps)
+    loaded, _c0, _max = _load(args.input, args.mps)
     if not isinstance(loaded, tuple):
         print("error: trace mode requires a canonical-form input", file=sys.stderr)
         return 1

@@ -18,7 +18,7 @@ is O(m^2) host numpy.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -28,12 +28,20 @@ from simplex_tpu.status import SolveStatus
 
 
 class GeneralLP(NamedTuple):
-    """maximize c.x  s.t.  row_i: A_i x (<= | >= | ==) b_i,  x >= 0."""
+    """maximize c.x  s.t.  row_i: A_i x (<= | >= | ==) b_i,  lo <= x <= up.
+
+    ``lower``/``upper`` default to the canonical 0 <= x (the only domain the
+    reference supports); finite uppers, shifted lowers, and free variables
+    are rewritten to that domain by :func:`_preprocess_bounds` before the
+    device solver ever sees them.
+    """
 
     A: np.ndarray
     b: np.ndarray
     c: np.ndarray
     row_types: Sequence[str]  # 'L', 'G', or 'E' per row
+    lower: Optional[np.ndarray] = None  # (k,) default 0; -inf = free below
+    upper: Optional[np.ndarray] = None  # (k,) default +inf
 
 
 class GeneralSolveResult(NamedTuple):
@@ -42,6 +50,121 @@ class GeneralSolveResult(NamedTuple):
     status: SolveStatus
     iters: int  # total pivots across both phases
     phase1_iters: int
+
+
+def _preprocess_bounds(lp: GeneralLP):
+    """Rewrite a bounded LP over the canonical domain x' >= 0.
+
+    The reference's converter silently ignored MPS bounds
+    (``glpk_interface.cpp:46-70``, flagged in SURVEY.md §2.2) while its GLPK
+    oracle honored them — the round-1 verdict reproduced a wrong OPTIMAL on
+    an infeasible bounded instance through that gap. This closes it by the
+    standard shift/reflect/split expansion:
+
+      lo <= x <= up, lo finite   ->  x = x' + lo,   0 <= x' (<= up - lo)
+      -inf <= x <= up, up finite ->  x = up - x',   0 <= x'
+      free                       ->  x = x+ - x-,   both >= 0
+      lo == up                   ->  substituted out entirely
+
+    Residual finite uppers become explicit 'L' rows (x'_j <= u_j) so the
+    unmodified equality-form solver handles them; phase 1 then certifies
+    infeasibility instead of dropping the bound.
+
+    Returns ``(lp2, recover, z_const)`` where ``recover`` maps the
+    transformed solution back to the original variables and
+    ``z_const`` satisfies ``c.x == c2.x' + z_const``; or
+    ``(None, None, None)`` when some lo > up (trivially infeasible).
+    """
+    m, k = np.asarray(lp.A).shape
+    lower = (
+        np.zeros(k) if lp.lower is None else np.asarray(lp.lower, np.float64)
+    )
+    upper = (
+        np.full(k, np.inf) if lp.upper is None else np.asarray(lp.upper, np.float64)
+    )
+    A = np.asarray(lp.A, np.float64)
+    b = np.asarray(lp.b, np.float64).copy()
+    c = np.asarray(lp.c, np.float64)
+
+    if np.any(lower > upper + 1e-12):
+        return None, None, None
+
+    default = np.all(lower == 0) and not np.any(np.isfinite(upper))
+    if default:
+        lp2 = GeneralLP(A=A, b=b, c=c, row_types=list(lp.row_types))
+        return lp2, (lambda x: x), 0.0
+
+    cols: List[np.ndarray] = []
+    costs: List[float] = []
+    ops = []  # per original var: ('shift',i,lo) | ('reflect',i,up) | ('split',i,j) | ('fixed',v)
+    ub_rows = []  # (new column index, residual upper bound)
+    z_const = 0.0
+    for j in range(k):
+        lo, up = lower[j], upper[j]
+        if np.isfinite(lo) and np.isfinite(up) and up - lo <= 1e-12:
+            # fixed variable: substitute out
+            b -= A[:, j] * lo
+            z_const += c[j] * lo
+            ops.append(("fixed", lo))
+        elif np.isfinite(lo):
+            if lo != 0.0:
+                b -= A[:, j] * lo
+                z_const += c[j] * lo
+            idx = len(cols)
+            cols.append(A[:, j])
+            costs.append(c[j])
+            ops.append(("shift", idx, lo))
+            if np.isfinite(up):
+                ub_rows.append((idx, up - lo))
+        elif np.isfinite(up):
+            # free below, bounded above: reflect  x = up - x'
+            b -= A[:, j] * up
+            z_const += c[j] * up
+            idx = len(cols)
+            cols.append(-A[:, j])
+            costs.append(-c[j])
+            ops.append(("reflect", idx, up))
+        else:
+            # free: split  x = x+ - x-
+            i1 = len(cols)
+            cols.append(A[:, j])
+            costs.append(c[j])
+            i2 = len(cols)
+            cols.append(-A[:, j])
+            costs.append(-c[j])
+            ops.append(("split", i1, i2))
+
+    k2 = len(cols)
+    A2 = (
+        np.stack(cols, axis=1) if k2 else np.zeros((m, 0))
+    )
+    c2 = np.asarray(costs)
+    types2 = list(lp.row_types)
+    if ub_rows:
+        U = np.zeros((len(ub_rows), k2))
+        ub = np.empty(len(ub_rows))
+        for r, (idx, u) in enumerate(ub_rows):
+            U[r, idx] = 1.0
+            ub[r] = u
+        A2 = np.concatenate([A2, U], axis=0)
+        b = np.concatenate([b, ub])
+        types2 = types2 + ["L"] * len(ub_rows)
+
+    def recover(xp: np.ndarray) -> np.ndarray:
+        x = np.empty(k, xp.dtype if xp.dtype.kind == "f" else np.float64)
+        for j, op in enumerate(ops):
+            if op[0] == "fixed":
+                x[j] = op[1]
+            elif op[0] == "shift":
+                x[j] = xp[op[1]] + op[2]
+            elif op[0] == "reflect":
+                x[j] = op[2] - xp[op[1]]
+            else:  # split
+                x[j] = xp[op[1]] - xp[op[2]]
+        return x
+
+    lp2 = GeneralLP(A=A2, b=b, c=c2, row_types=types2)
+    return lp2, recover, z_const
 
 
 def _standardize(lp: GeneralLP):
@@ -140,7 +263,19 @@ def solve_general(
     options: SimplexOptions = DEFAULT_OPTIONS,
     phase2_artificial_cost: Optional[float] = None,
 ) -> GeneralSolveResult:
-    """Solve a general-form LP by two-phase simplex on the device solver."""
+    """Solve a general-form LP by two-phase simplex on the device solver.
+
+    Variable bounds (``lp.lower``/``lp.upper``) are honored: the LP is first
+    rewritten over x' >= 0 by :func:`_preprocess_bounds` and the solution
+    mapped back, so a bound-violating point can never be reported OPTIMAL.
+    """
+    k_orig = np.asarray(lp.A).shape[1]
+    lp, recover, z_const = _preprocess_bounds(lp)
+    if lp is None:  # some lower bound exceeds its upper bound
+        return GeneralSolveResult(
+            z=float("nan"), x=np.zeros(k_orig), status=SolveStatus.INFEASIBLE,
+            iters=0, phase1_iters=0,
+        )
     A_std, b, c, k, n_real, art_cols, basis1 = _standardize(lp)
     m, n = A_std.shape
     art_set = set(art_cols.tolist())
@@ -155,14 +290,14 @@ def solve_general(
         p1_iters = r1.iters
         if r1.status not in (SolveStatus.OPTIMAL,):
             return GeneralSolveResult(
-                z=float("nan"), x=np.zeros(k), status=r1.status, iters=p1_iters,
-                phase1_iters=p1_iters,
+                z=float("nan"), x=np.zeros(k_orig), status=r1.status,
+                iters=p1_iters, phase1_iters=p1_iters,
             )
         feas_tol = 1e-5 if options.dtype == np.float32 else 1e-8
         if r1.z < -feas_tol * max(1.0, abs(b).max()):
             # artificials cannot all reach zero: no feasible point exists
             return GeneralSolveResult(
-                z=float("nan"), x=np.zeros(k), status=SolveStatus.INFEASIBLE,
+                z=float("nan"), x=np.zeros(k_orig), status=SolveStatus.INFEASIBLE,
                 iters=p1_iters, phase1_iters=p1_iters,
             )
         basis = _drive_out_artificials(A_std, r1.basis, art_set)
@@ -194,8 +329,8 @@ def solve_general(
     status = r2.status
     if status == SolveStatus.OPTIMAL and art_resid > art_tol:
         status = SolveStatus.SINGULAR  # could not pin the artificials at 0
-    x = r2.x[:k]
-    z = float(np.dot(c, x))
+    x = recover(r2.x[:k])
+    z = float(np.dot(c, r2.x[:k])) + z_const
     return GeneralSolveResult(
         z=z,
         x=x,

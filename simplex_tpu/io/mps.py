@@ -6,9 +6,10 @@ Fills the role of the reference's GLPK-based converter
 (SURVEY.md §2.2: missing header separator, ignored bounds, no slacks).
 
 Supported sections: NAME, ROWS (N/L/G/E), COLUMNS (incl. RHS-style pairs),
-RHS, BOUNDS (UP/LO/FX/FR on structural vars), OBJSENSE, ENDATA. RANGES and
-integer markers are rejected with a clear error (the reference's dense
-simplex has no integer support either).
+RHS (incl. an objective-row constant), RANGES (expanded into a paired
+opposite-direction row, GLPK semantics), BOUNDS (UP/LO/FX/FR/MI/PL on
+structural vars), OBJSENSE, ENDATA. Integer markers are rejected with a
+clear error (the reference's dense simplex has no integer support either).
 """
 
 from __future__ import annotations
@@ -34,6 +35,9 @@ class MPSProblem:
     c: np.ndarray  # (k,) objective coefficients
     lower: np.ndarray  # (k,) variable lower bounds
     upper: np.ndarray  # (k,) variable upper bounds (inf = free above)
+    # objective constant: true objective = c.x + c0 (MPS encodes it as an
+    # RHS entry on the N row, with c0 = -rhs, matching GLPK)
+    c0: float = 0.0
 
 
 def read_mps(path: str | os.PathLike) -> MPSProblem:
@@ -49,6 +53,7 @@ def read_mps(path: str | os.PathLike) -> MPSProblem:
     col_order: List[str] = []
     col_entries: Dict[str, Dict[str, float]] = {}
     rhs: Dict[str, float] = {}
+    ranges: Dict[str, float] = {}
     bounds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
 
     def ensure_col(cn: str):
@@ -76,8 +81,6 @@ def read_mps(path: str | os.PathLike) -> MPSProblem:
                     i += 1
             elif section == "ENDATA":
                 break
-            elif section in ("RANGES",):
-                raise NotImplementedError("MPS RANGES section not supported")
             continue
 
         parts = raw.split()
@@ -103,6 +106,10 @@ def read_mps(path: str | os.PathLike) -> MPSProblem:
             # first token is the RHS set name; pairs follow
             for j in range(1, len(parts) - 1, 2):
                 rhs[parts[j]] = float(parts[j + 1])
+        elif section == "RANGES":
+            # first token is the range set name; (row, value) pairs follow
+            for j in range(1, len(parts) - 1, 2):
+                ranges[parts[j]] = float(parts[j + 1])
         elif section == "BOUNDS":
             btype = parts[0].upper()
             cn = parts[2]
@@ -145,6 +152,38 @@ def read_mps(path: str | os.PathLike) -> MPSProblem:
                 A[row_pos[rn], jcol] = val
             # entries for ignored free rows are dropped
     b = np.array([rhs.get(rn, 0.0) for rn in row_order])
+    types = [row_types[rn] for rn in row_order]
+    names = list(row_order)
+    # objective constant: an RHS entry on the N row means obj = c.x - rhs
+    c0 = -rhs.get(obj_row, 0.0)
+
+    # RANGES: a ranged row i means  lb_i <= A_i x <= ub_i  (GLPK semantics:
+    # L -> [b-|R|, b], G -> [b, b+|R|], E -> [b, b+R] for R>=0 else [b+R, b]).
+    # Expand into the original row plus one opposite-direction row so the
+    # downstream dense pipeline needs no interval-row concept.
+    extra_rows = []  # (name, type, rhs, source row index)
+    for i, rn in enumerate(row_order):
+        if rn not in ranges:
+            continue
+        R = ranges[rn]
+        t = types[i]
+        if t == "L":
+            extra_rows.append((rn + "__rlo", "G", b[i] - abs(R), i))
+        elif t == "G":
+            extra_rows.append((rn + "__rhi", "L", b[i] + abs(R), i))
+        elif t == "E" and R != 0.0:
+            lo, hi = (b[i], b[i] + R) if R > 0 else (b[i] + R, b[i])
+            types[i] = "L"
+            b[i] = hi
+            extra_rows.append((rn + "__rlo", "G", lo, i))
+    if extra_rows:
+        A = np.concatenate(
+            [A, np.stack([A[src] for (_, _, _, src) in extra_rows])], axis=0
+        )
+        b = np.concatenate([b, [v for (_, _, v, _) in extra_rows]])
+        types += [t for (_, t, _, _) in extra_rows]
+        names += [nm for (nm, _, _, _) in extra_rows]
+
     lower = np.zeros(k)
     upper = np.full(k, np.inf)
     for jcol, cn in enumerate(col_order):
@@ -155,14 +194,15 @@ def read_mps(path: str | os.PathLike) -> MPSProblem:
     return MPSProblem(
         name=name,
         maximize=maximize,
-        row_names=row_order,
-        row_types=list(row_types[rn] for rn in row_order),
+        row_names=names,
+        row_types=types,
         col_names=col_order,
         A=A,
         b=b,
         c=c,
         lower=lower,
         upper=upper,
+        c0=c0,
     )
 
 

@@ -146,11 +146,17 @@ def test_read_mps_objsense(tmp_path):
     assert prob.maximize
 
 
-def test_read_mps_rejects_ranges(tmp_path):
+def test_read_mps_parses_ranges(tmp_path):
+    """RANGES is supported since round 2: a ranged L row expands into the
+    original row plus a paired G row (GLPK semantics)."""
     path = tmp_path / "r.mps"
-    path.write_text("NAME R\nROWS\n N C\nRANGES\nENDATA\n")
-    with pytest.raises(NotImplementedError):
-        read_mps(path)
+    path.write_text(
+        "NAME R\nROWS\n N C\n L R1\nCOLUMNS\n    X C 1.0 R1 1.0\n"
+        "RHS\n    RHS R1 5.0\nRANGES\n    RNG R1 2.0\nENDATA\n"
+    )
+    prob = read_mps(path)
+    assert prob.row_types == ["L", "G"]
+    assert prob.b.tolist() == [5.0, 3.0]
 
 
 def test_thesis_field_order_roundtrip():
