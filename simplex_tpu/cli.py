@@ -209,7 +209,8 @@ def main(argv=None) -> int:
         p.add_argument(
             "--fast", action="store_true",
             help="shorthand for --pricing-dtype bfloat16 --update-defer 16 "
-                 "--refactor-every 1024 (the flagship TPU config)",
+                 "--partial-pricing 8 --refactor-every 1024 (the flagship "
+                 "TPU config); flags you set explicitly are kept",
         )
 
     ps = sub.add_parser("solve", help="solve an LP from a file")
@@ -243,9 +244,14 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
     if getattr(args, "fast", False):
-        args.pricing_dtype = "bfloat16"
-        args.update_defer = 16
-        args.partial_pricing = 8
+        # --fast fills in the flagship defaults but never overrides a flag
+        # the user passed explicitly (e.g. `--fast --partial-pricing 0`).
+        if args.pricing_dtype == "float32":
+            args.pricing_dtype = "bfloat16"
+        if args.update_defer == 0:
+            args.update_defer = 16
+        if args.partial_pricing == 0:
+            args.partial_pricing = 8
         if args.refactor_every == 0:
             args.refactor_every = 1024
     import jax

@@ -255,15 +255,29 @@ def solve_with_checkpoints(
                 validate_checkpoint(state, A, b)
                 state = state._replace(status=jnp.int32(SolveStatus.RUNNING))
             else:
-                # crashed before the first snapshot: restart from scratch
+                # crashed before the first snapshot: restart from the same
+                # start the initial call used — including a caller-supplied
+                # basis0 (the slack basis may be infeasible for this problem)
                 prob0 = Problem(
                     A.astype(options.dtype),
                     b.astype(options.dtype),
                     c.astype(options.dtype),
                 )
-                state = initial_state_slack(
-                    prob0, options.dtype, options.pricing, options.update_defer
-                )
+                if basis0 is not None:
+                    from simplex_tpu.core.state import initial_state
+
+                    state = initial_state(
+                        prob0,
+                        jnp.asarray(basis0, jnp.int32),
+                        options.dtype,
+                        options.pricing,
+                        options.update_defer,
+                    )
+                else:
+                    state = initial_state_slack(
+                        prob0, options.dtype, options.pricing,
+                        options.update_defer,
+                    )
             continue
         status = SolveStatus(int(state.status))
         done = status != SolveStatus.MAX_ITER or int(state.iters) >= max_iter
@@ -277,14 +291,35 @@ def solve_with_checkpoints(
             break
 
     final = jax.device_get(state)
-    z = float(np.dot(final.c_b, final.x_b))
-    x = np.zeros(n, dtype=np.asarray(final.x_b).dtype)
-    x[np.asarray(final.basis)] = np.asarray(final.x_b)
+    x_b_np = np.asarray(final.x_b)
+    basis_np = np.asarray(final.basis)
+    # Same exact-objective polish as solver.solve: re-derive x_b for the
+    # returned basis in f64 so z is the objective of the TRUE basic solution
+    # and feas_err its actual primal infeasibility (honors SolveResult's
+    # contract — the 0.0 default previously leaked into bench output).
+    if options.polish and m <= options.polish_max_m:
+        try:
+            x_b64 = np.linalg.solve(
+                np.asarray(A, np.float64)[:, basis_np],
+                np.asarray(b, np.float64),
+            )
+            feas_err = float(max(0.0, -x_b64.min()))
+            x_b_np = x_b64.astype(x_b_np.dtype)
+            z = float(np.asarray(c, np.float64)[basis_np] @ x_b64)
+        except np.linalg.LinAlgError:
+            z = float(np.dot(final.c_b, final.x_b))
+            feas_err = float(max(0.0, -x_b_np.min()))
+    else:
+        z = float(np.dot(final.c_b, final.x_b))
+        feas_err = float(max(0.0, -x_b_np.min()))
+    x = np.zeros(n, dtype=x_b_np.dtype)
+    x[basis_np] = x_b_np
     return SolveResult(
         z=z,
         x=x,
-        x_b=np.asarray(final.x_b),
-        basis=np.asarray(final.basis),
+        x_b=x_b_np,
+        basis=basis_np,
         status=SolveStatus(int(final.status)),
         iters=int(final.iters),
+        feas_err=feas_err,
     )

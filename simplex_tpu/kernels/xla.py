@@ -183,7 +183,9 @@ def ratio_argmin_harris(
     arbitrarily tiny alpha_q, whose ``1/alpha_q`` blows up the product-form
     inverse in fp32 (the reference lists division-by-small-pivot as an open
     TODO, README.md:29); Harris bounds it at the cost of O(feas_tol) primal
-    infeasibility, which refactorization's ``max(x_b, 0)`` clamp absorbs.
+    infeasibility, which the ratio test itself tolerates (it prices
+    ``max(x_b, 0)``) and which is surfaced to the caller via
+    ``SolveResult.feas_err`` rather than clamped away.
 
     Under Bland's anti-cycling rule, falls back to the classic smallest-
     basis-index tie-break (the Bland guarantee needs it).
