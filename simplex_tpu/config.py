@@ -126,14 +126,22 @@ class SimplexOptions:
     # measure time-to-optimal, not just pivots/sec. n must divide by S.
     partial_pricing: int = 0
 
+    # Segmented pricing only activates when each segment has at least this
+    # many columns: tiny segments were measured 2.5x SLOWER than full pricing
+    # (the exact-recheck / dry-segment fallbacks dominate). Lower it in tests
+    # to exercise the segmented path on small LPs.
+    partial_min_segment: int = 512
+
     # Checkpoint the solver state every K pivots into a host-side store
     # (0 = never). Used by simplex_tpu.core.checkpoint.
     checkpoint_every: int = 0
 
     # Recompute x_b and z in float64 on the host from the final basis
-    # (exact objective for the returned basis). Applied when m <= 16384;
-    # O(m^3) numpy, negligible next to the solve below that size.
+    # (exact objective for the returned basis). Applied when m <=
+    # polish_max_m; O(m^3) host numpy, so the cutoff bounds the hidden
+    # host tail (a 16k f64 solve is already seconds of single-core time).
     polish: bool = True
+    polish_max_m: int = 16384
 
     def resolve_max_iter(self, m: int, n: int) -> int:
         return self.max_iter if self.max_iter > 0 else 50 * (m + n)

@@ -192,7 +192,7 @@ def solve(
     final = jax.device_get(final)
 
     feas_err = 0.0
-    if options.polish and m <= 16384:
+    if options.polish and m <= options.polish_max_m:
         # Exact values for the returned (combinatorial) basis: re-derive
         # x_b in float64 on the host. Removes fp32 accumulation error from
         # the reported optimum without touching the device solve. NO

@@ -58,7 +58,7 @@ def _partial_active(opts: SimplexOptions, prob: Problem) -> bool:
     return (
         opts.partial_pricing > 1
         and prob.A.shape[1] % opts.partial_pricing == 0
-        and prob.A.shape[1] // opts.partial_pricing >= 512
+        and prob.A.shape[1] // opts.partial_pricing >= opts.partial_min_segment
     )
 
 

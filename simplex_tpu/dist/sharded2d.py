@@ -23,6 +23,12 @@ update, the O(m/R) vector updates — is embarrassingly parallel. This is the
 decomposition for the 32k x 131k north-star config (BASELINE.md): per-pivot
 traffic per chip falls as 1/D for pricing AND 1/R for the inverse.
 
+The full flagship recipe runs here (round-2): bf16 pricing shadow,
+segmented (partial) pricing of the local shard, deferred rank-L B_inv
+updates (U row-sharded, R replicated), and devex pricing with
+column-sharded incremental reduced costs — same exact-recheck fallbacks as
+:mod:`simplex_tpu.core.step`, so termination decisions stay exact.
+
 In-loop refactorization (``refactor_every``) runs a DISTRIBUTED
 Newton-Schulz re-inversion over the "rows" axis (see ``refactorize_2d``).
 The Harris ratio test (default) keeps the product form stable between
@@ -63,6 +69,17 @@ def _solve_2d_local(
     eps = jnp.asarray(eps_f, dtype)
     harris = opts.ratio == "harris"
     feas_tol = 1e-6
+    # flagship-config features (mirroring core/step.py; all static)
+    devex = opts.pricing == "devex"
+    defer = opts.update_defer > 0
+    L = max(opts.update_defer, 1)
+    S = opts.partial_pricing
+    partial = (
+        not devex
+        and S > 1
+        and n_loc % S == 0
+        and n_loc // S >= opts.partial_min_segment
+    )
 
     r_ix = jax.lax.axis_index(ROWS_AXIS).astype(jnp.int32)
     c_ix = jax.lax.axis_index(COLS_AXIS).astype(jnp.int32)
@@ -129,7 +146,7 @@ def _solve_2d_local(
         )
 
         # ---- pricing over the local column shard + global argmin ----
-        def local_price(Amat):
+        def local_price(Amat, cvec, base_off):
             e = (
                 jax.lax.dot_general(
                     s["y"].astype(Amat.dtype),
@@ -137,40 +154,87 @@ def _solve_2d_local(
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=dtype,
                 )
-                - c_pen
+                - cvec
             )
             j = jnp.argmin(e).astype(jnp.int32)
             neg = e < -eps
             jb = jnp.where(jnp.any(neg), jnp.argmax(neg).astype(jnp.int32), INT_MAX)
-            return e[j], col_base + j, jnp.where(
-                jb == INT_MAX, INT_MAX, col_base + jb
+            return e[j], base_off + j, jnp.where(
+                jb == INT_MAX, INT_MAX, base_off + jb
             )
 
-        if Ap_loc is not None:
-            v1, g1, _ = local_price(Ap_loc)
-            min1, p1 = _argmin_all(v1, g1, both)
-            # exact recheck of the bf16 candidate
-            own1 = jnp.logical_and(p1 >= col_base, p1 < col_base + n_loc)
-            j1 = jnp.clip(p1 - col_base, 0, n_loc - 1)
-            A_p1 = jax.lax.psum(
-                jnp.where(own1, A_loc[:, j1], 0).astype(dtype), both
+        def fetch_column(pg):
+            """Owner -> all broadcast of column pg (A_p, c_p) via psum."""
+            own_f = jnp.logical_and(pg >= col_base, pg < col_base + n_loc)
+            jf = jnp.clip(pg - col_base, 0, n_loc - 1)
+            A_pf = jax.lax.psum(
+                jnp.where(own_f, A_loc[:, jf], 0).astype(dtype), both
             )
-            c_p1 = jax.lax.psum(jnp.where(own1, c_loc[j1], 0), both)
+            c_pf = jax.lax.psum(jnp.where(own_f, c_loc[jf], 0), both)
+            return A_pf, c_pf
+
+        def exact(_):
+            v, g, gb = local_price(A_loc, c_pen, col_base)
+            mn, pd = _argmin_all(v, g, both)
+            pb = jax.lax.pmin(gb, both)
+            pp = jnp.where(use_bland, jnp.where(pb == INT_MAX, 0, pb), pd)
+            return pp.astype(jnp.int32), mn
+
+        if devex:
+            # Devex from the maintained column-sharded reduced costs: local
+            # best score e^2/gamma, then a global argmax (pmax + lowest
+            # global index). Exact recheck mirrors core/step.py: the
+            # candidate's true reduced cost is recomputed, and any staleness
+            # (incremental optimum, non-improving candidate, already-basic
+            # pick, Bland) falls back to one exact full pass.
+            neg = s["e"] < -eps
+            score = jnp.where(neg, (s["e"] * s["e"]) / s["gamma"], -jnp.inf)
+            jloc = jnp.argmax(score)
+            smax = jax.lax.pmax(score[jloc], both)
+            cand = jnp.where(
+                score[jloc] == smax, col_base + jloc.astype(jnp.int32), INT_MAX
+            )
+            p1 = jax.lax.pmin(cand, both).astype(jnp.int32)
+            min_e1 = jax.lax.pmin(jnp.min(s["e"]), both)
+            A_p1, c_p1 = fetch_column(p1)
+            e_p1 = jnp.dot(s["y"], A_p1, precision=_EXACT) - c_p1
+            already = jnp.any(basis_full == p1)
+            stale = jnp.logical_or(
+                jnp.logical_or(
+                    jnp.logical_or(min_e1 >= -eps, e_p1 >= -eps), already
+                ),
+                use_bland,
+            )
+            p, min_e = jax.lax.cond(
+                stale, exact, lambda _: (p1, e_p1), None
+            )
+        elif partial:
+            # Segmented Dantzig over the LOCAL shard: each chip prices only
+            # its (iters mod S)-th column block — 1/S of the per-chip HBM
+            # read — then the global winner is rechecked exactly.
+            w_seg = n_loc // S
+            start = (s["iters"] % S).astype(jnp.int32) * w_seg
+            A_src = Ap_loc if Ap_loc is not None else A_loc
+            A_seg = jax.lax.dynamic_slice(
+                A_src, (jnp.int32(0), start), (m, w_seg)
+            )
+            c_seg = jax.lax.dynamic_slice(c_pen, (start,), (w_seg,))
+            v1, g1, _ = local_price(A_seg, c_seg, col_base + start)
+            _min1, p1 = _argmin_all(v1, g1, both)
+            A_p1, c_p1 = fetch_column(p1)
             e_p1 = jnp.dot(s["y"], A_p1, precision=_EXACT) - c_p1
             stale = jnp.logical_or(e_p1 >= -eps, use_bland)
-
-            def exact(_):
-                v, g, gb = local_price(A_loc)
-                mn, pd = _argmin_all(v, g, both)
-                pb = jax.lax.pmin(gb, both)
-                pp = jnp.where(use_bland, jnp.where(pb == INT_MAX, 0, pb), pd)
-                return pp.astype(jnp.int32), mn
-
-            p, min_e = jax.lax.cond(
-                stale, exact, lambda _: (p1.astype(jnp.int32), e_p1), None
-            )
+            p, min_e = jax.lax.cond(stale, exact, lambda _: (p1, e_p1), None)
+        elif Ap_loc is not None:
+            v1, g1, _ = local_price(Ap_loc, c_pen, col_base)
+            _min1, p1 = _argmin_all(v1, g1, both)
+            # exact recheck of the bf16 candidate
+            A_p1, c_p1 = fetch_column(p1)
+            e_p1 = jnp.dot(s["y"], A_p1, precision=_EXACT) - c_p1
+            stale = jnp.logical_or(e_p1 >= -eps, use_bland)
+            p, min_e = jax.lax.cond(stale, exact, lambda _: (p1, e_p1), None)
         else:
-            v, g, gb = local_price(A_loc)
+            v, g, gb = local_price(A_loc, c_pen, col_base)
             min_e, p_d = _argmin_all(v, g, both)
             p_b = jax.lax.pmin(gb, both)
             p = jnp.where(
@@ -181,11 +245,18 @@ def _solve_2d_local(
         # ---- broadcast entering column (owner -> all) ----
         own = jnp.logical_and(p >= col_base, p < col_base + n_loc)
         jp = jnp.clip(p - col_base, 0, n_loc - 1)
-        A_p = jax.lax.psum(jnp.where(own, A_loc[:, jp], 0).astype(dtype), both)
-        c_p = jax.lax.psum(jnp.where(own, c_loc[jp], 0), both)
+        A_p, c_p = fetch_column(p)
 
         # ---- ftran on the local row block ----
         alpha_loc = jnp.matmul(s["B_inv"], A_p, precision=_EXACT)
+        if defer:
+            # lazy product form: true inverse rows are B_inv + U.T @ R, so
+            # the ftran gains an O(L m) correction (R replicated, U local)
+            alpha_loc = alpha_loc + jnp.matmul(
+                s["U"].T,
+                jnp.matmul(s["R"], A_p, precision=_EXACT),
+                precision=_EXACT,
+            )
 
         # ---- distributed (harris) ratio test over "rows" ----
         mask = alpha_loc > opts.pivot_tol
@@ -254,6 +325,13 @@ def _solve_2d_local(
         binv_q = jax.lax.psum(
             jnp.where(own_q, s["B_inv"][ql], 0), ROWS_AXIS
         )
+        if defer:
+            # row q of the TRUE inverse: base row + pending corrections
+            # (u_q = column ql of the local U block, broadcast by its owner)
+            u_q = jax.lax.psum(
+                jnp.where(own_q, s["U"][:, ql], 0), ROWS_AXIS
+            )
+            binv_q = binv_q + jnp.matmul(u_q, s["R"], precision=_EXACT)
 
         # ---- local rank-1 update + vector updates ----
         eta_loc = -alpha_loc * inv_aq
@@ -262,7 +340,43 @@ def _solve_2d_local(
             inv_aq - 1,
             eta_loc,
         )
-        B_new = s["B_inv"] + eta_loc[:, None] * binv_q[None, :]
+        if defer:
+            # append the (eta, binv_q) pair; flush as ONE rank-L GEMM when
+            # the buffer fills (appending a zero pair on non-pivot steps is
+            # a harmless rank-0 update, mirroring core/step.py)
+            eta_pend = jnp.where(do_pivot, eta_loc, jnp.zeros_like(eta_loc))
+            row_pend = jnp.where(do_pivot, binv_q, jnp.zeros_like(binv_q))
+            U_new = jax.lax.dynamic_update_index_in_dim(
+                s["U"], eta_pend, s["npend"], axis=0
+            )
+            R_new = jax.lax.dynamic_update_index_in_dim(
+                s["R"], row_pend, s["npend"], axis=0
+            )
+            npend_new = s["npend"] + jnp.where(
+                do_pivot, jnp.int32(1), jnp.int32(0)
+            )
+
+            def _flush(args):
+                B, U, R = args
+                return (
+                    B + jnp.matmul(U.T, R, precision=_EXACT),
+                    jnp.zeros_like(U),
+                    jnp.zeros_like(R),
+                    jnp.int32(0),
+                )
+
+            def _keep(args):
+                B, U, R = args
+                return B, U, R, npend_new
+
+            B_new, U_new, R_new, npend_new = jax.lax.cond(
+                npend_new >= opts.update_defer,
+                _flush,
+                _keep,
+                (s["B_inv"], U_new, R_new),
+            )
+        else:
+            B_new = s["B_inv"] + eta_loc[:, None] * binv_q[None, :]
         # update from the TRUE x_b, never the ratio test's clamped copy
         # (clamping breaks A_B x_b = b and compounds; see core/step.py)
         x_new = s["x_b"] - th * alpha_loc
@@ -277,6 +391,25 @@ def _solve_2d_local(
         basis_new = jnp.where(
             jnp.logical_and(own_q, jnp.arange(m_loc) == ql), p, s["basis"]
         )
+
+        if devex:
+            # incremental reduced costs + Devex weights over the local
+            # column shard: w = rho.A with rho the updated pivot row (exact
+            # f32 — see kernels.xla.pricing_update). O(m n_loc) per chip,
+            # same traffic class as the pricing pass it replaces.
+            rho = binv_q * inv_aq
+            w_loc = jnp.matmul(rho, A_loc, precision=_EXACT)
+            e_dx = s["e"] - e_p * w_loc
+            gamma_p = jax.lax.psum(
+                jnp.where(own, s["gamma"][jp], 0), both
+            )
+            gamma_dx = jnp.clip(
+                jnp.maximum(
+                    s["gamma"], (w_loc * w_loc) * jnp.maximum(gamma_p, 1)
+                ),
+                1.0,
+                1e30,
+            )
 
         status_new = jnp.where(
             optimal,
@@ -302,7 +435,9 @@ def _solve_2d_local(
 
         out = {
             "last_refac": s["last_refac"],
-            "B_inv": sel(B_new, s["B_inv"]),
+            # defer mode: the flush cond only fires on pivot steps, and
+            # non-pivot steps appended rank-0 pairs, so no select needed
+            "B_inv": B_new if defer else sel(B_new, s["B_inv"]),
             "x_b": sel(x_new, s["x_b"]),
             "y": sel(y_new, s["y"]),
             "c_b": sel(cb_new, s["c_b"]),
@@ -311,6 +446,13 @@ def _solve_2d_local(
             "status": status_new,
             "degen": jnp.where(do_pivot, degen_new, s["degen"]),
         }
+        if defer:
+            out["U"] = U_new
+            out["R"] = R_new
+            out["npend"] = npend_new
+        if devex:
+            out["e"] = sel(e_dx, s["e"])
+            out["gamma"] = sel(gamma_dx, s["gamma"])
         if opts.refactor_every > 0:
             due = jnp.logical_and(
                 jnp.logical_and(
@@ -373,8 +515,11 @@ def _solve_2d_local(
                 X_loc, 2 * jnp.eye(m, dtype=dtype) - Y_full, precision=_EXACT
             )
 
-        # seed 1: the drifted product-form inverse
+        # seed 1: the drifted product-form inverse (pending deferred pairs
+        # folded in — exact telescoping, same as core/step.refactorize)
         X = s["B_inv"]
+        if defer:
+            X = X + jnp.matmul(s["U"].T, s["R"], precision=_EXACT)
         Y = bx(X)
         r0 = resid_of(Y)
         # seed 2 (rescue): Pan-Schreiber scaled transpose. My rows of B.T
@@ -427,13 +572,29 @@ def _solve_2d_local(
         y_new = jax.lax.psum(
             jnp.matmul(s["c_b"], X, precision=_EXACT), ROWS_AXIS
         )
-        return {
+        out = {
             **s,
             "B_inv": X,
             "x_b": x_loc,
             "y": y_new,
             "last_refac": s["iters"],
         }
+        if defer:
+            # pending updates subsumed by the exact re-inversion
+            out["U"] = jnp.zeros_like(s["U"])
+            out["R"] = jnp.zeros_like(s["R"])
+            out["npend"] = jnp.int32(0)
+        if devex:
+            # exact incremental reduced costs + the standard Devex restart
+            out["e"] = (
+                jax.lax.dot_general(
+                    y_new, A_loc, (((0,), (0,)), ((), ())),
+                    precision=_EXACT,
+                )
+                - c_loc
+            )
+            out["gamma"] = jnp.ones_like(s["gamma"])
+        return out
 
     state0 = {
         "last_refac": jnp.int32(0),
@@ -448,6 +609,18 @@ def _solve_2d_local(
         "status": jnp.int32(SolveStatus.RUNNING),
         "degen": jnp.int32(0),
     }
+    if defer:
+        state0["U"] = jnp.zeros((L, m_loc), dtype)
+        state0["R"] = jnp.zeros((L, m), dtype)
+        state0["npend"] = jnp.int32(0)
+    if devex:
+        state0["e"] = (
+            jax.lax.dot_general(
+                y0, A_loc, (((0,), (0,)), ((), ())), precision=_EXACT
+            )
+            - c_loc
+        )
+        state0["gamma"] = jnp.ones((n_loc,), dtype)
     final = jax.lax.while_loop(cond, body, state0)
 
     if opts.verify_terminal:
@@ -503,16 +676,6 @@ def solve_sharded_2d(
     ``refactor_every`` triggers the distributed Newton-Schulz re-inversion;
     the final objective is host-verified in f64 when m <= 16384.
     """
-    if options.pricing != "dantzig":
-        raise NotImplementedError(
-            "solve_sharded_2d supports Dantzig pricing only (use the 1-D "
-            "column-sharded mode for devex)"
-        )
-    if options.update_defer > 0 or options.partial_pricing > 1:
-        raise NotImplementedError(
-            "update_defer / partial_pricing are not implemented in the 2-D "
-            "mode yet"
-        )
     A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
@@ -554,6 +717,15 @@ def solve_sharded_2d(
         "status": P(),
         "degen": P(),
     }
+    if options.update_defer > 0:
+        # U rows are eta vectors sharded like B_inv's rows; R is replicated
+        state_specs["U"] = P(None, ROWS_AXIS)
+        state_specs["R"] = P(None, None)
+        state_specs["npend"] = P()
+    if options.pricing == "devex":
+        # incremental reduced costs / weights share the column sharding
+        state_specs["e"] = P((ROWS_AXIS, COLS_AXIS))
+        state_specs["gamma"] = P((ROWS_AXIS, COLS_AXIS))
     fn = jax.jit(
         jax.shard_map(
             shard_fn,
@@ -575,7 +747,7 @@ def solve_sharded_2d(
     x_b = np.asarray(final["x_b"])
     status = SolveStatus(int(final["status"]))
     feas_err = float(max(0.0, -x_b.min()))
-    if options.polish and status == SolveStatus.OPTIMAL and m <= 16384:
+    if options.polish and status == SolveStatus.OPTIMAL and m <= options.polish_max_m:
         try:
             # exact f64 basic solution, NEVER clamped (core/solver.py): z is
             # the objective of the true solution of A_B x = b; negativity is

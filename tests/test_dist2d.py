@@ -133,3 +133,80 @@ def test_2d_nonzero_slack_costs():
     res = solve_sharded_2d(A, b, c, mesh_2d(2, 2))
     assert res.status == ref.status == SolveStatus.OPTIMAL
     assert relative_gap(res.z, ref.z) < 1e-5
+
+
+@pytest.mark.parametrize("L", [4, 16])
+def test_2d_update_defer(L):
+    """Deferred rank-L updates in 2-D match the oracle (verdict item #2)."""
+    m, n = 16, 64
+    A, b, c = random_dense_lp(m, n, seed=11, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded_2d(
+        A, b, c, mesh_2d(2, 2),
+        options=SimplexOptions(update_defer=L),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_2d_partial_pricing():
+    """Segmented pricing over the local shard, small segment floor so the
+    path actually activates at test size."""
+    m, n = 16, 64
+    A, b, c = random_dense_lp(m, n, seed=12, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded_2d(
+        A, b, c, mesh_2d(2, 2),
+        options=SimplexOptions(partial_pricing=2, partial_min_segment=4),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_2d_devex():
+    """Devex pricing in 2-D: incremental column-sharded reduced costs."""
+    m, n = 16, 64
+    A, b, c = random_dense_lp(m, n, seed=13, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded_2d(
+        A, b, c, mesh_2d(2, 2),
+        options=SimplexOptions(pricing="devex"),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_2d_flagship_config():
+    """The full flagship recipe (bf16 pricing + deferred updates + partial
+    pricing + refactorization) now runs in the 2-D mode — the combination
+    the 32k x 131k north-star config needs (BASELINE.json configs[4])."""
+    m, n = 16, 64
+    A, b, c = random_dense_lp(m, n, seed=15, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded_2d(
+        A, b, c, mesh_2d(2, 2),
+        options=SimplexOptions(
+            pricing_dtype="bfloat16",
+            update_defer=8,
+            partial_pricing=2,
+            partial_min_segment=4,
+            refactor_every=32,
+        ),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+    np.testing.assert_allclose(A @ res.x, b, atol=1e-3)
+
+
+def test_2d_devex_with_defer_and_refactor():
+    m, n = 16, 32
+    A, b, c = random_dense_lp(m, n, seed=16, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded_2d(
+        A, b, c, mesh_2d(2, 2),
+        options=SimplexOptions(
+            pricing="devex", update_defer=4, refactor_every=16
+        ),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
