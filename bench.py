@@ -56,12 +56,20 @@ def main() -> None:
     ap.add_argument("--partial-pricing", type=int, default=8)
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     ap.add_argument(
-        "--mode", default="single", choices=["single", "batch", "full"],
+        "--mode", default="single", choices=["single", "batch", "full", "parity"],
         help="single = one large LP, fixed pivot budget (the headline); "
              "batch = vmap-batched independent small LPs; full = solve one "
-             "large LP to OPTIMAL and report time-to-optimal",
+             "large LP to OPTIMAL and report time-to-optimal (with the "
+             "oracle gap in the JSON line); parity = same solve but the "
+             "metric IS the relative objective gap vs HiGHS (the "
+             "BASELINE.json 1e-6 correctness gate, machine-checked at "
+             "benchmark scale)",
     )
     ap.add_argument("--batch", type=int, default=4096, help="batch-mode LP count")
+    ap.add_argument(
+        "--no-oracle", action="store_true",
+        help="full mode: skip the host HiGHS parity solve (minutes at 8k+)",
+    )
     args = ap.parse_args()
     if args.small:
         args.m, args.n = 512, 1024
@@ -75,8 +83,8 @@ def main() -> None:
     if args.mode == "batch":
         bench_batch(args)
         return
-    if args.mode == "full":
-        bench_full(args)
+    if args.mode in ("full", "parity"):
+        bench_full(args, parity_metric=args.mode == "parity")
         return
 
     m, n, k = args.m, args.n, args.pivots
@@ -119,10 +127,25 @@ def main() -> None:
     dt = time.time() - t0
     iters = int(final.iters)
     pps = iters / dt if dt > 0 else float("nan")
-    traffic_gb = iters * (4.0 * (m * n + 3 * m * m)) / 1e9
+    # Two traffic figures (round-1 verdict: don't let the naive-equivalent
+    # number read as a hardware measurement — it can exceed the physical
+    # roofline precisely because the flagship config avoids moving those
+    # bytes):
+    #   naive-equivalent: what a v4-shaped solver (full fp32 pricing + eager
+    #     rank-1 update) would have had to move for the same pivots;
+    #   actual (config-aware estimate): bf16 shadow reads 2 bytes/elem,
+    #     partial pricing reads 1/S of the columns, deferred updates move
+    #     B_inv once per L pivots (r+w) while the ftran still reads it.
+    naive_gb = iters * (4.0 * (m * n + 3 * m * m)) / 1e9
+    price_bytes = (2.0 if opts.pricing_dtype == "bfloat16" else 4.0) * m * n
+    if opts.partial_pricing > 1:
+        price_bytes /= opts.partial_pricing
+    upd_bytes = 4.0 * m * m * (2.0 / max(opts.update_defer, 1))
+    actual_gb = iters * (price_bytes + 4.0 * m * m + upd_bytes) / 1e9
     log(
         f"{iters} pivots in {dt:.3f}s -> {pps:.1f} pivots/s; "
-        f"~{traffic_gb/dt:.0f} GB/s effective HBM traffic"
+        f"~{actual_gb/dt:.0f} GB/s actual HBM traffic (config-aware est.), "
+        f"{naive_gb/dt:.0f} GB/s naive-equivalent (work avoided counts)"
     )
 
     print(
@@ -137,10 +160,16 @@ def main() -> None:
     )
 
 
-def bench_full(args) -> None:
+def bench_full(args, parity_metric: bool = False) -> None:
     """Solve one LP to OPTIMAL; metric = wall seconds to optimum (excluding
     problem generation; including compile — chunked via the checkpoint
-    driver so the number survives worker hiccups)."""
+    driver so the number survives worker hiccups).
+
+    Unless --no-oracle, the SAME instance is then solved by HiGHS in f64 on
+    the host and the relative objective gap goes into the JSON line — the
+    BASELINE.json 1e-6 correctness gate, machine-checked at benchmark scale
+    (round-1 verdict item #3: the 9-digit parity claims were prose only).
+    With ``parity_metric`` the gap IS the reported metric."""
     import tempfile
 
     import jax
@@ -171,21 +200,45 @@ def bench_full(args) -> None:
     log(
         f"{res.status.name} z={res.z:.8f} iters={res.iters} "
         f"feasibility(min x_b)={-res.feas_err:.2e}"
-        if hasattr(res, "feas_err")
-        else f"{res.status.name} z={res.z:.8f} iters={res.iters}"
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"seconds_to_optimal_dense_{m}x{n}_fp32",
-                "value": round(dt, 2),
-                "unit": "seconds",
-                "vs_baseline": round((res.iters * 0.0115) / dt, 2),
-                # baseline: reference roofline 87 pivots/s -> 11.5 ms/pivot
-                # for the same pivot count
-            }
-        )
-    )
+
+    gap = None
+    if not args.no_oracle:
+        from simplex_tpu.oracle.reference import relative_gap, solve_scipy
+
+        log(f"oracle: HiGHS f64 on the same {m}x{n} instance (host)...")
+        t1 = time.time()
+        ref = solve_scipy(A, b, c)
+        log(f"oracle: {ref.status.name} z={ref.z} in {time.time()-t1:.0f}s")
+        if ref.z is not None:
+            gap = relative_gap(res.z, ref.z)
+            log(
+                f"rel_gap={gap:.3e} "
+                f"({'OK' if gap < 1e-6 else 'FAIL'} @ 1e-6 gate)"
+            )
+
+    if parity_metric:
+        record = {
+            "metric": f"oracle_rel_gap_dense_{m}x{n}_fp32",
+            "value": float(f"{gap:.3e}") if gap is not None else None,
+            "unit": "relative_gap",
+            # fraction of the 1e-6 BASELINE gate consumed (<1 passes)
+            "vs_baseline": round(gap / 1e-6, 4) if gap is not None else None,
+            "seconds_to_optimal": round(dt, 2),
+            "pivots": res.iters,
+        }
+    else:
+        record = {
+            "metric": f"seconds_to_optimal_dense_{m}x{n}_fp32",
+            "value": round(dt, 2),
+            "unit": "seconds",
+            "vs_baseline": round((res.iters * 0.0115) / dt, 2),
+            # baseline: reference roofline 87 pivots/s -> 11.5 ms/pivot
+            # for the same pivot count
+        }
+        if gap is not None:
+            record["rel_gap_vs_highs"] = float(f"{gap:.3e}")
+    print(json.dumps(record))
 
 
 def bench_batch(args) -> None:
