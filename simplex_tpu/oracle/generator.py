@@ -47,3 +47,111 @@ def random_dense_lp(
         b[: m // 2] = b[0]
         c[: max(1, k // 4)] = c[0]
     return A, b, c
+
+
+# ---------------------------------------------------------------------------
+# Structured (non-random-dense) instances — round-1 verdict item #5: the
+# parity evidence was entirely uniform-random benign LPs; these reproduce the
+# structure classes real MPS workloads have (network flow, assignment
+# degeneracy, bounded production planning) with HiGHS as the oracle.
+# ---------------------------------------------------------------------------
+
+
+def transportation_lp(ns: int, nd: int, seed: int = 0, balanced: bool = True):
+    """Transportation problem as a GeneralLP (maximize -cost).
+
+    ns supply rows (<=), nd demand rows (>=), ns*nd shipment variables.
+    ``balanced=True`` makes total supply == total demand — every basic
+    feasible solution is then degenerate (the classic stress test for
+    anti-cycling; netlib's transportation-derived instances share it).
+    """
+    from simplex_tpu.core.twophase import GeneralLP
+
+    rng = np.random.default_rng(seed)
+    supply = rng.integers(10, 50, size=ns).astype(np.float64)
+    demand = rng.integers(5, 40, size=nd).astype(np.float64)
+    if balanced:
+        # scale demand to exactly match supply (keep integers for exact ties)
+        total_s = supply.sum()
+        demand = np.floor(demand * total_s / demand.sum())
+        demand[0] += total_s - demand.sum()
+    else:
+        # ensure feasibility: total supply >= total demand
+        excess = demand.sum() - supply.sum()
+        if excess > 0:
+            supply[0] += excess + 1
+    cost = rng.integers(1, 20, size=(ns, nd)).astype(np.float64)
+
+    k = ns * nd
+    A = np.zeros((ns + nd, k))
+    for i in range(ns):
+        A[i, i * nd : (i + 1) * nd] = 1.0  # sum_j x_ij <= supply_i
+    for j in range(nd):
+        A[ns + j, j::nd] = 1.0  # sum_i x_ij >= demand_j
+    b = np.concatenate([supply, demand])
+    c = -cost.ravel()  # maximize negative cost == minimize cost
+    row_types = ["L"] * ns + ["G"] * nd
+    return GeneralLP(A=A, b=b, c=c, row_types=row_types)
+
+
+def assignment_lp(n: int, seed: int = 0):
+    """n x n assignment problem — maximally degenerate network LP.
+
+    Every extreme point has 2n-1 basic variables of which n-1 are zero, so
+    simplex takes long runs of degenerate pivots (exercises the Bland
+    fallback on a structure random dense LPs never produce).
+    """
+    from simplex_tpu.core.twophase import GeneralLP
+
+    rng = np.random.default_rng(seed)
+    cost = rng.integers(1, 30, size=(n, n)).astype(np.float64)
+    k = n * n
+    A = np.zeros((2 * n, k))
+    for i in range(n):
+        A[i, i * n : (i + 1) * n] = 1.0  # rows: sum_j x_ij = 1
+        A[n + i, i::n] = 1.0  # cols: sum_i x_ij = 1
+    b = np.ones(2 * n)
+    return GeneralLP(A=A, b=b, c=-cost.ravel(), row_types=["E"] * 2 * n)
+
+
+def production_lp(n_products: int, n_resources: int, seed: int = 0):
+    """Bounded production planning: max profit, resource rows, per-product
+    capacity bounds (finite uppers — exercises the bounds pipeline), a few
+    contractual minimums (shifted lowers)."""
+    from simplex_tpu.core.twophase import GeneralLP
+
+    rng = np.random.default_rng(seed)
+    A = rng.uniform(0.5, 3.0, size=(n_resources, n_products))
+    b = rng.uniform(20.0, 60.0, size=n_resources) * n_products / 4
+    profit = rng.uniform(1.0, 10.0, size=n_products)
+    upper = rng.uniform(2.0, 15.0, size=n_products)
+    lower = np.zeros(n_products)
+    # contractual minimums on the first quarter of products (kept small so
+    # the instance stays feasible)
+    nq = max(1, n_products // 4)
+    lower[:nq] = rng.uniform(0.1, 0.8, size=nq)
+    return GeneralLP(
+        A=A, b=b, c=profit, row_types=["L"] * n_resources,
+        lower=lower, upper=upper,
+    )
+
+
+def beale_cycling_lp():
+    """Beale's classic cycling example (canonical form, maximize).
+
+    Dantzig pricing with exact ratio ties cycles forever on this LP; it
+    terminates only via an anti-cycling rule. Optimum 0.05 at
+    x = (1/25, 0, 1, 0) for max 3/4 x1 - 150 x2 + 1/50 x3 - 6 x4.
+    Reference: Beale (1955); the reference solver would cycle here (its
+    MAX_ITER=5 debug cap hid the issue — SURVEY.md §7 'hard parts').
+    """
+    A = np.array(
+        [
+            [0.25, -60.0, -1.0 / 25.0, 9.0, 1.0, 0.0, 0.0],
+            [0.5, -90.0, -1.0 / 50.0, 3.0, 0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+    b = np.array([0.0, 0.0, 1.0])
+    c = np.array([0.75, -150.0, 1.0 / 50.0, -6.0, 0.0, 0.0, 0.0])
+    return A, b, c

@@ -1,0 +1,135 @@
+"""Structured-instance corpus: non-random LPs vs the HiGHS oracle.
+
+Round-1 verdict item #5: parity evidence was entirely uniform-random dense
+LPs. This sweep covers the structure classes real MPS workloads have —
+network flow (transportation), maximal degeneracy (assignment), bounded
+production planning, Beale's cycling LP, and netlib-format MPS fixtures
+with BOUNDS / RANGES / free variables / an objective constant — every one
+checked against scipy/HiGHS at the BASELINE 1e-6 gate (the automated
+version of the reference's manual GLPK runs, ``solver_glpk.cpp:27-36``).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplex_tpu.config import SimplexOptions
+from simplex_tpu.core.twophase import GeneralLP, solve_general
+from simplex_tpu.io.mps import read_mps
+from simplex_tpu.oracle.generator import (
+    assignment_lp,
+    beale_cycling_lp,
+    production_lp,
+    transportation_lp,
+)
+from simplex_tpu.oracle.reference import relative_gap, solve_scipy_general
+from simplex_tpu.status import SolveStatus
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+F64 = SimplexOptions(dtype=jnp.float64)
+
+
+def assert_parity(lp: GeneralLP, gap=1e-6, options=F64):
+    ours = solve_general(lp, options=options)
+    ref = solve_scipy_general(lp)
+    assert ours.status == ref.status, (ours.status, ref.status)
+    if ref.status == SolveStatus.OPTIMAL:
+        assert relative_gap(ours.z, ref.z) < gap, (ours.z, ref.z)
+    return ours
+
+
+@pytest.mark.parametrize("ns,nd,seed", [(4, 3, 0), (6, 5, 1), (8, 6, 2)])
+def test_transportation_balanced(ns, nd, seed):
+    # balanced: every BFS is degenerate — long degenerate pivot runs
+    assert_parity(transportation_lp(ns, nd, seed=seed, balanced=True))
+
+
+def test_transportation_unbalanced():
+    assert_parity(transportation_lp(5, 4, seed=3, balanced=False))
+
+
+@pytest.mark.parametrize("n,seed", [(4, 0), (6, 1)])
+def test_assignment(n, seed):
+    res = assert_parity(assignment_lp(n, seed=seed))
+    # assignment optima are integral permutations
+    x = np.round(res.x.reshape(n, n))
+    assert np.all(x.sum(axis=0) == 1) and np.all(x.sum(axis=1) == 1)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_production_bounded(seed):
+    res = assert_parity(production_lp(12, 6, seed=seed))
+    assert res.status == SolveStatus.OPTIMAL
+
+
+def test_beale_cycling_terminates():
+    """Beale's cycling LP: Dantzig with exact ties cycles; the Bland
+    fallback (bland_after) must terminate it at the true optimum 0.05."""
+    from simplex_tpu.core.solver import solve
+
+    A, b, c = beale_cycling_lp()
+    res = solve(
+        A, b, c,
+        options=SimplexOptions(dtype=jnp.float64, bland_after=8),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert abs(res.z - 0.05) < 1e-9
+
+
+def test_beale_classic_ratio_also_terminates():
+    # the classic (non-Harris) ratio test path on the same cycler
+    from simplex_tpu.core.solver import solve
+
+    A, b, c = beale_cycling_lp()
+    res = solve(
+        A, b, c,
+        options=SimplexOptions(
+            dtype=jnp.float64, ratio="classic", bland_after=8
+        ),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert abs(res.z - 0.05) < 1e-9
+
+
+def _mps_general(path):
+    prob = read_mps(path)
+    c = prob.c if prob.maximize else -prob.c
+    return prob, GeneralLP(
+        A=prob.A, b=prob.b, c=c, row_types=prob.row_types,
+        lower=prob.lower, upper=prob.upper,
+    )
+
+
+@pytest.mark.parametrize(
+    "fixture",
+    ["prod_bounded.mps", "blend_ranges.mps", "transport2x3.mps", "freevar_mi.mps"],
+)
+def test_mps_fixture_parity(fixture):
+    prob, lp = _mps_general(os.path.join(DATA, fixture))
+    assert_parity(lp)
+
+
+def test_transport_fixture_known_optimum():
+    prob, lp = _mps_general(os.path.join(DATA, "transport2x3.mps"))
+    res = solve_general(lp, options=F64)
+    assert res.status == SolveStatus.OPTIMAL
+    assert abs(-res.z - 41.0) < 1e-9  # min-cost 41 (header comment)
+
+
+def test_fixture_bounds_respected():
+    prob, lp = _mps_general(os.path.join(DATA, "prod_bounded.mps"))
+    res = solve_general(lp, options=F64)
+    assert res.status == SolveStatus.OPTIMAL
+    # FX bound pins P4 at 2.5; LO bound keeps P2 >= 1
+    assert abs(res.x[3] - 2.5) < 1e-9
+    assert res.x[1] >= 1 - 1e-9
+
+
+def test_fixture_objective_constant():
+    prob, lp = _mps_general(os.path.join(DATA, "blend_ranges.mps"))
+    assert prob.maximize and prob.c0 == 5.0
+    res = solve_general(lp, options=F64)
+    ref = solve_scipy_general(lp)
+    assert relative_gap(res.z, ref.z) < 1e-9
