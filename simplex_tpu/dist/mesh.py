@@ -45,8 +45,11 @@ def initialize_multihost(
     part of the framework surface; on a single-host pod slice it is a no-op
     (TPU autodetection fills the arguments in real deployments).
     """
-    if jax.process_count() > 1:
+    # NOTE: do not probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run.
+    if jax.distributed.is_initialized():
         return  # already initialized
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -54,5 +57,9 @@ def initialize_multihost(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # single-process run (tests, one-chip dev box): nothing to do
+        if explicit:
+            # the caller asked for a specific rendezvous: failing to join it
+            # must not degrade silently into a single-process run
+            raise
+        # no-arg autodetect on a single-process dev box: nothing to do
         pass
