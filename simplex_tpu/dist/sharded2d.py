@@ -290,8 +290,13 @@ def _solve_2d_local(
                 jnp.where(theta == tmin, row_base + jnp.arange(m_loc), INT_MAX)
             )
             q_main = jax.lax.pmin(i_loc, ROWS_AXIS)
-        # Bland: smallest basis index among near-minimal ratios
-        tie = theta <= tmin * (1 + 1e-6) + 1e-12
+        # Bland: smallest basis index among rows attaining the minimum ratio.
+        # Bland's anti-cycling guarantee is proven for rows attaining the
+        # EXACT minimum ratio; all theta here come from one expression, so
+        # exact equality selects precisely the argmin tie set (a tolerance
+        # band could admit a non-minimal row and break feasibility
+        # monotonicity).
+        tie = theta == tmin
         bmin = jax.lax.pmin(
             jnp.min(jnp.where(tie, s["basis"], INT_MAX)), ROWS_AXIS
         )

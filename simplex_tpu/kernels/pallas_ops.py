@@ -172,7 +172,11 @@ def _ratio_kernel(
     tmin = jnp.min(theta)
     idx = jax.lax.broadcasted_iota(jnp.int32, theta.shape, 1)
     q_plain = jnp.min(jnp.where(theta == tmin, idx, INT_MAX))
-    tie = theta <= tmin * (1 + 1e-6) + 1e-12
+    # Bland's anti-cycling guarantee is proven for rows attaining the
+    # EXACT minimum ratio; all theta here come from one expression, so exact
+    # equality selects precisely the argmin tie set (a tolerance band could
+    # admit a non-minimal row and break feasibility monotonicity).
+    tie = theta == tmin
     big = jnp.where(tie, basis_ref[:], INT_MAX)
     bmin = jnp.min(big)
     q_bland = jnp.min(jnp.where(big == bmin, idx, INT_MAX))
@@ -247,7 +251,11 @@ def _ratio_eta_kernel(
     else:
         q_main = jnp.min(jnp.where(theta == tmin, idx, INT_MAX))
 
-    tie = theta <= tmin * (1 + 1e-6) + 1e-12
+    # Bland's anti-cycling guarantee is proven for rows attaining the
+    # EXACT minimum ratio; all theta here come from one expression, so exact
+    # equality selects precisely the argmin tie set (a tolerance band could
+    # admit a non-minimal row and break feasibility monotonicity).
+    tie = theta == tmin
     big = jnp.where(tie, basis_ref[:], INT_MAX)
     bmin = jnp.min(big)
     q_bland = jnp.min(jnp.where(big == bmin, idx, INT_MAX))

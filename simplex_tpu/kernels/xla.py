@@ -157,7 +157,11 @@ def ratio_argmin(
     tmin = jnp.min(theta)
     q_plain = jnp.argmin(theta)
     # Bland tie-break: among rows attaining ~tmin, smallest basis index.
-    tie = theta <= tmin * (1 + 1e-6) + 1e-12
+    # Bland's anti-cycling guarantee is proven for rows attaining the
+    # EXACT minimum ratio; all theta here come from one expression, so exact
+    # equality selects precisely the argmin tie set (a tolerance band could
+    # admit a non-minimal row and break feasibility monotonicity).
+    tie = theta == tmin
     big = jnp.iinfo(jnp.int32).max
     q_bland = jnp.argmin(jnp.where(tie, basis, big))
     q = jnp.where(use_bland, q_bland, q_plain).astype(jnp.int32)
@@ -204,7 +208,11 @@ def ratio_argmin_harris(
     q_harris = jnp.argmax(jnp.where(ok, alpha, -inf))
     # classic + Bland path (exact smallest ratio, smallest basis index ties)
     tmin = jnp.min(theta)
-    tie = theta <= tmin * (1 + 1e-6) + 1e-12
+    # Bland's anti-cycling guarantee is proven for rows attaining the
+    # EXACT minimum ratio; all theta here come from one expression, so exact
+    # equality selects precisely the argmin tie set (a tolerance band could
+    # admit a non-minimal row and break feasibility monotonicity).
+    tie = theta == tmin
     big = jnp.iinfo(jnp.int32).max
     q_bland = jnp.argmin(jnp.where(tie, basis, big))
     q = jnp.where(use_bland, q_bland, q_harris).astype(jnp.int32)
