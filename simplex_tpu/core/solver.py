@@ -159,6 +159,55 @@ def _solve_jit(
     return solve_state(prob, state0, opts, max_iter)
 
 
+def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
+    """f64 x_b for the final basis by iterative refinement: O(m^2)/pass.
+
+    Replaces the previous O(m^3) host LU (a silent multi-minute single-core
+    tail at m=16k — round-1 verdict item #9) with 2-4 refinement passes
+    that reuse the solve's own fp32 inverse as the preconditioner:
+
+        r  = b - A_B x        exact f64 residual, computed in 1024-row
+                              chunks so the f64 cast of A_B never
+                              materializes whole (A's entries are fp32
+                              data, so the chunked cast is exact);
+        dx = B_inv r          fp32 — each pass cuts the error by
+                              ~cond(A_B) * eps_f32.
+
+    Returns (x64, ok); ok=False (stalled residual: conditioning too high
+    for the fp32 preconditioner) sends the caller to the LU fallback.
+    """
+    A_np = np.asarray(A)
+    AB = A_np[:, basis_np]
+    B_inv_np = np.asarray(B_inv)
+    b64 = np.asarray(b, np.float64)
+    x = np.asarray(x_b0, np.float64)
+    m = AB.shape[0]
+    scale = max(1.0, float(np.abs(b64).max()))
+    CH = 1024
+
+    def residual(xv):
+        r = np.empty(m, np.float64)
+        for s in range(0, m, CH):
+            r[s : s + CH] = b64[s : s + CH] - AB[s : s + CH].astype(
+                np.float64
+            ) @ xv
+        return r
+
+    prev = np.inf
+    for _ in range(iters):
+        r = residual(x)
+        nr = float(np.abs(r).max())
+        if not np.isfinite(nr) or nr >= prev:
+            break
+        prev = nr
+        if nr <= 1e-11 * scale:
+            break
+        dx = (B_inv_np @ r.astype(B_inv_np.dtype)).astype(np.float64)
+        x = x + dx
+    nr = float(np.abs(residual(x)).max())
+    return x, np.isfinite(nr) and nr <= 1e-7 * scale
+
+
 def solve(
     A,
     b,
@@ -194,22 +243,32 @@ def solve(
     feas_err = 0.0
     if options.polish and m <= options.polish_max_m:
         # Exact values for the returned (combinatorial) basis: re-derive
-        # x_b in float64 on the host. Removes fp32 accumulation error from
-        # the reported optimum without touching the device solve. NO
-        # clamping: z must be the objective of the true basic solution
-        # (A_B x_b = b), and any genuine negativity is surfaced as feas_err
-        # rather than silently zeroed into an A x != b 'solution'.
-        A64 = np.asarray(A, np.float64)
+        # x_b in float64. Removes fp32 accumulation error from the reported
+        # optimum without touching the device solve. NO clamping: z must be
+        # the objective of the true basic solution (A_B x_b = b), and any
+        # genuine negativity is surfaced as feas_err rather than silently
+        # zeroed into an A x != b 'solution'.
         basis_np = np.asarray(final.basis)
-        try:
-            x_b64 = np.linalg.solve(A64[:, basis_np], np.asarray(b, np.float64))
+        x_b64, ok = _polish_refine(A, b, basis_np, final.x_b, final.B_inv)
+        if not ok:
+            # pathological conditioning: the O(m^3) LU is the exact fallback
+            try:
+                x_b64 = np.linalg.solve(
+                    np.asarray(A, np.float64)[:, basis_np],
+                    np.asarray(b, np.float64),
+                )
+                ok = True
+            except np.linalg.LinAlgError:
+                ok = False
+        if ok:
             feas_err = float(max(0.0, -x_b64.min()))
             final = final._replace(
                 x_b=x_b64.astype(np.asarray(final.x_b).dtype)
             )
             z = float(np.asarray(c, np.float64)[basis_np] @ x_b64)
-        except np.linalg.LinAlgError:
+        else:
             z = float(np.dot(final.c_b, final.x_b))
+            feas_err = float(max(0.0, -np.asarray(final.x_b).min()))
     else:
         z = float(np.dot(final.c_b, final.x_b))
         feas_err = float(max(0.0, -np.asarray(final.x_b).min()))

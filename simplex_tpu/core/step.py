@@ -137,20 +137,30 @@ def pivot_step(
         # Segmented Dantzig: price only the (iters mod S)-th column block
         # (1/S of the O(mn) read), verify the winner exactly, and fall back
         # to one full pass when the segment is dry or Bland is active.
+        # The segment is selected with a lax.switch over STATIC slices, not
+        # a dynamic_slice: a variable-start slice of A is a real O(mn/S)
+        # HBM copy in XLA's lowering, while a static slice fuses into the
+        # pricing dot's operand read (measured on v5e, see bench notes).
         S = opts.partial_pricing
         n_all = prob.A.shape[1]
         w = n_all // S
-        start = (state.iters % S).astype(jnp.int32) * w
         A_src = prob.A_price if prob.A_price is not None else prob.A
-        zero = jnp.int32(0)
-        A_seg = jax.lax.dynamic_slice(
-            A_src, (zero, start), (A_src.shape[0], w)
+        seg = (state.iters % S).astype(jnp.int32)
+
+        def _price_segment(s):
+            def br(_):
+                A_seg = jax.lax.slice_in_dim(A_src, s * w, (s + 1) * w, axis=1)
+                c_seg = jax.lax.slice_in_dim(c_eff, s * w, (s + 1) * w)
+                p_loc, mn = backend.choose_entering(
+                    state.y, A_seg, c_seg, eps_f, jnp.asarray(False)
+                )
+                return (s * w + p_loc).astype(jnp.int32), mn
+
+            return br
+
+        p1, _ = jax.lax.switch(
+            seg, [_price_segment(s) for s in range(S)], None
         )
-        c_seg = jax.lax.dynamic_slice(c_eff, (start,), (w,))
-        p_loc, _ = backend.choose_entering(
-            state.y, A_seg, c_seg, eps_f, jnp.asarray(False)
-        )
-        p1 = (start + p_loc).astype(jnp.int32)
         A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
         c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
         e_p1 = _dot(state.y, A_p1) - c_p1

@@ -15,6 +15,22 @@ Reference mapping (SURVEY.md §2 kernel table):
 All kernels run in interpret mode off-TPU so the forced-CPU test suite
 exercises them; shapes that don't tile cleanly fall back to the XLA backend
 (same signatures, same semantics).
+
+MEASURED VERDICT (round 2, v5e, 8192x16384 fp32): per-op the Pallas kernels
+match or slightly beat XLA (serialized-scan bench: pricing 347 vs 336 GB/s,
+rank-1 315 vs 309 GB/s), but END-TO-END inside the jitted pivot while_loop
+the XLA backend is ~2x faster (470 vs 243 pivots/s, pure-Dantzig config
+where both hot kernels run every pivot): XLA fuses and pipelines the
+surrounding O(m)/scalar ops across the loop body, while pallas_call
+boundaries are opaque to it. The XLA backend therefore stays the default;
+these kernels remain as a correctness-tested alternative (exercised in
+tests/test_kernels.py, selectable with backend="pallas") and as the scaffold
+for any future op XLA's codegen leaves on the table. The full measured
+pivot sustains ~630 GB/s of HBM traffic = ~77% of the v5e roofline across
+ALL phases combined (BASELINE.md) — the reference-shaped per-pivot traffic
+is already bandwidth-bound, which is why the flagship config wins by
+AVOIDING bytes (bf16 shadow, partial pricing, deferred updates), not by a
+faster kernel.
 """
 
 from __future__ import annotations
