@@ -46,7 +46,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=8192)
     ap.add_argument("--n", type=int, default=16384)
-    ap.add_argument("--pivots", type=int, default=128)
+    ap.add_argument("--pivots", type=int, default=256)
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex"])
     ap.add_argument(

@@ -41,6 +41,14 @@ def __getattr__(name):
         from simplex_tpu.core.twophase import solve_general
 
         return solve_general
+    if name == "GeneralLP":
+        from simplex_tpu.core.twophase import GeneralLP
+
+        return GeneralLP
+    if name == "read_mps":
+        from simplex_tpu.io.mps import read_mps
+
+        return read_mps
     if name == "solve_with_checkpoints":
         from simplex_tpu.core.checkpoint import solve_with_checkpoints
 
@@ -51,10 +59,12 @@ def __getattr__(name):
         return trace_pivots
     raise AttributeError(f"module 'simplex_tpu' has no attribute {name!r}")
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "DEFAULT_OPTIONS",
+    "GeneralLP",
+    "read_mps",
     "Problem",
     "SimplexOptions",
     "SolveResult",

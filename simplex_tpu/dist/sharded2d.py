@@ -211,15 +211,30 @@ def _solve_2d_local(
         elif partial:
             # Segmented Dantzig over the LOCAL shard: each chip prices only
             # its (iters mod S)-th column block — 1/S of the per-chip HBM
-            # read — then the global winner is rechecked exactly.
+            # read — then the global winner is rechecked exactly. Static
+            # slices under lax.switch, not dynamic_slice: the variable-start
+            # slice lowers to a real O(m n_loc / S) copy (see core/step.py;
+            # measured +40% pivots/s on v5e).
             w_seg = n_loc // S
-            start = (s["iters"] % S).astype(jnp.int32) * w_seg
             A_src = Ap_loc if Ap_loc is not None else A_loc
-            A_seg = jax.lax.dynamic_slice(
-                A_src, (jnp.int32(0), start), (m, w_seg)
+
+            def _price_seg(k):
+                def br(_):
+                    A_seg = jax.lax.slice_in_dim(
+                        A_src, k * w_seg, (k + 1) * w_seg, axis=1
+                    )
+                    c_seg = jax.lax.slice_in_dim(
+                        c_pen, k * w_seg, (k + 1) * w_seg
+                    )
+                    return local_price(A_seg, c_seg, col_base + k * w_seg)
+
+                return br
+
+            v1, g1, _ = jax.lax.switch(
+                (s["iters"] % S).astype(jnp.int32),
+                [_price_seg(k) for k in range(S)],
+                None,
             )
-            c_seg = jax.lax.dynamic_slice(c_pen, (start,), (w_seg,))
-            v1, g1, _ = local_price(A_seg, c_seg, col_base + start)
             _min1, p1 = _argmin_all(v1, g1, both)
             A_p1, c_p1 = fetch_column(p1)
             e_p1 = jnp.dot(s["y"], A_p1, precision=_EXACT) - c_p1
