@@ -207,6 +207,12 @@ def main(argv=None) -> int:
             help="ratio test (harris = stabilized two-pass, the default)",
         )
         p.add_argument(
+            "--log-level", default=None,
+            choices=["debug", "info", "warning", "error"],
+            help="framework log verbosity (also: SIMPLEX_TPU_LOG env var; "
+                 "SIMPLEX_TPU_LOG_JSON=1 for JSON lines)",
+        )
+        p.add_argument(
             "--fast", action="store_true",
             help="shorthand for --pricing-dtype bfloat16 --update-defer 16 "
                  "--partial-pricing 8 --refactor-every 1024 (the flagship "
@@ -243,6 +249,10 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    if getattr(args, "log_level", None):
+        from simplex_tpu.logging import set_level
+
+        set_level(args.log_level)
     if getattr(args, "fast", False):
         # --fast fills in the flagship defaults but never overrides a flag
         # the user passed explicitly (e.g. `--fast --partial-pricing 0`).

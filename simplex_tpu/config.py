@@ -132,6 +132,13 @@ class SimplexOptions:
     # to exercise the segmented path on small LPs.
     partial_min_segment: int = 512
 
+    # Two-stage fallback for segmented pricing: when a segment is dry, retry
+    # over the FULL bf16 shadow (1/16th the bytes of exact pricing) before
+    # paying the exact f32 pass. Saves fallback bandwidth near the optimum
+    # at the cost of an extra compiled branch (longer trace/compile);
+    # termination is still decided from exact values either way.
+    fallback_shadow: bool = False
+
     # Checkpoint the solver state every K pivots into a host-side store
     # (0 = never). Used by simplex_tpu.core.checkpoint.
     checkpoint_every: int = 0

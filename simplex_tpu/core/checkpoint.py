@@ -32,7 +32,10 @@ from simplex_tpu.core.state import (
 )
 from simplex_tpu.core.step import refactorize
 from simplex_tpu.kernels.dispatch import get_backend
+from simplex_tpu.logging import fields, get_logger
 from simplex_tpu.status import SolveStatus
+
+_log = get_logger("checkpoint")
 
 _FIELDS = (
     "B_inv", "x_b", "y", "c_b", "basis", "iters", "status", "degen",
@@ -247,6 +250,10 @@ def solve_with_checkpoints(
             if "UNAVAILABLE" not in str(exc) or retries >= max_retries:
                 raise
             retries += 1
+            _log.warning(
+                "device unavailable; recovering from checkpoint",
+                extra=fields(retry=retries, path=path),
+            )
             import time as _time
 
             _time.sleep(10.0 * retries)
@@ -285,6 +292,10 @@ def solve_with_checkpoints(
         if status == SolveStatus.MAX_ITER and int(state.iters) < max_iter:
             state = state._replace(status=jnp.int32(SolveStatus.RUNNING))
         save_checkpoint(path, state, light=m >= 2048)
+        _log.info(
+            "chunk complete",
+            extra=fields(iters=int(state.iters), status=status.name),
+        )
         if on_chunk is not None:
             on_chunk(state)
         if done:

@@ -251,6 +251,12 @@ def solve(
         basis_np = np.asarray(final.basis)
         x_b64, ok = _polish_refine(A, b, basis_np, final.x_b, final.B_inv)
         if not ok:
+            from simplex_tpu.logging import get_logger
+
+            get_logger("solver").warning(
+                "polish refinement stalled (ill-conditioned basis); "
+                "falling back to O(m^3) LU"
+            )
             # pathological conditioning: the O(m^3) LU is the exact fallback
             try:
                 x_b64 = np.linalg.solve(

@@ -165,13 +165,34 @@ def pivot_step(
         c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
         e_p1 = _dot(state.y, A_p1) - c_p1
         stale = jnp.logical_or(e_p1 >= -eps, use_bland)
+
+        def _fallback(_):
+            # Two-stage fallback (opts.fallback_shadow): a dry segment first
+            # retries over the FULL bf16 shadow (1/16th the bytes of exact
+            # pricing) and verifies that winner exactly; only if the whole
+            # shadow is dry — or Bland is active — does the exact full-f32
+            # pass run. The optimality decision (min_e >= -eps) still
+            # always comes from exact values.
+            def _exact(_):
+                return backend.choose_entering(
+                    state.y, prob.A, c_eff, eps_f, use_bland
+                )
+
+            if prob.A_price is None or not opts.fallback_shadow:
+                return _exact(None)
+            p2, _ = backend.choose_entering(
+                state.y, prob.A_price, c_eff, eps_f, jnp.asarray(False)
+            )
+            A_p2 = backend.gather_column(prob.A, p2).astype(dtype)
+            c_p2 = backend.gather_cost(prob.c, p2).astype(dtype)
+            e_p2 = _dot(state.y, A_p2) - c_p2
+            stale2 = jnp.logical_or(e_p2 >= -eps, use_bland)
+            return jax.lax.cond(
+                stale2, _exact, lambda _: (p2, e_p2), None
+            )
+
         p, min_e = jax.lax.cond(
-            stale,
-            lambda _: backend.choose_entering(
-                state.y, prob.A, c_eff, eps_f, use_bland
-            ),
-            lambda _: (p1, e_p1),
-            None,
+            stale, _fallback, lambda _: (p1, e_p1), None
         )
     else:
         p, min_e = backend.choose_entering(

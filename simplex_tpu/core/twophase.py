@@ -24,7 +24,10 @@ import numpy as np
 
 from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
 from simplex_tpu.core.solver import SolveResult, solve
+from simplex_tpu.logging import fields, get_logger
 from simplex_tpu.status import SolveStatus
+
+_log = get_logger("twophase")
 
 
 class GeneralLP(NamedTuple):
@@ -307,6 +310,10 @@ def solve_general(
                 z=float("nan"), x=np.zeros(k_orig), status=SolveStatus.INFEASIBLE,
                 iters=p1_iters, phase1_iters=p1_iters,
             )
+        _log.info(
+            "phase 1 complete",
+            extra=fields(iters=p1_iters, z1=float(r1.z)),
+        )
         basis = _drive_out_artificials(A_std, r1.basis, art_set)
 
     # Phase 2: true objective; artificials blocked by a large negative cost
@@ -331,6 +338,10 @@ def solve_general(
         )
         if art_resid <= art_tol or r2.status != SolveStatus.OPTIMAL:
             break
+        _log.warning(
+            "artificial re-entered at nonzero value; escalating penalty",
+            extra=fields(resid=art_resid, penalty=big * 1e3),
+        )
         big *= 1e3
         basis = r2.basis
     status = r2.status
