@@ -49,6 +49,10 @@ def __getattr__(name):
         from simplex_tpu.io.mps import read_mps
 
         return read_mps
+    if name == "solve_pdhg":
+        from simplex_tpu.fo import solve_pdhg
+
+        return solve_pdhg
     if name == "solve_with_checkpoints":
         from simplex_tpu.core.checkpoint import solve_with_checkpoints
 
@@ -76,6 +80,7 @@ __all__ = [
     "save_lp",
     "solve",
     "solve_batched",
+    "solve_pdhg",
     "solve_general",
     "solve_sharded",
     "solve_sharded_2d",

@@ -91,7 +91,18 @@ def cmd_solve(args) -> int:
             return 1
     with timer.phase("Solve"):
         if isinstance(loaded, GeneralLP):
+            if args.algo == "pdhg":
+                print(
+                    "error: --algo pdhg requires a canonical-form input",
+                    file=sys.stderr,
+                )
+                return 1
             res = solve_general(loaded, options=_options(args))
+        elif args.algo == "pdhg":
+            from simplex_tpu.fo import solve_pdhg
+
+            A, b, c, _basis0 = loaded
+            res = solve_pdhg(A, b, c, tol=args.pdhg_tol)
         else:
             A, b, c, basis0 = loaded
             res = solve(A, b, c, basis0=basis0, options=_options(args))
@@ -107,9 +118,12 @@ def cmd_solve(args) -> int:
             if isinstance(loaded, GeneralLP):
                 for i, v in enumerate(res.x):
                     print(f"\tx_{i} = {v:g}")
-            else:
+            elif hasattr(res, "basis"):
                 for i in range(len(res.basis)):
                     print(f"\tx_{int(res.basis[i])} = {res.x_b[i]:g}")
+            else:  # first-order result: no basis, print the support
+                for i in np.flatnonzero(np.abs(res.x) > 1e-9):
+                    print(f"\tx_{int(i)} = {res.x[i]:g}")
         else:
             print(res.status.describe())
         print(f"Pivots: {res.iters}")
@@ -223,6 +237,15 @@ def main(argv=None) -> int:
     ps.add_argument("input")
     ps.add_argument("--mps", action="store_true", help="input is MPS format")
     ps.add_argument("--time", action="store_true", help="print phase timings")
+    ps.add_argument(
+        "--algo", default="simplex", choices=["simplex", "pdhg"],
+        help="pdhg = PDLP-style first-order mode (inverse-free; for "
+             "instances too large for the simplex core)",
+    )
+    ps.add_argument(
+        "--pdhg-tol", type=float, default=1e-4,
+        help="relative KKT tolerance for --algo pdhg",
+    )
     common(ps)
     ps.set_defaults(fn=cmd_solve)
 

@@ -1,0 +1,268 @@
+"""PDHG (PDLP-style) first-order LP solver — the inverse-free TPU mode.
+
+Solves the same canonical problem as the simplex core
+
+    max c.x   s.t.   A x = b,  x >= 0
+
+by the primal-dual hybrid gradient method with Ruiz equilibration, a
+power-iteration step size, and restart-to-average — the algorithm family of
+PDLP / cuPDLP (see PAPERS.md: "cuPDLP-C", arXiv:2312.14832). Per iteration
+it is exactly two GEMVs (A x and A^T y) plus O(m+n) vector work: no basis,
+no inverse, no factorization — which makes it
+
+  * a perfect MXU/VPU streaming workload (the whole solve is one jitted
+    ``lax.while_loop`` over pure matvecs),
+  * memory-light: O(mn) for A only (the simplex mode also carries an m x m
+    inverse — the single-chip 32k wall in docs/SCALING.md),
+  * trivially shardable: both GEMVs row/column-shard with one psum each.
+
+Trade-off: linear (not finite) convergence — it reaches 1e-4..1e-8 relative
+KKT accuracy in thousands of cheap iterations rather than an exact vertex.
+Use it for huge instances where simplex's O(m^2) per-pivot state or pivot
+counts are the wall; use the simplex core when vertex-exact answers matter.
+
+Iteration (minimization form, f = min -c.x):
+
+    x+ = max(0, x - tau (c_min - A^T y))
+    y+ = y + sigma (b - A (2 x+ - x))
+
+with tau sigma ||A||_2^2 < 1. Restarts: every ``check_every`` iterations
+the KKT errors of the current iterate and of the running average (since
+the last restart) are evaluated; when the better of the two has decayed
+to 0.2x the error at the last restart, the loop restarts from that point
+(the PDLP sufficient-decay "restart to average" scheme — measured 2.6x
+faster than restarting every window, and plain averaging never converged).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplex_tpu.status import SolveStatus
+
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+class PDHGResult(NamedTuple):
+    z: float
+    x: np.ndarray  # (n,) primal solution
+    y: np.ndarray  # (m,) dual solution (equality multipliers)
+    status: SolveStatus
+    iters: int
+    primal_res: float  # ||A x - b||_inf / (1 + ||b||_inf)
+    dual_res: float  # ||min(c_min - A^T y, 0)||_inf / (1 + ||c||_inf)
+    gap: float  # |c.x - b.y| / (1 + |c.x| + |b.y|)
+
+
+def _ruiz_equilibrate(A, iters: int = 10):
+    """Ruiz scaling: D_r A D_c with rows/cols pulled toward unit inf-norm.
+
+    Standard PDLP preprocessing — PDHG's step size is governed by
+    ||A||_2, and equilibration typically cuts the iteration count by
+    orders of magnitude on badly scaled instances.
+    """
+
+    def body(_, carry):
+        As, dr, dc = carry
+        r = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(As), axis=1), 1e-30))
+        As = As / r[:, None]
+        dr = dr * r
+        c = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(As), axis=0), 1e-30))
+        As = As / c[None, :]
+        dc = dc * c
+        return As, dr, dc
+
+    m, n = A.shape
+    A0 = A.astype(jnp.float32)
+    return jax.lax.fori_loop(
+        0, iters, body, (A0, jnp.ones(m, jnp.float32), jnp.ones(n, jnp.float32))
+    )
+
+
+def _spectral_norm(A, iters: int = 30):
+    """||A||_2 by power iteration on A^T A (deterministic start)."""
+
+    def body(_, v):
+        w = jnp.matmul(A, v, precision=_EXACT)
+        v = jnp.matmul(w, A, precision=_EXACT)
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+    v0 = jnp.ones(A.shape[1], A.dtype) / jnp.sqrt(A.shape[1])
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    return jnp.linalg.norm(jnp.matmul(A, v, precision=_EXACT))
+
+
+def _kkt(A, b, cmin, x, y, b_scale, c_scale):
+    """(primal_res, dual_res, gap) — relative inf-norm KKT errors."""
+    r_p = jnp.max(jnp.abs(jnp.matmul(A, x, precision=_EXACT) - b)) / b_scale
+    red = cmin - jnp.matmul(y, A, precision=_EXACT)
+    r_d = jnp.max(jnp.maximum(-red, 0)) / c_scale
+    pobj = jnp.dot(cmin, x, precision=_EXACT)
+    dobj = jnp.dot(b, y, precision=_EXACT)
+    gap = jnp.abs(pobj - dobj) / (1 + jnp.abs(pobj) + jnp.abs(dobj))
+    return r_p, r_d, gap
+
+
+@functools.partial(
+    jax.jit, static_argnames=("check_every", "max_iter", "tol", "dtype")
+)
+def _pdhg_jit(A, b, cmin, tol, max_iter, check_every, dtype):
+    m, n = A.shape
+    As, dr, dc = _ruiz_equilibrate(A)
+    As = As.astype(dtype)
+    dr = dr.astype(dtype)
+    dc = dc.astype(dtype)
+    # scaled problem: As xs = bs with x = D_c^{-1} xs  =>  bs = D_r^{-1} b,
+    # cs = D_c^{-1} c (so that cs.xs == c.x)
+    bs = b.astype(dtype) / dr
+    cs = cmin.astype(dtype) / dc
+    nrm = _spectral_norm(As)
+    # Balanced primal/dual steps scaled by a FIXED primal weight seeded
+    # from the data norms. PDLP's movement-ratio adaptive weight was
+    # implemented and measured UNSTABLE with this restart cadence (w ran
+    # away to 1e10 / 1e-4 and the KKT error stalled at 1e-3 on instances
+    # the fixed weight solves to 1e-6 in ~25k iterations) — a proper
+    # implementation needs PDLP's full restart criterion, so fixed it is.
+    w0 = jnp.sqrt(
+        (jnp.linalg.norm(cs) + 1e-6) / (jnp.linalg.norm(bs) + 1e-6)
+    )
+    eta = jnp.asarray(0.9, dtype) / jnp.maximum(nrm, 1e-30).astype(dtype)
+    b_scale = 1 + jnp.max(jnp.abs(bs))
+    c_scale = 1 + jnp.max(jnp.abs(cs))
+
+    def make_inner(tau, sigma):
+        def inner(carry, _):
+            x, y, sx, sy = carry
+            red = cs - jnp.matmul(y, As, precision=_EXACT)
+            x1 = jnp.maximum(x - tau * red, 0)
+            y1 = y + sigma * (
+                bs - jnp.matmul(As, 2 * x1 - x, precision=_EXACT)
+            )
+            return (x1, y1, sx + x1, sy + y1), None
+
+        return inner
+
+    tau = eta / w0
+    sigma = eta * w0
+    BETA = jnp.asarray(0.2, dtype)  # sufficient-decay restart factor
+
+    def outer_cond(s):
+        it, rp, rd, gp, stall = s[6], s[7], s[8], s[9], s[10]
+        done = jnp.logical_and(jnp.logical_and(rp < tol, rd < tol), gp < tol)
+        return jnp.logical_and(
+            jnp.logical_and(~done, it < max_iter), stall < 64
+        )
+
+    def outer_body(s):
+        x, y, sx, sy, cnt, lre, it, rp0, rd0, gp0, stall = s
+        (x1, y1, sx1, sy1), _ = jax.lax.scan(
+            make_inner(tau, sigma), (x, y, sx, sy), None, length=check_every
+        )
+        cnt1 = cnt + check_every
+        xa = sx1 / cnt1
+        ya = sy1 / cnt1
+        rp_c, rd_c, gp_c = _kkt(As, bs, cs, x1, y1, b_scale, c_scale)
+        rp_a, rd_a, gp_a = _kkt(As, bs, cs, xa, ya, b_scale, c_scale)
+        err_c = jnp.maximum(jnp.maximum(rp_c, rd_c), gp_c)
+        err_a = jnp.maximum(jnp.maximum(rp_a, rd_a), gp_a)
+        err = jnp.minimum(err_c, err_a)
+        # PDLP-style sufficient-decay restart: only when the best candidate
+        # has decayed to BETA x the error at the last restart does the loop
+        # restart from it (and reset the running average). An every-window
+        # best-of restart was measured 2.6x slower (283k vs 107k iterations
+        # to 1e-4 at 256x640); averaging with no restarts never got there.
+        restart = jnp.logical_or(err <= BETA * lre, err < tol)
+        avg_better = err_a < err_c
+        adopt_avg = jnp.logical_and(restart, avg_better)
+        x2 = jnp.where(adopt_avg, xa, x1)
+        y2 = jnp.where(adopt_avg, ya, y1)
+        sx2 = jnp.where(restart, jnp.zeros_like(sx1), sx1)
+        sy2 = jnp.where(restart, jnp.zeros_like(sy1), sy1)
+        cnt2 = jnp.where(restart, 0, cnt1)
+        lre2 = jnp.where(restart, err, lre)
+        rp = jnp.where(avg_better, rp_a, rp_c)
+        rd = jnp.where(avg_better, rd_a, rd_c)
+        gp = jnp.where(avg_better, gp_a, gp_c)
+        err_prev = jnp.maximum(jnp.maximum(rp0, rd0), gp0)
+        stall = jnp.where(err < err_prev * (1 - 1e-4), 0, stall + 1)
+        return (
+            x2, y2, sx2, sy2, cnt2, lre2, it + check_every, rp, rd, gp, stall
+        )
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    zx = jnp.zeros(n, dtype)
+    zy = jnp.zeros(m, dtype)
+    s0 = (
+        zx, zy, zx, zy, jnp.int32(0), inf, jnp.int32(0), inf, inf, inf,
+        jnp.int32(0),
+    )
+    x, y, _, _, _, _, it, rp, rd, gp, stall = jax.lax.while_loop(
+        outer_cond, outer_body, s0
+    )
+    # unscale: x = xs / dc, y = ys / dr  (so that y.b and reduced costs map
+    # back to the original data)
+    return x / dc, y / dr, it, rp, rd, gp, stall
+
+
+def solve_pdhg(
+    A,
+    b,
+    c,
+    *,
+    tol: float = 1e-4,
+    max_iter: int = 1_000_000,
+    check_every: int = 128,
+    dtype=jnp.float32,
+) -> PDHGResult:
+    """Solve max c.x s.t. Ax=b, x>=0 to relative KKT tolerance ``tol``.
+
+    Default tol=1e-4: first-order methods converge linearly, and on
+    degenerate instances the tail from 1e-4 to 1e-6 can cost more
+    iterations than everything before it — for vertex-exact answers use
+    the simplex core; this mode is for instances too large for it.
+
+    ``dtype``: f32 (default, TPU-native) or f64 — measured 3x FEWER
+    iterations in f64 at 256x640 (107k vs 321k to 1e-4: iterate roundoff
+    feeds back through the projection), but f64 matmuls are emulated on
+    TPU; prefer f64 on CPU, f32 + a larger budget on TPU.
+
+    Returns PDHGResult; ``status`` is OPTIMAL when all three KKT errors
+    (primal residual, dual residual, gap) are below ``tol``, MAX_ITER when
+    the budget ran out, SINGULAR when progress stalled for 64 consecutive
+    check windows (commonly an infeasible/unbounded instance — PDHG
+    diverges or stalls rather than certifying those).
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    cmin = (-c).astype(jnp.dtype(dtype))  # minimization form
+    x, y, it, rp, rd, gp, stall = _pdhg_jit(
+        A, b, cmin, float(tol), int(max_iter), int(check_every),
+        jnp.dtype(dtype),
+    )
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    rp_f, rd_f, gp_f = float(rp), float(rd), float(gp)
+    ok = max(rp_f, rd_f, gp_f) < tol
+    if ok:
+        status = SolveStatus.OPTIMAL
+    elif int(stall) >= 64:
+        status = SolveStatus.SINGULAR
+    else:
+        status = SolveStatus.MAX_ITER
+    z = float(np.asarray(c, np.float64) @ x)
+    return PDHGResult(
+        z=z,
+        x=x,
+        y=-y,  # sign back to the maximization dual
+        status=status,
+        iters=int(it),
+        primal_res=rp_f,
+        dual_res=rd_f,
+        gap=gp_f,
+    )

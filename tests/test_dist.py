@@ -83,3 +83,27 @@ def test_sharded_entering_choice_matches_local():
     res_s = solve(A, b, c)
     assert res_d.iters == res_s.iters
     np.testing.assert_array_equal(res_d.basis, res_s.basis)
+
+
+def test_sharded_flagship_config(mesh):
+    """The 1-D mode inherits the flagship recipe through pivot_step: bf16
+    shadow + segmented (switch) pricing + deferred updates + the optional
+    shadow fallback. The segment/global index arithmetic composes the
+    collective backend's shard base with the segment offset — this pins it
+    against the oracle."""
+    m, n = 16, 64  # n_loc = 8 per shard
+    A, b, c = random_dense_lp(m, n, seed=33)
+    ref = solve_scipy(A, b, c)
+    res = solve_sharded(
+        A, b, c, mesh,
+        options=SimplexOptions(
+            pricing_dtype="bfloat16",
+            update_defer=4,
+            partial_pricing=2,
+            partial_min_segment=2,
+            fallback_shadow=True,
+            refactor_every=32,
+        ),
+    )
+    assert res.status == ref.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5

@@ -1,0 +1,69 @@
+"""PDHG / PDLP-style first-order solver vs the HiGHS oracle.
+
+First-order accuracy is tol-relative (linear convergence), so objective
+parity is asserted relative to the KKT tolerance rather than the simplex
+core's 1e-6 exactness; degenerate random instances (seed 0) are run at the
+moderate default tolerance the mode is designed for.
+"""
+
+import numpy as np
+import pytest
+
+from simplex_tpu.fo import solve_pdhg
+from simplex_tpu.oracle.generator import random_dense_lp
+from simplex_tpu.oracle.reference import relative_gap, solve_scipy
+from simplex_tpu.status import SolveStatus
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pdhg_matches_oracle_moderate_tol(seed):
+    A, b, c = random_dense_lp(24, 64, seed=seed)
+    ref = solve_scipy(A, b, c)
+    res = solve_pdhg(A, b, c, tol=1e-4)
+    assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
+    assert relative_gap(res.z, ref.z) < 1e-3, (res.z, ref.z)
+    # returned point is primal-feasible to tolerance
+    assert np.abs(A @ res.x - b).max() < 1e-2
+    assert res.x.min() > -1e-6
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_pdhg_tight_tol(seed):
+    # non-degenerate instances reach 1e-6 KKT in ~25k iterations
+    A, b, c = random_dense_lp(24, 64, seed=seed)
+    ref = solve_scipy(A, b, c)
+    res = solve_pdhg(A, b, c, tol=1e-6)
+    assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
+    assert relative_gap(res.z, ref.z) < 1e-5
+    assert res.primal_res < 1e-6 and res.dual_res < 1e-6 and res.gap < 1e-6
+
+
+def test_pdhg_sample_golden():
+    from simplex_tpu.io.text import load_lp
+
+    A, b, c = load_lp("tests/data/sample.txt")
+    res = solve_pdhg(A, b, c, tol=1e-7)
+    assert res.status == SolveStatus.OPTIMAL
+    assert abs(res.z - 9.0) < 1e-4
+
+
+def test_pdhg_badly_scaled():
+    # Ruiz equilibration earns its keep: columns spanning 6 orders of
+    # magnitude
+    A, b, c = random_dense_lp(16, 40, seed=5)
+    A = np.asarray(A, np.float64).copy()
+    c = np.asarray(c, np.float64).copy()
+    scale = np.logspace(-3, 3, A.shape[1])
+    A *= scale[None, :]
+    # keep the slack identity intact so the oracle setup stays feasible
+    A[:, -16:] = np.eye(16)
+    ref = solve_scipy(A, b, c)
+    res = solve_pdhg(A, b, c, tol=1e-5)
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-3
+
+
+def test_pdhg_budget_exhaustion():
+    A, b, c = random_dense_lp(16, 40, seed=8)
+    res = solve_pdhg(A, b, c, tol=1e-12, max_iter=256)
+    assert res.status in (SolveStatus.MAX_ITER, SolveStatus.SINGULAR)
