@@ -67,3 +67,34 @@ def test_pdhg_budget_exhaustion():
     A, b, c = random_dense_lp(16, 40, seed=8)
     res = solve_pdhg(A, b, c, tol=1e-12, max_iter=256)
     assert res.status in (SolveStatus.MAX_ITER, SolveStatus.SINGULAR)
+
+
+def test_pdhg_sharded_matches_dense():
+    """Column-sharded PDHG (one psum/iteration) on the faked 8-device mesh
+    reproduces the single-device result and the oracle optimum."""
+    import jax
+
+    from simplex_tpu.dist.mesh import make_mesh
+    from simplex_tpu.fo.sharded import solve_pdhg_sharded
+
+    A, b, c = random_dense_lp(16, 48, seed=4)
+    ref = solve_scipy(A, b, c)
+    mesh = make_mesh(devices=jax.devices()[:8])
+    res = solve_pdhg_sharded(A, b, c, mesh, tol=1e-5)
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-3
+    single = solve_pdhg(A, b, c, tol=1e-5)
+    assert abs(res.z - single.z) < 1e-3
+
+
+def test_pdhg_sharded_rejects_indivisible():
+    import jax
+    import pytest as _pytest
+
+    from simplex_tpu.dist.mesh import make_mesh
+    from simplex_tpu.fo.sharded import solve_pdhg_sharded
+
+    A, b, c = random_dense_lp(8, 20, seed=0)
+    mesh = make_mesh(devices=jax.devices()[:8])
+    with _pytest.raises(ValueError, match="not divisible"):
+        solve_pdhg_sharded(A, b, c, mesh)
