@@ -57,6 +57,27 @@ def _load(path: str, use_mps: bool):
     return (A, b, c, None), 0.0, True
 
 
+def _resolve_flag_defaults(args) -> None:
+    """Resolve the None-sentinel tuning flags in place.
+
+    --fast fills the flagship defaults, otherwise the plain defaults apply;
+    a flag the user passed explicitly (even an explicit 0) always wins —
+    argparse can't distinguish an explicit default from an unset flag, so
+    the parser defaults are None and this resolves them post-parse.
+    """
+    if not hasattr(args, "pricing_dtype"):
+        return
+    fast = getattr(args, "fast", False)
+    if args.pricing_dtype is None:
+        args.pricing_dtype = "bfloat16" if fast else "float32"
+    if args.update_defer is None:
+        args.update_defer = 16 if fast else 0
+    if args.partial_pricing is None:
+        args.partial_pricing = 8 if fast else 0
+    if args.refactor_every is None:
+        args.refactor_every = 1024 if fast else 0
+
+
 def _options(args):
     import jax.numpy as jnp
 
@@ -135,12 +156,15 @@ def cmd_solve(args) -> int:
 
 def cmd_verify(args) -> int:
     from simplex_tpu.core.solver import solve
+    from simplex_tpu.core.twophase import GeneralLP
     from simplex_tpu.oracle import get_oracle
     from simplex_tpu.oracle.reference import relative_gap
     from simplex_tpu.status import SolveStatus
 
     loaded, _c0, _max = _load(args.input, args.mps)
-    if isinstance(loaded, tuple):
+    # NB: GeneralLP is a NamedTuple (a tuple subclass) — test for it, not
+    # for tuple-ness
+    if not isinstance(loaded, GeneralLP):
         A, b, c, basis0 = loaded
         res = solve(A, b, c, basis0=basis0, options=_options(args))
         oracle = get_oracle(args.oracle)
@@ -171,9 +195,10 @@ def cmd_verify(args) -> int:
 
 def cmd_trace(args) -> int:
     from simplex_tpu.core.trace import print_trace
+    from simplex_tpu.core.twophase import GeneralLP
 
     loaded, _c0, _max = _load(args.input, args.mps)
-    if not isinstance(loaded, tuple):
+    if isinstance(loaded, GeneralLP):  # NamedTuple: isinstance-of-tuple lies
         print("error: trace mode requires a canonical-form input", file=sys.stderr)
         return 1
     A, b, c, basis0 = loaded
@@ -203,17 +228,19 @@ def main(argv=None) -> int:
         p.add_argument("--fp64", action="store_true")
         p.add_argument("--cpu", action="store_true", help="force the CPU backend")
         p.add_argument("--max-iter", type=int, default=0)
-        p.add_argument("--refactor-every", type=int, default=0)
+        p.add_argument("--refactor-every", type=int, default=None)
+        # None = "not set by the user" so --fast can fill in its defaults
+        # without clobbering explicit values (even explicit zeros)
         p.add_argument(
-            "--pricing-dtype", default="float32", choices=["float32", "bfloat16"],
+            "--pricing-dtype", default=None, choices=["float32", "bfloat16"],
             help="price against a bf16 shadow of A (exact-termination fallback)",
         )
         p.add_argument(
-            "--update-defer", type=int, default=0, metavar="L",
+            "--update-defer", type=int, default=None, metavar="L",
             help="batch L rank-1 B_inv updates into one rank-L GEMM",
         )
         p.add_argument(
-            "--partial-pricing", type=int, default=0, metavar="S",
+            "--partial-pricing", type=int, default=None, metavar="S",
             help="price 1/S of the columns per pivot (exact fallback)",
         )
         p.add_argument(
@@ -276,17 +303,7 @@ def main(argv=None) -> int:
         from simplex_tpu.logging import set_level
 
         set_level(args.log_level)
-    if getattr(args, "fast", False):
-        # --fast fills in the flagship defaults but never overrides a flag
-        # the user passed explicitly (e.g. `--fast --partial-pricing 0`).
-        if args.pricing_dtype == "float32":
-            args.pricing_dtype = "bfloat16"
-        if args.update_defer == 0:
-            args.update_defer = 16
-        if args.partial_pricing == 0:
-            args.partial_pricing = 8
-        if args.refactor_every == 0:
-            args.refactor_every = 1024
+    _resolve_flag_defaults(args)
     import jax
 
     if getattr(args, "cpu", False):

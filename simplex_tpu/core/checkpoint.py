@@ -304,20 +304,29 @@ def solve_with_checkpoints(
     final = jax.device_get(state)
     x_b_np = np.asarray(final.x_b)
     basis_np = np.asarray(final.basis)
-    # Same exact-objective polish as solver.solve: re-derive x_b for the
-    # returned basis in f64 so z is the objective of the TRUE basic solution
-    # and feas_err its actual primal infeasibility (honors SolveResult's
-    # contract — the 0.0 default previously leaked into bench output).
+    # Same exact-objective polish as solver.solve: O(m^2)-per-pass
+    # iterative refinement reusing the solve's own inverse (NOT an O(m^3)
+    # LU — that would put the round-1 single-core tail back inside
+    # bench_full's timed window), so z is the objective of the TRUE basic
+    # solution and feas_err its actual primal infeasibility.
     if options.polish and m <= options.polish_max_m:
-        try:
-            x_b64 = np.linalg.solve(
-                np.asarray(A, np.float64)[:, basis_np],
-                np.asarray(b, np.float64),
-            )
+        from simplex_tpu.core.solver import _polish_refine
+
+        x_b64, ok = _polish_refine(A, b, basis_np, final.x_b, final.B_inv)
+        if not ok:
+            try:
+                x_b64 = np.linalg.solve(
+                    np.asarray(A, np.float64)[:, basis_np],
+                    np.asarray(b, np.float64),
+                )
+                ok = True
+            except np.linalg.LinAlgError:
+                ok = False
+        if ok:
             feas_err = float(max(0.0, -x_b64.min()))
             x_b_np = x_b64.astype(x_b_np.dtype)
             z = float(np.asarray(c, np.float64)[basis_np] @ x_b64)
-        except np.linalg.LinAlgError:
+        else:
             z = float(np.dot(final.c_b, final.x_b))
             feas_err = float(max(0.0, -x_b_np.min()))
     else:

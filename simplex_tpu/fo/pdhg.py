@@ -59,12 +59,14 @@ class PDHGResult(NamedTuple):
     gap: float  # |c.x - b.y| / (1 + |c.x| + |b.y|)
 
 
-def _ruiz_equilibrate(A, iters: int = 10):
+def _ruiz_equilibrate(A, iters: int = 10, dtype=jnp.float32):
     """Ruiz scaling: D_r A D_c with rows/cols pulled toward unit inf-norm.
 
     Standard PDLP preprocessing — PDHG's step size is governed by
     ||A||_2, and equilibration typically cuts the iteration count by
-    orders of magnitude on badly scaled instances.
+    orders of magnitude on badly scaled instances. Runs in the solve
+    dtype: equilibrating in f32 would silently floor the advertised f64
+    mode at f32 rounding of the problem data.
     """
 
     def body(_, carry):
@@ -78,9 +80,9 @@ def _ruiz_equilibrate(A, iters: int = 10):
         return As, dr, dc
 
     m, n = A.shape
-    A0 = A.astype(jnp.float32)
+    A0 = A.astype(dtype)
     return jax.lax.fori_loop(
-        0, iters, body, (A0, jnp.ones(m, jnp.float32), jnp.ones(n, jnp.float32))
+        0, iters, body, (A0, jnp.ones(m, dtype), jnp.ones(n, dtype))
     )
 
 
@@ -97,11 +99,23 @@ def _spectral_norm(A, iters: int = 30):
     return jnp.linalg.norm(jnp.matmul(A, v, precision=_EXACT))
 
 
-def _kkt(A, b, cmin, x, y, b_scale, c_scale):
-    """(primal_res, dual_res, gap) — relative inf-norm KKT errors."""
-    r_p = jnp.max(jnp.abs(jnp.matmul(A, x, precision=_EXACT) - b)) / b_scale
+def _kkt(A, b, cmin, x, y, dr, dc, b_scale, c_scale):
+    """(primal_res, dual_res, gap) — relative inf-norm KKT errors of the
+    ORIGINAL problem, evaluated on the scaled system.
+
+    The scaled residuals map back elementwise: A x - b = D_r (As xs - bs)
+    and the original reduced costs are dc * (cs - ys As), so termination is
+    certified on the caller's data (PDLP evaluates unscaled for exactly
+    this reason), while all the arithmetic stays on the equilibrated
+    system. ``b_scale``/``c_scale`` must come from the ORIGINAL b / c.
+    The duality gap is scale-invariant (cs.xs == c.x, bs.ys == b.y).
+    """
+    r_p = (
+        jnp.max(jnp.abs(dr * (jnp.matmul(A, x, precision=_EXACT) - b)))
+        / b_scale
+    )
     red = cmin - jnp.matmul(y, A, precision=_EXACT)
-    r_d = jnp.max(jnp.maximum(-red, 0)) / c_scale
+    r_d = jnp.max(dc * jnp.maximum(-red, 0)) / c_scale
     pobj = jnp.dot(cmin, x, precision=_EXACT)
     dobj = jnp.dot(b, y, precision=_EXACT)
     gap = jnp.abs(pobj - dobj) / (1 + jnp.abs(pobj) + jnp.abs(dobj))
@@ -113,10 +127,7 @@ def _kkt(A, b, cmin, x, y, b_scale, c_scale):
 )
 def _pdhg_jit(A, b, cmin, tol, max_iter, check_every, dtype):
     m, n = A.shape
-    As, dr, dc = _ruiz_equilibrate(A)
-    As = As.astype(dtype)
-    dr = dr.astype(dtype)
-    dc = dc.astype(dtype)
+    As, dr, dc = _ruiz_equilibrate(A, dtype=dtype)
     # scaled problem: As xs = bs with x = D_c^{-1} xs  =>  bs = D_r^{-1} b,
     # cs = D_c^{-1} c (so that cs.xs == c.x)
     bs = b.astype(dtype) / dr
@@ -132,8 +143,9 @@ def _pdhg_jit(A, b, cmin, tol, max_iter, check_every, dtype):
         (jnp.linalg.norm(cs) + 1e-6) / (jnp.linalg.norm(bs) + 1e-6)
     )
     eta = jnp.asarray(0.9, dtype) / jnp.maximum(nrm, 1e-30).astype(dtype)
-    b_scale = 1 + jnp.max(jnp.abs(bs))
-    c_scale = 1 + jnp.max(jnp.abs(cs))
+    # scales from the ORIGINAL data (the residuals are unscaled too)
+    b_scale = 1 + jnp.max(jnp.abs(b.astype(dtype)))
+    c_scale = 1 + jnp.max(jnp.abs(cmin.astype(dtype)))
 
     def make_inner(tau, sigma):
         def inner(carry, _):
@@ -166,8 +178,8 @@ def _pdhg_jit(A, b, cmin, tol, max_iter, check_every, dtype):
         cnt1 = cnt + check_every
         xa = sx1 / cnt1
         ya = sy1 / cnt1
-        rp_c, rd_c, gp_c = _kkt(As, bs, cs, x1, y1, b_scale, c_scale)
-        rp_a, rd_a, gp_a = _kkt(As, bs, cs, xa, ya, b_scale, c_scale)
+        rp_c, rd_c, gp_c = _kkt(As, bs, cs, x1, y1, dr, dc, b_scale, c_scale)
+        rp_a, rd_a, gp_a = _kkt(As, bs, cs, xa, ya, dr, dc, b_scale, c_scale)
         err_c = jnp.maximum(jnp.maximum(rp_c, rd_c), gp_c)
         err_a = jnp.maximum(jnp.maximum(rp_a, rd_a), gp_a)
         err = jnp.minimum(err_c, err_a)
@@ -185,9 +197,14 @@ def _pdhg_jit(A, b, cmin, tol, max_iter, check_every, dtype):
         sy2 = jnp.where(restart, jnp.zeros_like(sy1), sy1)
         cnt2 = jnp.where(restart, 0, cnt1)
         lre2 = jnp.where(restart, err, lre)
-        rp = jnp.where(avg_better, rp_a, rp_c)
-        rd = jnp.where(avg_better, rd_a, rd_c)
-        gp = jnp.where(avg_better, gp_a, gp_c)
+        # report the residuals of the point actually CARRIED forward: on a
+        # non-restart window that is the current iterate even if the average
+        # scored better, so a MAX_ITER/stall exit never pairs x with another
+        # point's residuals (when tol is reached, restart always fires and
+        # the better point is both adopted and reported)
+        rp = jnp.where(adopt_avg, rp_a, rp_c)
+        rd = jnp.where(adopt_avg, rd_a, rd_c)
+        gp = jnp.where(adopt_avg, gp_a, gp_c)
         err_prev = jnp.maximum(jnp.maximum(rp0, rd0), gp0)
         stall = jnp.where(err < err_prev * (1 - 1e-4), 0, stall + 1)
         return (

@@ -85,14 +85,21 @@ def _pdhg_local(A_loc, b, c_loc, tol, max_iter, check_every, axis_name):
     eta = jnp.asarray(0.9, dtype) / jnp.maximum(nrm, 1e-30)
     tau = eta / w0
     sigma = eta * w0
-    b_scale = 1 + jnp.max(jnp.abs(bs))
-    c_scale = 1 + jax.lax.pmax(jnp.max(jnp.abs(cs)), axis_name)
+    # scales and residuals in ORIGINAL units (see fo.pdhg._kkt): the
+    # scaled residuals map back elementwise via dr / dc
+    b_scale = 1 + jnp.max(jnp.abs(b.astype(dtype)))
+    c_scale = 1 + jax.lax.pmax(jnp.max(jnp.abs(c_loc.astype(dtype))), axis_name)
     BETA = jnp.asarray(0.2, dtype)
 
     def kkt(x_loc, y):
-        rp = jnp.max(jnp.abs(matvec(x_loc) - bs)) / b_scale
+        rp = jnp.max(jnp.abs(dr * (matvec(x_loc) - bs))) / b_scale
         red = cs - rmatvec(y)
-        rd = jax.lax.pmax(jnp.max(jnp.maximum(-red, 0)), axis_name) / c_scale
+        rd = (
+            jax.lax.pmax(
+                jnp.max(dc * jnp.maximum(-red, 0)), axis_name
+            )
+            / c_scale
+        )
         pobj = jax.lax.psum(jnp.dot(cs, x_loc, precision=_EXACT), axis_name)
         dobj = jnp.dot(bs, y, precision=_EXACT)
         gap = jnp.abs(pobj - dobj) / (1 + jnp.abs(pobj) + jnp.abs(dobj))
@@ -132,9 +139,10 @@ def _pdhg_local(A_loc, b, c_loc, tol, max_iter, check_every, axis_name):
         sy2 = jnp.where(restart, jnp.zeros_like(sy1), sy1)
         cnt2 = jnp.where(restart, 0, cnt1)
         lre2 = jnp.where(restart, err, lre)
-        rp = jnp.where(avg_better, rp_a, rp_c)
-        rd = jnp.where(avg_better, rd_a, rd_c)
-        gp = jnp.where(avg_better, gp_a, gp_c)
+        # residuals of the point actually carried (see fo.pdhg)
+        rp = jnp.where(adopt, rp_a, rp_c)
+        rd = jnp.where(adopt, rd_a, rd_c)
+        gp = jnp.where(adopt, gp_a, gp_c)
         err_prev = jnp.maximum(jnp.maximum(rp0, rd0), gp0)
         stall = jnp.where(err < err_prev * (1 - 1e-4), 0, stall + 1)
         return (

@@ -55,6 +55,7 @@ def read_mps(path: str | os.PathLike) -> MPSProblem:
     rhs: Dict[str, float] = {}
     ranges: Dict[str, float] = {}
     bounds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
+    explicit_lo: set = set()  # columns whose lower bound was set by LO/MI/FX
 
     def ensure_col(cn: str):
         if cn not in col_entries:
@@ -117,14 +118,24 @@ def read_mps(path: str | os.PathLike) -> MPSProblem:
             lo, up = bounds.get(cn, (0.0, None))
             if btype == "UP":
                 up = float(parts[3])
+                # GLPK/CPLEX convention: a negative upper bound on a column
+                # whose lower bound was never set explicitly implies
+                # lower = -inf (otherwise the default 0 <= x <= up < 0 is
+                # vacuously infeasible, which is never what the file means)
+                if up < 0 and cn not in explicit_lo:
+                    lo = None
             elif btype == "LO":
                 lo = float(parts[3])
+                explicit_lo.add(cn)
             elif btype == "FX":
                 lo = up = float(parts[3])
+                explicit_lo.add(cn)
             elif btype == "FR":
                 lo, up = None, None
+                explicit_lo.add(cn)
             elif btype == "MI":
                 lo = None
+                explicit_lo.add(cn)
             elif btype == "PL":
                 up = None
             elif btype == "BV":

@@ -44,3 +44,51 @@ def test_verify_against_both_oracles():
 def test_solve_missing_file_errors():
     r = run_cli("solve", "/nonexistent.txt", "--cpu")
     assert r.returncode != 0
+
+
+def test_verify_general_mps_route(tmp_path):
+    """Regression (round-2 review): GeneralLP is a tuple subclass, so the
+    verify subcommand's isinstance(loaded, tuple) check mis-routed general
+    MPS inputs into a 4-way unpack crash."""
+    mps = """NAME          VG
+ROWS
+ N  COST
+ G  R1
+COLUMNS
+    X0        COST      1.0   R1        1.0
+    X1        COST      2.0   R1        1.0
+RHS
+    RHS       R1        2.0
+ENDATA
+"""
+    p = tmp_path / "vg.mps"
+    p.write_text(mps)
+    r = run_cli("verify", str(p), "--cpu")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "rel_gap" in r.stdout
+
+
+def test_fast_keeps_explicit_zero_flags():
+    """Regression (round-2 review): --fast must not clobber an explicit
+    --partial-pricing 0 / --update-defer 0 (None-sentinel defaults)."""
+    import argparse
+
+    from simplex_tpu.cli import _resolve_flag_defaults
+
+    ns = argparse.Namespace(
+        pricing_dtype=None, update_defer=0, partial_pricing=0,
+        refactor_every=None, fast=True,
+    )
+    _resolve_flag_defaults(ns)
+    assert ns.update_defer == 0  # explicit zero kept
+    assert ns.partial_pricing == 0  # explicit zero kept
+    assert ns.pricing_dtype == "bfloat16"  # unset -> fast default
+    assert ns.refactor_every == 1024
+
+    ns2 = argparse.Namespace(
+        pricing_dtype=None, update_defer=None, partial_pricing=None,
+        refactor_every=None, fast=False,
+    )
+    _resolve_flag_defaults(ns2)
+    assert (ns2.pricing_dtype, ns2.update_defer, ns2.partial_pricing,
+            ns2.refactor_every) == ("float32", 0, 0, 0)

@@ -174,3 +174,25 @@ def test_thesis_field_order_roundtrip():
     np.testing.assert_array_equal(A1, A2)
     np.testing.assert_array_equal(b1, b2)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_negative_upper_bound_implies_free_below(tmp_path):
+    """GLPK/CPLEX convention (round-2 review): UP with a negative value on
+    a column with no explicit lower bound sets lower = -inf, not 0."""
+    path = tmp_path / "negup.mps"
+    path.write_text(
+        "NAME N\nROWS\n N C\n L R1\nCOLUMNS\n    X C 1.0 R1 1.0\n"
+        "RHS\n    RHS R1 5.0\nBOUNDS\n UP BND X -1.0\nENDATA\n"
+    )
+    prob = read_mps(path)
+    assert prob.upper[0] == -1.0
+    assert prob.lower[0] == -float("inf")
+
+    # with an explicit LO the default convention does NOT kick in
+    path2 = tmp_path / "negup2.mps"
+    path2.write_text(
+        "NAME N\nROWS\n N C\n L R1\nCOLUMNS\n    X C 1.0 R1 1.0\n"
+        "RHS\n    RHS R1 5.0\nBOUNDS\n LO BND X -3.0\n UP BND X -1.0\nENDATA\n"
+    )
+    prob2 = read_mps(path2)
+    assert prob2.lower[0] == -3.0 and prob2.upper[0] == -1.0
