@@ -21,6 +21,16 @@ KKT accuracy in thousands of cheap iterations rather than an exact vertex.
 Use it for huge instances where simplex's O(m^2) per-pivot state or pivot
 counts are the wall; use the simplex core when vertex-exact answers matter.
 
+Measured convergence (v5e/CPU, random dense LPs from oracle.generator):
+64x160 ~7k iters to 1e-4; 256x640 ~107k (f64) / ~321k (f32); at
+8192x16384 the same uniform-positive dense instance STALLS (rp ~0.17
+after 46k iters) — all-positive dense A has a dominant rank-1 component
+(sigma_max ~ mean * sqrt(mn)) that Ruiz scaling cannot remove, so the
+step size collapses. This is a property of the instance class, not the
+size: first-order LP methods earn their keep on sparse/structured
+problems (the cuPDLP benchmarks are netlib/MIPLIB relaxations). For
+dense uniform-positive workloads at scale, use the simplex modes.
+
 Iteration (minimization form, f = min -c.x):
 
     x+ = max(0, x - tau (c_min - A^T y))
@@ -122,11 +132,9 @@ def _kkt(A, b, cmin, x, y, dr, dc, b_scale, c_scale):
     return r_p, r_d, gap
 
 
-@functools.partial(
-    jax.jit, static_argnames=("check_every", "max_iter", "tol", "dtype")
-)
-def _pdhg_jit(A, b, cmin, tol, max_iter, check_every, dtype):
-    m, n = A.shape
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _pdhg_setup(A, b, cmin, dtype):
+    """One-time preprocessing: Ruiz scaling, spectral norm, steps, scales."""
     As, dr, dc = _ruiz_equilibrate(A, dtype=dtype)
     # scaled problem: As xs = bs with x = D_c^{-1} xs  =>  bs = D_r^{-1} b,
     # cs = D_c^{-1} c (so that cs.xs == c.x)
@@ -146,6 +154,26 @@ def _pdhg_jit(A, b, cmin, tol, max_iter, check_every, dtype):
     # scales from the ORIGINAL data (the residuals are unscaled too)
     b_scale = 1 + jnp.max(jnp.abs(b.astype(dtype)))
     c_scale = 1 + jnp.max(jnp.abs(cmin.astype(dtype)))
+    return As, dr, dc, bs, cs, eta / w0, eta * w0, b_scale, c_scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("check_every", "max_iter", "tol", "windows")
+)
+def _pdhg_chunk(
+    As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state,
+    tol, max_iter, check_every, windows,
+):
+    """Advance the PDHG state by at most ``windows`` check windows.
+
+    The solve is host-chunked (an outer Python loop re-invokes this with
+    the carried state) rather than one unbounded device while_loop: a
+    single multi-minute device call was observed to CRASH the TPU worker
+    at 8192x16384 ("kernel fault" after ~20 min in one executable), and
+    chunking also bounds lost work and enables progress logging. The
+    chunk budget is sized so one call is seconds, not minutes.
+    """
+    dtype = As.dtype
 
     def make_inner(tau, sigma):
         def inner(carry, _):
@@ -159,18 +187,24 @@ def _pdhg_jit(A, b, cmin, tol, max_iter, check_every, dtype):
 
         return inner
 
-    tau = eta / w0
-    sigma = eta * w0
     BETA = jnp.asarray(0.2, dtype)  # sufficient-decay restart factor
 
-    def outer_cond(s):
+    def outer_cond(carry):
+        s, wc = carry
         it, rp, rd, gp, stall = s[6], s[7], s[8], s[9], s[10]
         done = jnp.logical_and(jnp.logical_and(rp < tol, rd < tol), gp < tol)
         return jnp.logical_and(
-            jnp.logical_and(~done, it < max_iter), stall < 64
+            jnp.logical_and(
+                jnp.logical_and(~done, it < max_iter), stall < 64
+            ),
+            wc < windows,
         )
 
-    def outer_body(s):
+    def outer_body(carry):
+        s, wc = carry
+        return _pdhg_window(s), wc + 1
+
+    def _pdhg_window(s):
         x, y, sx, sy, cnt, lre, it, rp0, rd0, gp0, stall = s
         (x1, y1, sx1, sy1), _ = jax.lax.scan(
             make_inner(tau, sigma), (x, y, sx, sy), None, length=check_every
@@ -211,19 +245,10 @@ def _pdhg_jit(A, b, cmin, tol, max_iter, check_every, dtype):
             x2, y2, sx2, sy2, cnt2, lre2, it + check_every, rp, rd, gp, stall
         )
 
-    inf = jnp.asarray(jnp.inf, dtype)
-    zx = jnp.zeros(n, dtype)
-    zy = jnp.zeros(m, dtype)
-    s0 = (
-        zx, zy, zx, zy, jnp.int32(0), inf, jnp.int32(0), inf, inf, inf,
-        jnp.int32(0),
+    state, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (state, jnp.int32(0))
     )
-    x, y, _, _, _, _, it, rp, rd, gp, stall = jax.lax.while_loop(
-        outer_cond, outer_body, s0
-    )
-    # unscale: x = xs / dc, y = ys / dr  (so that y.b and reduced costs map
-    # back to the original data)
-    return x / dc, y / dr, it, rp, rd, gp, stall
+    return state
 
 
 def solve_pdhg(
@@ -257,11 +282,41 @@ def solve_pdhg(
     A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
-    cmin = (-c).astype(jnp.dtype(dtype))  # minimization form
-    x, y, it, rp, rd, gp, stall = _pdhg_jit(
-        A, b, cmin, float(tol), int(max_iter), int(check_every),
-        jnp.dtype(dtype),
+    m, n = A.shape
+    dt = jnp.dtype(dtype)
+    cmin = (-c).astype(dt)  # minimization form
+    As, dr, dc, bs, cs, tau, sigma, b_scale, c_scale = _pdhg_setup(
+        A, b, cmin, dt
     )
+    # chunk budget: ~1e13 streamed bytes per device call (seconds, not the
+    # multi-minute single call that crashed the worker), floor one window,
+    # cap 64k iterations
+    iters_per_call = int(min(max(1e13 / (8 * m * n), check_every), 65536))
+    windows = max(1, iters_per_call // check_every)
+    inf = jnp.asarray(jnp.inf, dt)
+    state = (
+        jnp.zeros(n, dt), jnp.zeros(m, dt), jnp.zeros(n, dt),
+        jnp.zeros(m, dt), jnp.int32(0), inf, jnp.int32(0), inf, inf, inf,
+        jnp.int32(0),
+    )
+    while True:
+        state = _pdhg_chunk(
+            As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state,
+            float(tol), int(max_iter), int(check_every), windows,
+        )
+        it = int(state[6])
+        rp, rd, gp = float(state[7]), float(state[8]), float(state[9])
+        stall = int(state[10])
+        if (
+            max(rp, rd, gp) < tol
+            or it >= max_iter
+            or stall >= 64
+        ):
+            break
+    # unscale: x = xs / dc, y = ys / dr (back to the original data's units)
+    x, y = state[0] / dc, state[1] / dr
+    it, rp, gp = state[6], state[7], state[9]
+    rd = state[8]
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     rp_f, rd_f, gp_f = float(rp), float(rd), float(gp)

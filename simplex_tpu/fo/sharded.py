@@ -18,6 +18,13 @@ answer.
 Ruiz equilibration, the spectral norm, and the restart bookkeeping all run
 on replicated/local quantities (column norms are local; row norms need one
 psum-max per Ruiz sweep — done once at setup).
+
+NOTE: this variant still runs the whole solve as ONE device program. The
+single-chip solver (fo.pdhg) moved to host-chunked dispatch after a
+multi-minute single call crashed the TPU worker at 8192x16384; if that
+shows up on a real pod slice, split this the same way (setup shard_map
+producing the scaled shards once, then a windowed chunk shard_map with the
+carried sharded state).
 """
 
 from __future__ import annotations
