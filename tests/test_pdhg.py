@@ -98,3 +98,27 @@ def test_pdhg_sharded_rejects_indivisible():
     mesh = make_mesh(devices=jax.devices()[:8])
     with _pytest.raises(ValueError, match="not divisible"):
         solve_pdhg_sharded(A, b, c, mesh)
+
+
+def test_pdhg_structured_transportation():
+    """PDHG's designed instance class: structured 0/1 constraint matrices
+    (benign spectrum after Ruiz). A transportation LP in equality form —
+    slacks/surpluses appended directly; PDHG needs no feasible basis and
+    no artificials."""
+    from simplex_tpu.oracle.generator import transportation_lp
+    from simplex_tpu.oracle.reference import solve_scipy_general
+
+    lp = transportation_lp(8, 6, seed=1, balanced=False)
+    ref = solve_scipy_general(lp)
+    m, k = lp.A.shape
+    # equality form: L rows get +slack, G rows get -surplus
+    cols = []
+    for i, t in enumerate(lp.row_types):
+        e = np.zeros(m)
+        e[i] = 1.0 if t == "L" else -1.0
+        cols.append(e)
+    A_eq = np.concatenate([lp.A, np.stack(cols, axis=1)], axis=1)
+    c_eq = np.concatenate([lp.c, np.zeros(m)])
+    res = solve_pdhg(A_eq, lp.b, c_eq, tol=1e-5)
+    assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
+    assert relative_gap(res.z, ref.z) < 1e-3
