@@ -185,6 +185,7 @@ def solve_with_checkpoints(
     """Solve with periodic host checkpoints (every ``options.checkpoint_every``
     pivots, default 1024). If ``resume`` and ``path`` exists, continue from it.
     """
+    A_host = A if isinstance(A, np.ndarray) else None  # see solver.solve
     A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
@@ -301,9 +302,11 @@ def solve_with_checkpoints(
         if done:
             break
 
-    final = jax.device_get(state)
-    x_b_np = np.asarray(final.x_b)
-    basis_np = np.asarray(final.basis)
+    # selective host pull (B_inv stays on device — the full-state
+    # device_get was measured at ~15-30 s of tunnel transfer at m=8192)
+    x_b_np, basis_np, c_b_np = jax.device_get(
+        (state.x_b, state.basis, state.c_b)
+    )
     # Same exact-objective polish as solver.solve: O(m^2)-per-pass
     # iterative refinement reusing the solve's own inverse (NOT an O(m^3)
     # LU — that would put the round-1 single-core tail back inside
@@ -312,11 +315,12 @@ def solve_with_checkpoints(
     if options.polish and m <= options.polish_max_m:
         from simplex_tpu.core.solver import _polish_refine
 
-        x_b64, ok = _polish_refine(A, b, basis_np, final.x_b, final.B_inv)
+        A_pol = A_host if A_host is not None else np.asarray(A)
+        x_b64, ok = _polish_refine(A_pol, b, basis_np, x_b_np, state.B_inv)
         if not ok:
             try:
                 x_b64 = np.linalg.solve(
-                    np.asarray(A, np.float64)[:, basis_np],
+                    np.asarray(A_pol, np.float64)[:, basis_np],
                     np.asarray(b, np.float64),
                 )
                 ok = True
@@ -327,10 +331,10 @@ def solve_with_checkpoints(
             x_b_np = x_b64.astype(x_b_np.dtype)
             z = float(np.asarray(c, np.float64)[basis_np] @ x_b64)
         else:
-            z = float(np.dot(final.c_b, final.x_b))
+            z = float(np.dot(c_b_np, x_b_np))
             feas_err = float(max(0.0, -x_b_np.min()))
     else:
-        z = float(np.dot(final.c_b, final.x_b))
+        z = float(np.dot(c_b_np, x_b_np))
         feas_err = float(max(0.0, -x_b_np.min()))
     x = np.zeros(n, dtype=x_b_np.dtype)
     x[basis_np] = x_b_np
@@ -339,7 +343,7 @@ def solve_with_checkpoints(
         x=x,
         x_b=x_b_np,
         basis=basis_np,
-        status=SolveStatus(int(final.status)),
-        iters=int(final.iters),
+        status=SolveStatus(int(state.status)),
+        iters=int(state.iters),
         feas_err=feas_err,
     )

@@ -173,12 +173,31 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
         dx = B_inv r          fp32 — each pass cuts the error by
                               ~cond(A_B) * eps_f32.
 
+    ``A`` should be a HOST array and ``B_inv`` may stay a DEVICE array:
+    over the tunneled dev runtime, pulling A or the m x m inverse to the
+    host costs tens of seconds (measured ~28 s of a 48 s "solve" at
+    m=8192) — the preconditioner matvec runs on device with only the
+    m-float residual/correction crossing per pass.
+
     Returns (x64, ok); ok=False (stalled residual: conditioning too high
     for the fp32 preconditioner) sends the caller to the LU fallback.
     """
     A_np = np.asarray(A)
     AB = A_np[:, basis_np]
-    B_inv_np = np.asarray(B_inv)
+    if isinstance(B_inv, jax.Array):
+        dtype = B_inv.dtype
+
+        def precond(r):
+            return np.asarray(
+                jnp.matmul(B_inv, jnp.asarray(r, dtype)), np.float64
+            )
+
+    else:
+        B_inv_np = np.asarray(B_inv)
+
+        def precond(r):
+            return (B_inv_np @ r.astype(B_inv_np.dtype)).astype(np.float64)
+
     b64 = np.asarray(b, np.float64)
     x = np.asarray(x_b0, np.float64)
     m = AB.shape[0]
@@ -202,8 +221,7 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
         prev = nr
         if nr <= 1e-11 * scale:
             break
-        dx = (B_inv_np @ r.astype(B_inv_np.dtype)).astype(np.float64)
-        x = x + dx
+        x = x + precond(r)
     nr = float(np.abs(residual(x)).max())
     return x, np.isfinite(nr) and nr <= 1e-7 * scale
 
@@ -222,6 +240,10 @@ def solve(
     (the reference's only supported input shape, ``src/v1_baseline.cu:
     336-339``); pass an explicit (m,) index array otherwise.
     """
+    # keep a host reference to A when the caller passed one: the polish
+    # needs A's basis columns on the host, and re-pulling a device A over
+    # the tunneled runtime costs tens of seconds at 8k (measured)
+    A_host = A if isinstance(A, np.ndarray) else None
     A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
@@ -238,7 +260,13 @@ def solve(
         else jnp.asarray(basis0, jnp.int32)
     )
     final = _solve_jit(A, b, c, basis_arr, options, max_iter, slack_init)
-    final = jax.device_get(final)
+    # SELECTIVE host pull: only the O(m)/scalar leaves. device_get of the
+    # whole state drags B_inv (+ deferred buffers) through the tunnel —
+    # measured ~15-30 s of pure transfer at m=8192; B_inv stays on device
+    # and is only touched by the polish's device-side matvec.
+    x_b_np, basis_np, c_b_np, status_i, iters_i = jax.device_get(
+        (final.x_b, final.basis, final.c_b, final.status, final.iters)
+    )
 
     feas_err = 0.0
     if options.polish and m <= options.polish_max_m:
@@ -248,8 +276,8 @@ def solve(
         # the objective of the true basic solution (A_B x_b = b), and any
         # genuine negativity is surfaced as feas_err rather than silently
         # zeroed into an A x != b 'solution'.
-        basis_np = np.asarray(final.basis)
-        x_b64, ok = _polish_refine(A, b, basis_np, final.x_b, final.B_inv)
+        A_pol = A_host if A_host is not None else np.asarray(A)
+        x_b64, ok = _polish_refine(A_pol, b, basis_np, x_b_np, final.B_inv)
         if not ok:
             from simplex_tpu.logging import get_logger
 
@@ -260,7 +288,7 @@ def solve(
             # pathological conditioning: the O(m^3) LU is the exact fallback
             try:
                 x_b64 = np.linalg.solve(
-                    np.asarray(A, np.float64)[:, basis_np],
+                    np.asarray(A_pol, np.float64)[:, basis_np],
                     np.asarray(b, np.float64),
                 )
                 ok = True
@@ -268,24 +296,22 @@ def solve(
                 ok = False
         if ok:
             feas_err = float(max(0.0, -x_b64.min()))
-            final = final._replace(
-                x_b=x_b64.astype(np.asarray(final.x_b).dtype)
-            )
+            x_b_np = x_b64.astype(x_b_np.dtype)
             z = float(np.asarray(c, np.float64)[basis_np] @ x_b64)
         else:
-            z = float(np.dot(final.c_b, final.x_b))
-            feas_err = float(max(0.0, -np.asarray(final.x_b).min()))
+            z = float(np.dot(c_b_np, x_b_np))
+            feas_err = float(max(0.0, -x_b_np.min()))
     else:
-        z = float(np.dot(final.c_b, final.x_b))
-        feas_err = float(max(0.0, -np.asarray(final.x_b).min()))
-    x = np.zeros(n, dtype=np.asarray(final.x_b).dtype)
-    x[final.basis] = final.x_b
+        z = float(np.dot(c_b_np, x_b_np))
+        feas_err = float(max(0.0, -x_b_np.min()))
+    x = np.zeros(n, dtype=x_b_np.dtype)
+    x[basis_np] = x_b_np
     return SolveResult(
         z=z,
         x=x,
-        x_b=np.asarray(final.x_b),
-        basis=np.asarray(final.basis),
-        status=SolveStatus(int(final.status)),
-        iters=int(final.iters),
+        x_b=x_b_np,
+        basis=basis_np,
+        status=SolveStatus(int(status_i)),
+        iters=int(iters_i),
         feas_err=feas_err,
     )
