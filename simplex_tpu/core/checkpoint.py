@@ -193,6 +193,14 @@ def solve_with_checkpoints(
     chunk = options.checkpoint_every if options.checkpoint_every > 0 else 1024
     max_iter = options.resolve_max_iter(m, n)
     path = os.fspath(path)
+    # Normalize fields that do NOT shape the compiled graph out of the
+    # static jit key (the pivot budget is a TRACED scalar; checkpoint
+    # cadence is host-side): otherwise a warmup run with a small max_iter
+    # compiles a second, bitwise-identical executable for the real run —
+    # measured as ~8 s of hidden recompile inside the first timed chunk.
+    import dataclasses as _dc
+
+    exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
 
     if resume and os.path.exists(path):
         state = load_checkpoint(path, A=A, b=b, c=c)
@@ -238,7 +246,7 @@ def solve_with_checkpoints(
     while True:
         limit = min(int(state.iters) + chunk, max_iter)
         try:
-            state = _chunk_jit(A, b, c, state, options, jnp.int32(limit))
+            state = _chunk_jit(A, b, c, state, exec_options, jnp.int32(limit))
             jax.block_until_ready(state.x_b)
             retries = 0
         except jax.errors.JaxRuntimeError as exc:

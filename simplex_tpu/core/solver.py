@@ -259,7 +259,13 @@ def solve(
         if slack_init
         else jnp.asarray(basis0, jnp.int32)
     )
-    final = _solve_jit(A, b, c, basis_arr, options, max_iter, slack_init)
+    # the budget is a traced scalar and checkpoint cadence is host-side:
+    # keep them out of the static jit key so solves differing only in
+    # max_iter share one executable (see core/checkpoint.py)
+    import dataclasses as _dc
+
+    exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
+    final = _solve_jit(A, b, c, basis_arr, exec_options, max_iter, slack_init)
     # SELECTIVE host pull: only the O(m)/scalar leaves. device_get of the
     # whole state drags B_inv (+ deferred buffers) through the tunnel —
     # measured ~15-30 s of pure transfer at m=8192; B_inv stays on device
