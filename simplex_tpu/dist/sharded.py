@@ -21,6 +21,7 @@ the five backend ops absorb all communication:
 
 from __future__ import annotations
 
+import functools
 import types
 
 import jax
@@ -204,6 +205,44 @@ def _initial_state_sharded(
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _build_sharded_fn(mesh, axis_name, shard_width, m, options):
+    """Build (and cache) the jitted shard_map solve for this mesh/shape/
+    options combination — a fresh jit wrapper per call would re-trace every
+    solve. The pivot budget is a traced argument, not part of the key."""
+    backend = make_collective_backend(axis_name, shard_width)
+    dtype = options.dtype
+
+    def shard_fn(A_loc, b_rep, c_loc, basis_rep, max_iter):
+        prob = Problem(A_loc.astype(dtype), b_rep.astype(dtype), c_loc.astype(dtype))
+        prob = with_pricing_shadow(prob, options.pricing_dtype, options.pricing)
+        state0 = _initial_state_sharded(
+            A_loc, b_rep, c_loc, basis_rep, m, shard_width, axis_name, dtype,
+            options.pricing, options.update_defer,
+        )
+        final = solve_state(prob, state0, options, max_iter, backend=backend)
+        z = jnp.dot(final.c_b, final.x_b)
+        return final, z
+
+    # every state leaf is replicated except the shard-local pricing slices
+    e_spec = P(axis_name) if options.pricing == "devex" else P(None)
+    state_specs = SolverState(
+        B_inv=P(None, None), x_b=P(None), y=P(None), c_b=P(None),
+        basis=P(None), iters=P(), status=P(), degen=P(), last_refac=P(),
+        e=e_spec, gamma=e_spec,
+        U=P(None, None), R=P(None, None), npend=P(),
+    )
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis_name), P(None), P(axis_name), P(None), P()),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+    )
+
+
 def solve_sharded(
     A,
     b,
@@ -237,38 +276,8 @@ def solve_sharded(
         )
     shard_width = n // n_shards
     max_iter = options.resolve_max_iter(m, n)
-    backend = make_collective_backend(axis_name, shard_width)
-    dtype = options.dtype
-
-    def shard_fn(A_loc, b_rep, c_loc, basis_rep):
-        prob = Problem(A_loc.astype(dtype), b_rep.astype(dtype), c_loc.astype(dtype))
-        prob = with_pricing_shadow(prob, options.pricing_dtype, options.pricing)
-        state0 = _initial_state_sharded(
-            A_loc, b_rep, c_loc, basis_rep, m, shard_width, axis_name, dtype,
-            options.pricing, options.update_defer,
-        )
-        final = solve_state(prob, state0, options, max_iter, backend=backend)
-        z = jnp.dot(final.c_b, final.x_b)
-        return final, z
-
-    # every state leaf is replicated except the shard-local pricing slices
-    e_spec = P(axis_name) if options.pricing == "devex" else P(None)
-    state_specs = SolverState(
-        B_inv=P(None, None), x_b=P(None), y=P(None), c_b=P(None),
-        basis=P(None), iters=P(), status=P(), degen=P(), last_refac=P(),
-        e=e_spec, gamma=e_spec,
-        U=P(None, None), R=P(None, None), npend=P(),
-    )
-    fn = jax.jit(
-        jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(P(None, axis_name), P(None), P(axis_name), P(None)),
-            out_specs=(state_specs, P()),
-            check_vma=False,
-        )
-    )
-    final, z = fn(A, b, c, basis0)
+    fn = _build_sharded_fn(mesh, axis_name, shard_width, m, options)
+    final, z = fn(A, b, c, basis0, jnp.int32(max_iter))
     final = jax.device_get(final)
     z = float(z)
     x = np.zeros(n, dtype=np.asarray(final.x_b).dtype)

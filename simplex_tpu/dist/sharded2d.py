@@ -680,6 +680,64 @@ def _solve_2d_local(
     return final, z
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _build_2d_fn(mesh, m, n, m_loc, n_loc, options):
+    """Build (and cache) the jitted 2-D shard_map solve — a fresh jit
+    wrapper per call would re-trace every solve. The pivot budget is a
+    traced argument, not part of the cache key."""
+    dtype = options.dtype
+    use_bf16 = options.pricing_dtype != "float32"
+
+    def shard_fn(A_loc, b_rep, c_loc, basis_loc, max_iter):
+        A_loc = A_loc.astype(dtype)
+        Ap_loc = (
+            A_loc.astype(jnp.dtype(options.pricing_dtype)) if use_bf16 else None
+        )
+        return _solve_2d_local(
+            A_loc, Ap_loc, b_rep, c_loc.astype(dtype), basis_loc, options,
+            max_iter, m, n, m_loc, n_loc,
+        )
+
+    state_specs = {
+        "last_refac": P(),
+        "B_inv": P(ROWS_AXIS, None),
+        "x_b": P(ROWS_AXIS),
+        "y": P(None),
+        "c_b": P(ROWS_AXIS),
+        "basis": P(ROWS_AXIS),
+        "iters": P(),
+        "status": P(),
+        "degen": P(),
+    }
+    if options.update_defer > 0:
+        # U rows are eta vectors sharded like B_inv's rows; R is replicated
+        state_specs["U"] = P(None, ROWS_AXIS)
+        state_specs["R"] = P(None, None)
+        state_specs["npend"] = P()
+    if options.pricing == "devex":
+        # incremental reduced costs / weights share the column sharding
+        state_specs["e"] = P((ROWS_AXIS, COLS_AXIS))
+        state_specs["gamma"] = P((ROWS_AXIS, COLS_AXIS))
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P(None, (ROWS_AXIS, COLS_AXIS)),
+                P(None),
+                P((ROWS_AXIS, COLS_AXIS)),
+                P(ROWS_AXIS),
+                P(),
+            ),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+    )
+
+
 def solve_sharded_2d(
     A,
     b,
@@ -713,54 +771,8 @@ def solve_sharded_2d(
         else jnp.asarray(basis0, jnp.int32)
     )
     max_iter = options.resolve_max_iter(m, n)
-    dtype = options.dtype
-    use_bf16 = options.pricing_dtype != "float32"
-
-    def shard_fn(A_loc, b_rep, c_loc, basis_loc):
-        A_loc = A_loc.astype(dtype)
-        Ap_loc = (
-            A_loc.astype(jnp.dtype(options.pricing_dtype)) if use_bf16 else None
-        )
-        return _solve_2d_local(
-            A_loc, Ap_loc, b_rep, c_loc.astype(dtype), basis_loc, options,
-            max_iter, m, n, m_loc, n_loc,
-        )
-
-    state_specs = {
-        "last_refac": P(),
-        "B_inv": P(ROWS_AXIS, None),
-        "x_b": P(ROWS_AXIS),
-        "y": P(None),
-        "c_b": P(ROWS_AXIS),
-        "basis": P(ROWS_AXIS),
-        "iters": P(),
-        "status": P(),
-        "degen": P(),
-    }
-    if options.update_defer > 0:
-        # U rows are eta vectors sharded like B_inv's rows; R is replicated
-        state_specs["U"] = P(None, ROWS_AXIS)
-        state_specs["R"] = P(None, None)
-        state_specs["npend"] = P()
-    if options.pricing == "devex":
-        # incremental reduced costs / weights share the column sharding
-        state_specs["e"] = P((ROWS_AXIS, COLS_AXIS))
-        state_specs["gamma"] = P((ROWS_AXIS, COLS_AXIS))
-    fn = jax.jit(
-        jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(
-                P(None, (ROWS_AXIS, COLS_AXIS)),
-                P(None),
-                P((ROWS_AXIS, COLS_AXIS)),
-                P(ROWS_AXIS),
-            ),
-            out_specs=(state_specs, P()),
-            check_vma=False,
-        )
-    )
-    final, z = fn(A, b, c, basis0)
+    fn = _build_2d_fn(mesh, m, n, m_loc, n_loc, options)
+    final, z = fn(A, b, c, basis0, jnp.int32(max_iter))
     final = jax.device_get(final)
     z = float(z)
     basis = np.asarray(final["basis"])
