@@ -312,8 +312,8 @@ def solve_with_checkpoints(
 
     # selective host pull (B_inv stays on device — the full-state
     # device_get was measured at ~15-30 s of tunnel transfer at m=8192)
-    x_b_np, basis_np, c_b_np = jax.device_get(
-        (state.x_b, state.basis, state.c_b)
+    x_b_np, basis_np, c_b_np, y_np = jax.device_get(
+        (state.x_b, state.basis, state.c_b, state.y)
     )
     # Same exact-objective polish as solver.solve: O(m^2)-per-pass
     # iterative refinement reusing the solve's own inverse (NOT an O(m^3)
@@ -354,4 +354,5 @@ def solve_with_checkpoints(
         status=SolveStatus(int(state.status)),
         iters=int(state.iters),
         feas_err=feas_err,
+        y=y_np,
     )

@@ -44,6 +44,10 @@ class SolveResult(NamedTuple):
     # scale; a large value means the fp32 path drifted off the feasible
     # region and the 'optimum' overshoots — check before trusting z.
     feas_err: float = 0.0
+    # dual solution (simplex multipliers y = c_b B_inv): reduced costs are
+    # c - y.A and z == y.b at optimality. The reference never exposed
+    # duals; they are free here (the solver maintains y every pivot).
+    y: Optional[np.ndarray] = None
 
 
 def solve_state(
@@ -270,8 +274,8 @@ def solve(
     # whole state drags B_inv (+ deferred buffers) through the tunnel —
     # measured ~15-30 s of pure transfer at m=8192; B_inv stays on device
     # and is only touched by the polish's device-side matvec.
-    x_b_np, basis_np, c_b_np, status_i, iters_i = jax.device_get(
-        (final.x_b, final.basis, final.c_b, final.status, final.iters)
+    x_b_np, basis_np, c_b_np, y_np, status_i, iters_i = jax.device_get(
+        (final.x_b, final.basis, final.c_b, final.y, final.status, final.iters)
     )
 
     feas_err = 0.0
@@ -320,4 +324,5 @@ def solve(
         status=SolveStatus(int(status_i)),
         iters=int(iters_i),
         feas_err=feas_err,
+        y=y_np,
     )

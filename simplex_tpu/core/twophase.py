@@ -53,6 +53,9 @@ class GeneralSolveResult(NamedTuple):
     status: SolveStatus
     iters: int  # total pivots across both phases
     phase1_iters: int
+    # dual values for the ORIGINAL rows (maximization sense; sign-corrected
+    # for rows the standardization negated). None on non-OPTIMAL exits.
+    y: Optional[np.ndarray] = None
 
 
 def _preprocess_bounds(lp: GeneralLP):
@@ -185,6 +188,7 @@ def _standardize(lp: GeneralLP):
 
     # flip rows so b >= 0 (L <-> G under negation)
     types = []
+    flips = np.ones(m)
     A = A.copy()
     for i, t in enumerate(lp.row_types):
         t = t.upper()
@@ -194,6 +198,7 @@ def _standardize(lp: GeneralLP):
             A[i] *= -1
             b[i] *= -1
             t = {"L": "G", "G": "L", "E": "E"}[t]
+            flips[i] = -1.0
         types.append(t)
 
     slack_cols = []  # (row, sign)
@@ -224,7 +229,7 @@ def _standardize(lp: GeneralLP):
             basis1[i] = basis_from_slack[i]
     for j, i in enumerate(art_rows):
         basis1[i] = art_cols[j]
-    return A_std, b, c, k, n_real, art_cols, basis1
+    return A_std, b, c, k, n_real, art_cols, basis1, flips
 
 
 def _drive_out_artificials(A_std, basis, art_set, tol=1e-7):
@@ -279,14 +284,14 @@ def solve_general(
     rewritten over x' >= 0 by :func:`_preprocess_bounds` and the solution
     mapped back, so a bound-violating point can never be reported OPTIMAL.
     """
-    k_orig = np.asarray(lp.A).shape[1]
+    m_orig, k_orig = np.asarray(lp.A).shape
     lp, recover, z_const = _preprocess_bounds(lp)
     if lp is None:  # some lower bound exceeds its upper bound
         return GeneralSolveResult(
             z=float("nan"), x=np.zeros(k_orig), status=SolveStatus.INFEASIBLE,
             iters=0, phase1_iters=0,
         )
-    A_std, b, c, k, n_real, art_cols, basis1 = _standardize(lp)
+    A_std, b, c, k, n_real, art_cols, basis1, flips = _standardize(lp)
     m, n = A_std.shape
     art_set = set(art_cols.tolist())
 
@@ -349,10 +354,19 @@ def solve_general(
         status = SolveStatus.SINGULAR  # could not pin the artificials at 0
     x = recover(r2.x[:k])
     z = float(np.dot(c, r2.x[:k])) + z_const
+    # duals of the caller's rows: the first m_orig rows of the standardized
+    # problem are the originals (bound rows appended after), with the sign
+    # flipped back for rows the b>=0 normalization negated. Column
+    # transforms (shift/reflect/split) do not change row duals.
+    y = None
+    if status == SolveStatus.OPTIMAL and r2.y is not None:
+        y = np.asarray(r2.y[: len(flips)], np.float64) * flips
+        y = y[:m_orig]
     return GeneralSolveResult(
         z=z,
         x=x,
         status=status,
         iters=p1_iters + iters2,
         phase1_iters=p1_iters,
+        y=y,
     )

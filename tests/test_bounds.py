@@ -282,3 +282,31 @@ ENDATA
 
     prob = read_mps(p)
     assert prob.c0 == 10.0  # obj = c.x + 10
+
+
+def test_general_duals_match_highs():
+    """GeneralSolveResult.y: row duals (sign-corrected for the b>=0
+    normalization) match HiGHS marginals on a mixed-row instance."""
+    from scipy.optimize import linprog
+
+    lp = GeneralLP(
+        A=np.array([[1.0, 2.0], [3.0, 1.0], [1.0, -1.0]]),
+        b=np.array([8.0, 9.0, -1.0]),  # third row negative: gets flipped
+        c=np.array([3.0, 2.0]),
+        row_types=["L", "L", "G"],
+    )
+    res = solve_general(lp)
+    ref = solve_scipy_general(lp)
+    assert res.status == ref.status == SolveStatus.OPTIMAL
+    assert res.y is not None and res.y.shape == (3,)
+    # Dual optima need not be unique (this instance is dual-degenerate:
+    # HiGHS returns a different vertex with the same y.b), so check the
+    # DUALITY CONDITIONS rather than a specific vertex:
+    # strong duality: y.b == z
+    assert abs(float(res.y @ lp.b) - res.z) < 1e-5
+    # dual feasibility for maximize: L rows y>=0, G rows y<=0
+    assert res.y[0] >= -1e-9 and res.y[1] >= -1e-9
+    assert res.y[2] <= 1e-9
+    # reduced costs: c_j - y.A_j <= 0 for all structural columns
+    red = lp.c - res.y @ lp.A
+    assert red.max() < 1e-5

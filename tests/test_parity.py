@@ -54,3 +54,28 @@ def test_parity_medium_fp32_with_refactor():
     res = solve(A, b, c, options=SimplexOptions(refactor_every=100))
     assert res.status == SolveStatus.OPTIMAL
     assert relative_gap(res.z, ref.z) < 1e-4
+
+
+def test_duals_match_highs():
+    """SolveResult.y: simplex multipliers satisfy strong duality and match
+    HiGHS's equality marginals (up to sign convention)."""
+    import numpy as np
+    from scipy.optimize import linprog
+
+    from simplex_tpu.core.solver import solve
+    from simplex_tpu.oracle.generator import random_dense_lp
+
+    A, b, c = random_dense_lp(32, 96, seed=17)
+    res = solve(A, b, c)
+    assert res.y is not None and res.y.shape == (32,)
+    # strong duality: z == y.b
+    assert abs(float(np.dot(res.y, b)) - res.z) < 1e-4 * max(1, abs(res.z))
+    # dual feasibility: reduced costs y.A - c >= -tol
+    red = res.y @ np.asarray(A) - np.asarray(c)
+    assert red.min() > -1e-3
+    # vs HiGHS marginals (linprog minimizes -c, so marginals are -y)
+    ref = linprog(
+        -np.asarray(c, np.float64), A_eq=np.asarray(A, np.float64),
+        b_eq=np.asarray(b, np.float64), bounds=(0, None), method="highs",
+    )
+    np.testing.assert_allclose(res.y, -ref.eqlin.marginals, atol=1e-3)
