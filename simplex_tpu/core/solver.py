@@ -217,16 +217,21 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
         return r
 
     prev = np.inf
+    nr = np.inf
+    stale = True  # does nr describe the CURRENT x?
     for _ in range(iters):
         r = residual(x)
         nr = float(np.abs(r).max())
+        stale = False
         if not np.isfinite(nr) or nr >= prev:
             break
         prev = nr
         if nr <= 1e-11 * scale:
             break
         x = x + precond(r)
-    nr = float(np.abs(residual(x)).max())
+        stale = True
+    if stale:
+        nr = float(np.abs(residual(x)).max())
     return x, np.isfinite(nr) and nr <= 1e-7 * scale
 
 
