@@ -53,6 +53,10 @@ def __getattr__(name):
         from simplex_tpu.fo import solve_pdhg
 
         return solve_pdhg
+    if name == "ranging":
+        from simplex_tpu.analysis import ranging
+
+        return ranging
     if name == "solve_with_checkpoints":
         from simplex_tpu.core.checkpoint import solve_with_checkpoints
 
@@ -78,6 +82,7 @@ __all__ = [
     "load_lp",
     "loads_lp",
     "save_lp",
+    "ranging",
     "solve",
     "solve_batched",
     "solve_pdhg",

@@ -1,0 +1,123 @@
+"""Post-solve sensitivity analysis (RHS and cost ranging).
+
+Classic LP post-optimality, absent from the reference: over what range can
+a right-hand side b_i or an objective coefficient c_j move before the
+optimal BASIS changes — and how does the optimum move inside that range
+(rate y_i for b_i; rate x_j for c_j of a basic column).
+
+Everything is derived from the final basis on device (one Newton-Schulz
+re-inversion, pure GEMMs on the MXU — the same machinery as
+refactorization) and pulled as O(m + n) vectors; no m x m transfer.
+
+    max c.x  s.t.  A x = b, x >= 0,  optimal basis B:
+      RHS ranging    x_b(t)  = x_b + t * B_inv[:, i]  must stay >= 0
+      cost ranging   nonbasic j: reduced cost d_j = c_j - y.A_j <= 0
+                     must stay nonpositive -> c_j may rise by -d_j
+                     basic j (row r): d_k(t) = d_k - t * (B_inv[r] A)_k
+                     must stay <= 0 over all nonbasic k
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+class RangingResult(NamedTuple):
+    """Allowable DELTAS (not absolute values), per row / per column.
+
+    ``b_lo[i] <= delta_b_i <= b_hi[i]`` keeps the basis optimal; within the
+    range the optimum moves at rate ``y[i]`` per unit of b_i. Same shape
+    for costs: ``c_lo[j] <= delta_c_j <= c_hi[j]``, with the optimum moving
+    at rate ``x[j]`` (nonzero only for basic columns).
+    """
+
+    b_lo: np.ndarray  # (m,)
+    b_hi: np.ndarray  # (m,)
+    c_lo: np.ndarray  # (n,)
+    c_hi: np.ndarray  # (n,)
+    y: np.ndarray  # (m,) duals (dz/db)
+    x: np.ndarray  # (n,) primal (dz/dc)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _ranging_jit(A, b, c, basis):
+    from simplex_tpu.core.linalg import inverse_newton
+
+    dtype = A.dtype
+    m, n = A.shape
+    B = jnp.take(A, basis, axis=1)
+    B_inv, _ = inverse_newton(B)
+    x_b = jnp.matmul(B_inv, b, precision=_EXACT)
+    c_b = jnp.take(c, basis)
+    y = jnp.matmul(c_b, B_inv, precision=_EXACT)
+    red = jnp.matmul(y, A, precision=_EXACT) - c  # -reduced cost; >= 0 opt
+    inf = jnp.asarray(jnp.inf, dtype)
+    eps = jnp.asarray(1e-12, dtype)
+
+    # ---- RHS ranging: x_b + t B_inv[:, i] >= 0 per column i of B_inv ----
+    D = B_inv  # (m, m): column i is dx_b/db_i
+    ratio = -x_b[:, None] / jnp.where(jnp.abs(D) > eps, D, inf)  # (m rows, i)
+    pos = D > eps
+    neg = D < -eps
+    b_lo = jnp.max(jnp.where(pos, ratio, -inf), axis=0)
+    b_hi = jnp.min(jnp.where(neg, ratio, inf), axis=0)
+
+    # ---- cost ranging ----
+    is_basic = jnp.zeros(n, bool).at[basis].set(True)
+    # nonbasic j: c_j may rise until red_j = y.A_j - c_j hits 0, fall freely
+    c_lo_nb = jnp.full(n, -jnp.inf, dtype)
+    c_hi_nb = red  # >= 0 at optimality
+    # basic j in basis row r: d_k(t) = red_k - t w_k with w = B_inv[r] @ A;
+    # red_k >= 0 must be preserved over nonbasic k
+    W = jnp.matmul(B_inv, A, precision=_EXACT)  # (m, n): row r is w
+    mask_nb = ~is_basic[None, :]
+    ratio_c = jnp.where(
+        jnp.logical_and(mask_nb, jnp.abs(W) > eps),
+        red[None, :] / W,
+        jnp.nan,
+    )
+    # t must satisfy: w_k > 0 -> t <= red_k / w_k ; w_k < 0 -> t >= red_k / w_k
+    up_rows = jnp.min(
+        jnp.where(
+            jnp.logical_and(mask_nb, W > eps), red[None, :] / W, inf
+        ),
+        axis=1,
+    )  # (m,)
+    lo_rows = jnp.max(
+        jnp.where(
+            jnp.logical_and(mask_nb, W < -eps), red[None, :] / W, -inf
+        ),
+        axis=1,
+    )
+    c_lo = c_lo_nb.at[basis].set(lo_rows)
+    c_hi = c_hi_nb.at[basis].set(up_rows)
+
+    x = jnp.zeros(n, dtype).at[basis].set(x_b)
+    del ratio_c
+    return b_lo, b_hi, c_lo, c_hi, y, x
+
+
+def ranging(A, b, c, basis) -> RangingResult:
+    """Sensitivity ranges for the optimal ``basis`` (from SolveResult.basis).
+
+    Deltas keeping the basis optimal; see :class:`RangingResult`. Degenerate
+    optima can make ranges one-sided zeros (textbook behavior).
+    """
+    A = jnp.asarray(A, jnp.float32)
+    out = _ranging_jit(
+        A, jnp.asarray(b, jnp.float32), jnp.asarray(c, jnp.float32),
+        jnp.asarray(basis, jnp.int32),
+    )
+    b_lo, b_hi, c_lo, c_hi, y, x = jax.device_get(out)
+    return RangingResult(
+        b_lo=np.asarray(b_lo), b_hi=np.asarray(b_hi),
+        c_lo=np.asarray(c_lo), c_hi=np.asarray(c_hi),
+        y=np.asarray(y), x=np.asarray(x),
+    )
