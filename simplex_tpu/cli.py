@@ -193,6 +193,38 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Solve, then report duals and sensitivity ranges (RHS/cost ranging)."""
+    from simplex_tpu.analysis import ranging
+    from simplex_tpu.core.solver import solve
+    from simplex_tpu.core.twophase import GeneralLP
+    from simplex_tpu.status import SolveStatus
+
+    loaded, _c0, _max = _load(args.input, args.mps)
+    if isinstance(loaded, GeneralLP):
+        print(
+            "error: analyze requires a canonical-form input (general MPS "
+            "routes report duals via solve_general's y field)",
+            file=sys.stderr,
+        )
+        return 1
+    A, b, c, basis0 = loaded
+    res = solve(A, b, c, basis0=basis0, options=_options(args))
+    if res.status != SolveStatus.OPTIMAL:
+        print(res.status.describe())
+        return 2
+    rng = ranging(A, b, c, res.basis)
+    print(f"Optimum: {res.z:g}  ({res.iters} pivots)")
+    print("\nrow  dual y_i      allowable delta-b_i (basis unchanged)")
+    for i in range(len(b)):
+        print(f"{i:>3}  {rng.y[i]:>10.6g}  [{rng.b_lo[i]:>10.4g}, {rng.b_hi[i]:>10.4g}]")
+    k = min(len(c), args.top_cols)
+    print(f"\ncol  x_j         allowable delta-c_j (first {k} columns)")
+    for j in range(k):
+        print(f"{j:>3}  {rng.x[j]:>10.6g}  [{rng.c_lo[j]:>10.4g}, {rng.c_hi[j]:>10.4g}]")
+    return 0
+
+
 def cmd_trace(args) -> int:
     from simplex_tpu.core.trace import print_trace
     from simplex_tpu.core.twophase import GeneralLP
@@ -283,6 +315,18 @@ def main(argv=None) -> int:
     pv.add_argument("--gap", type=float, default=1e-6)
     common(pv)
     pv.set_defaults(fn=cmd_verify)
+
+    pa = sub.add_parser(
+        "analyze", help="solve + duals + RHS/cost sensitivity ranges"
+    )
+    pa.add_argument("input")
+    pa.add_argument("--mps", action="store_true")
+    pa.add_argument(
+        "--top-cols", type=int, default=16,
+        help="how many columns' cost ranges to print",
+    )
+    common(pa)
+    pa.set_defaults(fn=cmd_analyze)
 
     pt = sub.add_parser("trace", help="per-pivot debug trace (PRINT mode)")
     pt.add_argument("input")

@@ -92,3 +92,10 @@ def test_fast_keeps_explicit_zero_flags():
     _resolve_flag_defaults(ns2)
     assert (ns2.pricing_dtype, ns2.update_defer, ns2.partial_pricing,
             ns2.refactor_every) == ("float32", 0, 0, 0)
+
+
+def test_analyze_subcommand():
+    r = run_cli("analyze", "tests/data/sample.txt", "--cpu")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Optimum: 9" in r.stdout
+    assert "dual y_i" in r.stdout and "delta-c_j" in r.stdout
