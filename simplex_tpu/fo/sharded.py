@@ -15,19 +15,16 @@ is exactly A's shard. This is the decomposition for instances whose A
 doesn't fit one chip AND whose tolerance budget allows a first-order
 answer.
 
-Ruiz equilibration, the spectral norm, and the restart bookkeeping all run
-on replicated/local quantities (column norms are local; row norms need one
-psum-max per Ruiz sweep — done once at setup).
-
-NOTE: this variant still runs the whole solve as ONE device program. The
-single-chip solver (fo.pdhg) moved to host-chunked dispatch after a
-multi-minute single call crashed the TPU worker at 8192x16384; if that
-shows up on a real pod slice, split this the same way (setup shard_map
-producing the scaled shards once, then a windowed chunk shard_map with the
-carried sharded state).
+Like the single-chip solver (fo.pdhg), the solve is HOST-CHUNKED: setup
+(distributed Ruiz + power iteration) runs once and returns the scaled
+shards; then a bounded window-chunk executable is re-invoked with the
+carried sharded state — a single unbounded device program was observed to
+crash the TPU worker on long solves.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -41,13 +38,11 @@ from simplex_tpu.status import SolveStatus
 _EXACT = jax.lax.Precision.HIGHEST
 
 
-def _pdhg_local(A_loc, b, c_loc, tol, max_iter, check_every, axis_name):
-    """Shard-local PDHG body (inside shard_map). Mirrors fo.pdhg._pdhg_jit
-    with psums where a full-width contraction is needed."""
+def _setup_local(A_loc, b, c_loc, axis_name):
+    """Distributed Ruiz + spectral norm + steps (runs once, inside shard_map)."""
     dtype = jnp.float32
     m, n_loc = A_loc.shape
 
-    # --- distributed Ruiz: row inf-norms need a pmax across shards ---
     def ruiz(_, carry):
         As, dr, dc = carry
         r_loc = jnp.max(jnp.abs(As), axis=1)
@@ -66,18 +61,14 @@ def _pdhg_local(A_loc, b, c_loc, tol, max_iter, check_every, axis_name):
     bs = b.astype(dtype) / dr
     cs = (-c_loc.astype(dtype)) / dc  # minimization form
 
-    def matvec(x_loc):  # A x: local GEMV + one m-float psum
+    def matvec(x_loc):
         return jax.lax.psum(
             jnp.matmul(As, x_loc, precision=_EXACT), axis_name
         )
 
-    def rmatvec(y):  # A^T y: shard-local
-        return jnp.matmul(y, As, precision=_EXACT)
-
-    # --- distributed power iteration for ||A||_2 ---
     def power(_, v_loc):
         w = matvec(v_loc)
-        v = rmatvec(w)
+        v = jnp.matmul(w, As, precision=_EXACT)
         nv = jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis_name))
         return v / jnp.maximum(nv, 1e-30)
 
@@ -90,21 +81,33 @@ def _pdhg_local(A_loc, b, c_loc, tol, max_iter, check_every, axis_name):
     cs_norm = jnp.sqrt(jax.lax.psum(jnp.sum(cs * cs), axis_name))
     w0 = jnp.sqrt((cs_norm + 1e-6) / (jnp.linalg.norm(bs) + 1e-6))
     eta = jnp.asarray(0.9, dtype) / jnp.maximum(nrm, 1e-30)
-    tau = eta / w0
-    sigma = eta * w0
-    # scales and residuals in ORIGINAL units (see fo.pdhg._kkt): the
-    # scaled residuals map back elementwise via dr / dc
+    # scales in ORIGINAL units (residuals map back via dr/dc; see fo.pdhg)
     b_scale = 1 + jnp.max(jnp.abs(b.astype(dtype)))
     c_scale = 1 + jax.lax.pmax(jnp.max(jnp.abs(c_loc.astype(dtype))), axis_name)
+    return As, dr, dc, bs, cs, eta / w0, eta * w0, b_scale, c_scale
+
+
+def _chunk_local(
+    As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state,
+    tol, check_every, windows, axis_name,
+):
+    """Advance the sharded PDHG state by at most ``windows`` check windows."""
+    dtype = As.dtype
     BETA = jnp.asarray(0.2, dtype)
+
+    def matvec(x_loc):
+        return jax.lax.psum(
+            jnp.matmul(As, x_loc, precision=_EXACT), axis_name
+        )
+
+    def rmatvec(y):
+        return jnp.matmul(y, As, precision=_EXACT)
 
     def kkt(x_loc, y):
         rp = jnp.max(jnp.abs(dr * (matvec(x_loc) - bs))) / b_scale
         red = cs - rmatvec(y)
         rd = (
-            jax.lax.pmax(
-                jnp.max(dc * jnp.maximum(-red, 0)), axis_name
-            )
+            jax.lax.pmax(jnp.max(dc * jnp.maximum(-red, 0)), axis_name)
             / c_scale
         )
         pobj = jax.lax.psum(jnp.dot(cs, x_loc, precision=_EXACT), axis_name)
@@ -118,15 +121,20 @@ def _pdhg_local(A_loc, b, c_loc, tol, max_iter, check_every, axis_name):
         y1 = y + sigma * (bs - matvec(2 * x1 - x))
         return (x1, y1, sx + x1, sy + y1), None
 
-    def cond(s):
-        it, rp, rd, gp, stall = s[6], s[7], s[8], s[9], s[10]
+    def cond(carry):
+        s, wc = carry
+        it, rp, rd, gp, stall = s[4], s[6], s[7], s[8], s[9]
         done = jnp.logical_and(jnp.logical_and(rp < tol, rd < tol), gp < tol)
         return jnp.logical_and(
-            jnp.logical_and(~done, it < max_iter), stall < 64
+            jnp.logical_and(~done, stall < 64), wc < windows
         )
 
-    def body(s):
-        x, y, sx, sy, cnt, lre, it, rp0, rd0, gp0, stall = s
+    def body(carry):
+        s, wc = carry
+        x, y, cnt, lre, it, sx, rp0, rd0, gp0, stall, sy = (
+            s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7], s[8], s[9], s[10]
+        )
+        # unpack order note: state tuple layout documented in solve loop
         (x1, y1, sx1, sy1), _ = jax.lax.scan(
             inner, (x, y, sx, sy), None, length=check_every
         )
@@ -146,27 +154,57 @@ def _pdhg_local(A_loc, b, c_loc, tol, max_iter, check_every, axis_name):
         sy2 = jnp.where(restart, jnp.zeros_like(sy1), sy1)
         cnt2 = jnp.where(restart, 0, cnt1)
         lre2 = jnp.where(restart, err, lre)
-        # residuals of the point actually carried (see fo.pdhg)
         rp = jnp.where(adopt, rp_a, rp_c)
         rd = jnp.where(adopt, rd_a, rd_c)
         gp = jnp.where(adopt, gp_a, gp_c)
         err_prev = jnp.maximum(jnp.maximum(rp0, rd0), gp0)
         stall = jnp.where(err < err_prev * (1 - 1e-4), 0, stall + 1)
-        return (
-            x2, y2, sx2, sy2, cnt2, lre2, it + check_every, rp, rd, gp, stall
+        s2 = (
+            x2, y2, cnt2, lre2, it + check_every, sx2, rp, rd, gp, stall, sy2
         )
+        return s2, wc + 1
 
-    inf = jnp.asarray(jnp.inf, dtype)
-    zx = jnp.zeros(n_loc, dtype)
-    zy = jnp.zeros(m, dtype)
-    s0 = (
-        zx, zy, zx, zy, jnp.int32(0), inf, jnp.int32(0), inf, inf, inf,
-        jnp.int32(0),
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return state
+
+
+@functools.lru_cache(maxsize=16)
+def _build_fns(mesh, axis_name, tol, check_every, windows):
+    """Cached jitted setup + chunk executables for this mesh/params."""
+    xs = P(axis_name)  # column-sharded vectors
+    rep = P()
+
+    setup = jax.jit(
+        jax.shard_map(
+            functools.partial(_setup_local, axis_name=axis_name),
+            mesh=mesh,
+            in_specs=(P(None, axis_name), P(None), xs),
+            out_specs=(
+                P(None, axis_name), rep, xs, rep, xs, rep, rep, rep, rep
+            ),
+            check_vma=False,
+        )
     )
-    x, y, _, _, _, _, it, rp, rd, gp, stall = jax.lax.while_loop(
-        cond, body, s0
+    state_specs = (xs, rep, rep, rep, rep, xs, rep, rep, rep, rep, rep)
+    chunk = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                _chunk_local,
+                tol=tol,
+                check_every=check_every,
+                windows=windows,
+                axis_name=axis_name,
+            ),
+            mesh=mesh,
+            in_specs=(
+                P(None, axis_name), rep, xs, rep, xs, rep, rep, rep, rep,
+                state_specs,
+            ),
+            out_specs=state_specs,
+            check_vma=False,
+        )
     )
-    return x / dc, y / dr, it, rp, rd, gp, stall
+    return setup, chunk
 
 
 def solve_pdhg_sharded(
@@ -189,30 +227,38 @@ def solve_pdhg_sharded(
     if n % D != 0:
         raise ValueError(f"n={n} not divisible by mesh axis size {D}")
 
-    def shard_fn(A_loc, b_rep, c_loc):
-        return _pdhg_local(
-            A_loc, b_rep, c_loc, tol, max_iter, check_every, axis_name
-        )
-
-    fn = jax.jit(
-        jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(P(None, axis_name), P(None), P(axis_name)),
-            out_specs=(
-                P(axis_name), P(None), P(), P(), P(), P(), P(),
-            ),
-            check_vma=False,
-        )
+    # chunk budget sized like fo.pdhg: ~1e13 streamed bytes per device call
+    iters_per_call = int(min(max(1e13 / (8 * m * n / D), check_every), 65536))
+    windows = max(1, iters_per_call // check_every)
+    setup, chunk = _build_fns(
+        mesh, axis_name, float(tol), int(check_every), int(windows)
     )
-    x, y, it, rp, rd, gp, stall = fn(A, b, c)
-    x = np.asarray(jax.device_get(x), np.float64)
-    y = np.asarray(jax.device_get(y), np.float64)
-    rp_f, rd_f, gp_f = float(rp), float(rd), float(gp)
+    As, dr, dc, bs, cs, tau, sigma, b_scale, c_scale = setup(A, b, c)
+
+    dt = jnp.float32
+    inf = jnp.asarray(jnp.inf, dt)
+    # state layout: (x, y, cnt, lre, it, sx, rp, rd, gp, stall, sy)
+    state = (
+        jnp.zeros(n, dt), jnp.zeros(m, dt), jnp.int32(0), inf, jnp.int32(0),
+        jnp.zeros(n, dt), inf, inf, inf, jnp.int32(0), jnp.zeros(m, dt),
+    )
+    while True:
+        state = chunk(
+            As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state
+        )
+        it = int(state[4])
+        rp, rd, gp = float(state[6]), float(state[7]), float(state[8])
+        stall = int(state[9])
+        if max(rp, rd, gp) < tol or it >= max_iter or stall >= 64:
+            break
+
+    x = np.asarray(jax.device_get(state[0] / dc), np.float64)
+    y = np.asarray(jax.device_get(state[1] / dr), np.float64)
+    rp_f, rd_f, gp_f = rp, rd, gp
     ok = max(rp_f, rd_f, gp_f) < tol
     if ok:
         status = SolveStatus.OPTIMAL
-    elif int(stall) >= 64:
+    elif stall >= 64:
         status = SolveStatus.SINGULAR
     else:
         status = SolveStatus.MAX_ITER
@@ -222,7 +268,7 @@ def solve_pdhg_sharded(
         x=x,
         y=-y,
         status=status,
-        iters=int(it),
+        iters=it,
         primal_res=rp_f,
         dual_res=rd_f,
         gap=gp_f,

@@ -122,3 +122,32 @@ def test_pdhg_structured_transportation():
     res = solve_pdhg(A_eq, lp.b, c_eq, tol=1e-5)
     assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
     assert relative_gap(res.z, ref.z) < 1e-3
+
+
+def test_pdhg_sharded_chunked_multiple_calls():
+    """The sharded solve must survive crossing chunk boundaries: force a
+    tiny per-call window budget and check the host loop carries the sharded
+    state correctly to the same answer."""
+    import jax
+
+    from simplex_tpu.dist.mesh import make_mesh
+    from simplex_tpu.fo import sharded as sh
+
+    A, b, c = random_dense_lp(16, 48, seed=4)
+    mesh = make_mesh(devices=jax.devices()[:8])
+    # single-call reference
+    ref = sh.solve_pdhg_sharded(A, b, c, mesh, tol=1e-5)
+    # force 1 window per device call (many host round trips)
+    orig = sh._build_fns
+    sh._build_fns.cache_clear()
+
+    def tiny(mesh_, axis, tol, ce, windows):
+        return orig(mesh_, axis, tol, ce, 1)
+
+    sh._build_fns = tiny
+    try:
+        res = sh.solve_pdhg_sharded(A, b, c, mesh, tol=1e-5)
+    finally:
+        sh._build_fns = orig
+    assert res.status == SolveStatus.OPTIMAL
+    assert abs(res.z - ref.z) < 1e-4
