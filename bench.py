@@ -46,7 +46,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=8192)
     ap.add_argument("--n", type=int, default=16384)
-    ap.add_argument("--pivots", type=int, default=256)
+    # 512-pivot timed window: shorter budgets under-measure (256 pivots
+    # read 1366-1396 p/s where 512 reads 1536-1554 on identical code — the
+    # first iterations after a fresh dispatch run cold)
+    ap.add_argument("--pivots", type=int, default=512)
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex"])
     ap.add_argument(
