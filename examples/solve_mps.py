@@ -35,7 +35,10 @@ def main() -> None:
         if abs(v) > 1e-9:
             print(f"  {name} = {v:g}")
     if res.y is not None:
-        print("row duals:", np.round(res.y, 6))
+        # duals back in the instance's own sense (the solver maximizes; a
+        # minimize instance was solved with -c, so its duals are -y)
+        y = res.y if prob.maximize else -res.y
+        print("row duals:", np.round(y, 6))
 
 
 if __name__ == "__main__":

@@ -74,25 +74,24 @@ def _ranging_jit(A, b, c, basis):
     # nonbasic j: c_j may rise until red_j = y.A_j - c_j hits 0, fall freely
     c_lo_nb = jnp.full(n, -jnp.inf, dtype)
     c_hi_nb = red  # >= 0 at optimality
-    # basic j in basis row r: d_k(t) = red_k - t w_k with w = B_inv[r] @ A;
-    # red_k >= 0 must be preserved over nonbasic k
+    # basic j in basis row r: raising c_j by t shifts the duals by
+    # y(t) = y + t e_r B_inv, so red_k(t) = red_k + t w_k with
+    # w = B_inv[r] @ A; red_k(t) >= 0 must be preserved over nonbasic k:
+    #   w_k > 0  ->  t >= -red_k / w_k   (lower bounds)
+    #   w_k < 0  ->  t <= -red_k / w_k   (upper bounds)
+    # (a first draft had the signs swapped — the returned range was the
+    # negation of the true one; pinned by tests against brute-force scans)
     W = jnp.matmul(B_inv, A, precision=_EXACT)  # (m, n): row r is w
     mask_nb = ~is_basic[None, :]
-    ratio_c = jnp.where(
-        jnp.logical_and(mask_nb, jnp.abs(W) > eps),
-        red[None, :] / W,
-        jnp.nan,
-    )
-    # t must satisfy: w_k > 0 -> t <= red_k / w_k ; w_k < 0 -> t >= red_k / w_k
     up_rows = jnp.min(
         jnp.where(
-            jnp.logical_and(mask_nb, W > eps), red[None, :] / W, inf
+            jnp.logical_and(mask_nb, W < -eps), -red[None, :] / W, inf
         ),
         axis=1,
     )  # (m,)
     lo_rows = jnp.max(
         jnp.where(
-            jnp.logical_and(mask_nb, W < -eps), red[None, :] / W, -inf
+            jnp.logical_and(mask_nb, W > eps), -red[None, :] / W, -inf
         ),
         axis=1,
     )
@@ -100,7 +99,6 @@ def _ranging_jit(A, b, c, basis):
     c_hi = c_hi_nb.at[basis].set(up_rows)
 
     x = jnp.zeros(n, dtype).at[basis].set(x_b)
-    del ratio_c
     return b_lo, b_hi, c_lo, c_hi, y, x
 
 

@@ -200,7 +200,7 @@ def cmd_analyze(args) -> int:
     from simplex_tpu.core.twophase import GeneralLP
     from simplex_tpu.status import SolveStatus
 
-    loaded, _c0, _max = _load(args.input, args.mps)
+    loaded, c0, maximize = _load(args.input, args.mps)
     if isinstance(loaded, GeneralLP):
         print(
             "error: analyze requires a canonical-form input (general MPS "
@@ -214,14 +214,22 @@ def cmd_analyze(args) -> int:
         print(res.status.describe())
         return 2
     rng = ranging(A, b, c, res.basis)
-    print(f"Optimum: {res.z:g}  ({res.iters} pivots)")
+    # report everything in the instance's OWN optimization sense: the
+    # solver maximizes; a minimize MPS had its costs negated by _load, so
+    # duals and cost ranges flip sign (delta-c ranges negate AND swap ends)
+    sgn = 1.0 if maximize else -1.0
+    obj = sgn * res.z + c0
+    y = sgn * rng.y
+    c_lo = rng.c_lo if maximize else -rng.c_hi
+    c_hi = rng.c_hi if maximize else -rng.c_lo
+    print(f"Optimum: {obj:g}  ({res.iters} pivots)")
     print("\nrow  dual y_i      allowable delta-b_i (basis unchanged)")
     for i in range(len(b)):
-        print(f"{i:>3}  {rng.y[i]:>10.6g}  [{rng.b_lo[i]:>10.4g}, {rng.b_hi[i]:>10.4g}]")
+        print(f"{i:>3}  {y[i]:>10.6g}  [{rng.b_lo[i]:>10.4g}, {rng.b_hi[i]:>10.4g}]")
     k = min(len(c), args.top_cols)
     print(f"\ncol  x_j         allowable delta-c_j (first {k} columns)")
     for j in range(k):
-        print(f"{j:>3}  {rng.x[j]:>10.6g}  [{rng.c_lo[j]:>10.4g}, {rng.c_hi[j]:>10.4g}]")
+        print(f"{j:>3}  {rng.x[j]:>10.6g}  [{c_lo[j]:>10.4g}, {c_hi[j]:>10.4g}]")
     return 0
 
 

@@ -321,17 +321,28 @@ def solve_general(
         )
         basis = _drive_out_artificials(A_std, r1.basis, art_set)
 
-    # Phase 2: true objective; artificials blocked by a large negative cost
+    # Phase 2: true objective; artificials blocked by a large negative cost.
+    # EXCEPT artificials still basic after driveout (redundant rows): their
+    # tableau row is zero over every real column, so they can never leave —
+    # and a big-M cost on a BASIC column leaks straight into that row's
+    # dual (y_r = big, a garbage shadow price; round-2 review #3). Pinned
+    # artificials get cost 0: they sit at value 0 forever and the redundant
+    # row's dual comes out as a proper combination of the true costs.
     c2 = np.zeros(n)
     c2[:k] = c
     big = phase2_artificial_cost
     if big is None:
         big = -1e4 * max(1.0, float(np.abs(c).max()))
+    pinned = np.asarray(
+        [a for a in np.asarray(basis).tolist() if a in art_set], np.int32
+    )
     iters2 = 0
     art_tol = 1e-5 * max(1.0, float(np.abs(b).max()))
     for _ in range(3):
         if len(art_cols) > 0:
             c2[art_cols] = big
+            if len(pinned) > 0:
+                c2[pinned] = 0.0
         r2 = solve(A_std, b, c2, basis0=basis, options=options)
         iters2 += r2.iters
         # an artificial re-entering at a nonzero value means the penalty was

@@ -276,7 +276,12 @@ def solve_sharded(
         )
     shard_width = n // n_shards
     max_iter = options.resolve_max_iter(m, n)
-    fn = _build_sharded_fn(mesh, axis_name, shard_width, m, options)
+    # normalize graph-irrelevant fields out of the cache/jit key (the
+    # budget is traced; see core/solver.py)
+    import dataclasses as _dc
+
+    exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
+    fn = _build_sharded_fn(mesh, axis_name, shard_width, m, exec_options)
     final, z = fn(A, b, c, basis0, jnp.int32(max_iter))
     final = jax.device_get(final)
     z = float(z)

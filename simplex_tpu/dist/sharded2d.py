@@ -771,7 +771,12 @@ def solve_sharded_2d(
         else jnp.asarray(basis0, jnp.int32)
     )
     max_iter = options.resolve_max_iter(m, n)
-    fn = _build_2d_fn(mesh, m, n, m_loc, n_loc, options)
+    # normalize graph-irrelevant fields out of the cache/jit key (the
+    # budget is traced; see core/solver.py)
+    import dataclasses as _dc
+
+    exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
+    fn = _build_2d_fn(mesh, m, n, m_loc, n_loc, exec_options)
     final, z = fn(A, b, c, basis0, jnp.int32(max_iter))
     final = jax.device_get(final)
     z = float(z)

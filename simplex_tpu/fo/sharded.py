@@ -88,7 +88,7 @@ def _setup_local(A_loc, b, c_loc, axis_name):
 
 
 def _chunk_local(
-    As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state,
+    As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state, max_iter,
     tol, check_every, windows, axis_name,
 ):
     """Advance the sharded PDHG state by at most ``windows`` check windows."""
@@ -126,7 +126,10 @@ def _chunk_local(
         it, rp, rd, gp, stall = s[4], s[6], s[7], s[8], s[9]
         done = jnp.logical_and(jnp.logical_and(rp < tol, rd < tol), gp < tol)
         return jnp.logical_and(
-            jnp.logical_and(~done, stall < 64), wc < windows
+            jnp.logical_and(
+                jnp.logical_and(~done, stall < 64), it < max_iter
+            ),
+            wc < windows,
         )
 
     def body(carry):
@@ -198,7 +201,7 @@ def _build_fns(mesh, axis_name, tol, check_every, windows):
             mesh=mesh,
             in_specs=(
                 P(None, axis_name), rep, xs, rep, xs, rep, rep, rep, rep,
-                state_specs,
+                state_specs, rep,
             ),
             out_specs=state_specs,
             check_vma=False,
@@ -244,7 +247,8 @@ def solve_pdhg_sharded(
     )
     while True:
         state = chunk(
-            As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state
+            As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state,
+            jnp.int32(max_iter),
         )
         it = int(state[4])
         rp, rd, gp = float(state[6]), float(state[7]), float(state[8])

@@ -76,3 +76,39 @@ def test_nonbasic_cost_hi_is_reduced_cost(solved):
     r2 = solve_scipy(A, b, c2)
     assert r2.status == SolveStatus.OPTIMAL
     assert r2.x[j] > 1e-9  # the column entered
+
+
+def test_basic_cost_range_matches_bruteforce():
+    """Regression (round-2 review #2): basic-column cost ranges were the
+    NEGATION of the true range. Pin against a hand-checkable instance and a
+    brute-force scan."""
+    # max 2x1 + x2  s.t.  x1 + x2 + s = 1; basis = [x1]: true delta-c_1
+    # range is [-1, +inf] (lowering c_1 below 1 makes x2 enter).
+    A = np.array([[1.0, 1.0, 1.0]])
+    b = np.array([1.0])
+    c = np.array([2.0, 1.0, 0.0])
+    rng = ranging(A, b, c, np.array([0], np.int32))
+    assert rng.c_lo[0] == pytest.approx(-1.0, abs=1e-5)
+    assert np.isinf(rng.c_hi[0]) and rng.c_hi[0] > 0
+
+    # brute-force on a random LP: stepping inside the claimed range keeps
+    # the basis; stepping beyond a finite bound changes it
+    A, b, c = random_dense_lp(6, 16, seed=31)
+    res = solve(A, b, c)
+    r = ranging(A, b, c, res.basis)
+    j = int(res.basis[0])
+    for sign, bound in ((+1, r.c_hi[j]), (-1, r.c_lo[j])):
+        if not np.isfinite(bound):
+            continue
+        inside = np.array(c, np.float64)
+        inside[j] += 0.9 * bound
+        ri = solve(A, b, inside)
+        assert sorted(ri.basis.tolist()) == sorted(res.basis.tolist()), (
+            "basis changed INSIDE the claimed range"
+        )
+        outside = np.array(c, np.float64)
+        outside[j] += 1.5 * bound + sign * 0.05
+        ro = solve(A, b, outside)
+        assert sorted(ro.basis.tolist()) != sorted(res.basis.tolist()), (
+            "basis unchanged OUTSIDE the claimed range"
+        )

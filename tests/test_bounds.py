@@ -310,3 +310,25 @@ def test_general_duals_match_highs():
     # reduced costs: c_j - y.A_j <= 0 for all structural columns
     red = lp.c - res.y @ lp.A
     assert red.max() < 1e-5
+
+
+def test_redundant_row_dual_not_bigM():
+    """Regression (round-2 review #3): a redundant row's pinned artificial
+    carried the phase-2 big-M cost straight into that row's dual. With the
+    pinned artificial priced at 0, duals stay O(|c|)."""
+    # duplicated constraint -> one redundant row
+    lp = GeneralLP(
+        A=np.array([[1.0, 1.0], [1.0, 1.0], [1.0, -1.0]]),
+        b=np.array([4.0, 4.0, 0.0]),
+        c=np.array([2.0, 1.0]),
+        row_types=["E", "E", "L"],
+    )
+    res = solve_general(lp)
+    ref = solve_scipy_general(lp)
+    assert res.status == ref.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-6
+    assert res.y is not None
+    # duals bounded by the data scale, not the 1e4 big-M
+    assert np.abs(res.y).max() < 100
+    # strong duality on the original rows still holds
+    assert abs(float(res.y @ lp.b) - res.z) < 1e-5
