@@ -196,3 +196,51 @@ def test_negative_upper_bound_implies_free_below(tmp_path):
     )
     prob2 = read_mps(path2)
     assert prob2.lower[0] == -3.0 and prob2.upper[0] == -1.0
+
+
+def test_mps_writer_roundtrip(tmp_path):
+    """write_mps -> read_mps reproduces the instance exactly (rows, bounds,
+    sense, objective constant)."""
+    from simplex_tpu.io.mps_write import write_mps
+
+    rng = np.random.default_rng(7)
+    m, k = 5, 9
+    A = np.round(rng.normal(size=(m, k)) * rng.integers(0, 2, (m, k)), 6)
+    b = np.round(rng.normal(size=m), 6)
+    c = np.round(rng.normal(size=k), 6)
+    row_types = ["L", "G", "E", "L", "G"]
+    lower = np.array([0, 0, -1.5, -np.inf, 0, 2.0, -np.inf, 0, 0.0])
+    upper = np.array([np.inf, 3.0, np.inf, np.inf, 1.25, 2.0, 4.0, np.inf, np.inf])
+    p = tmp_path / "rt.mps"
+    write_mps(
+        p, A, b, c, row_types, maximize=True, lower=lower, upper=upper,
+        c0=2.5,
+    )
+    prob = read_mps(p)
+    assert prob.maximize and prob.c0 == 2.5
+    assert prob.row_types == row_types
+    np.testing.assert_array_equal(prob.A, A)
+    np.testing.assert_array_equal(prob.b, b)
+    np.testing.assert_array_equal(prob.c, c)
+    np.testing.assert_array_equal(prob.lower, lower)
+    np.testing.assert_array_equal(prob.upper, upper)
+
+
+def test_mps_writer_solve_roundtrip(tmp_path):
+    """A written instance solves to the same optimum after re-reading."""
+    from simplex_tpu.core.twophase import GeneralLP, solve_general
+    from simplex_tpu.io.mps_write import write_mps
+    from simplex_tpu.oracle.generator import transportation_lp
+
+    lp = transportation_lp(4, 3, seed=2, balanced=False)
+    direct = solve_general(lp)
+    p = tmp_path / "t.mps"
+    write_mps(p, lp.A, lp.b, lp.c, lp.row_types, maximize=True)
+    prob = read_mps(p)
+    lp2 = GeneralLP(
+        A=prob.A, b=prob.b, c=prob.c, row_types=prob.row_types,
+        lower=prob.lower, upper=prob.upper,
+    )
+    again = solve_general(lp2)
+    assert again.status == direct.status == SolveStatus.OPTIMAL
+    assert abs(again.z - direct.z) < 1e-9
