@@ -75,6 +75,10 @@ def main() -> None:
         help="full mode: skip the host HiGHS parity solve (minutes at 8k+)",
     )
     args = ap.parse_args()
+    if args.mode == "parity" and args.no_oracle:
+        # parity's metric IS the oracle gap; skipping the oracle would emit
+        # a JSON record that measures nothing (round-2 advisor finding)
+        ap.error("--no-oracle is incompatible with --mode parity")
     if args.small:
         args.m, args.n = 512, 1024
 

@@ -44,16 +44,16 @@ class RangingResult(NamedTuple):
     c_hi: np.ndarray  # (n,)
     y: np.ndarray  # (m,) duals (dz/db)
     x: np.ndarray  # (n,) primal (dz/dc)
+    # True when the basis re-inversion converged (device Newton-Schulz, or
+    # the exact f64 host fallback it escalates to). False only when even the
+    # f64 LU failed (numerically singular basis) — ranges are then garbage.
+    ok: bool = True
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _ranging_jit(A, b, c, basis):
-    from simplex_tpu.core.linalg import inverse_newton
-
+def _ranging_jit(A, b, c, basis, B_inv):
     dtype = A.dtype
     m, n = A.shape
-    B = jnp.take(A, basis, axis=1)
-    B_inv, _ = inverse_newton(B)
     x_b = jnp.matmul(B_inv, b, precision=_EXACT)
     c_b = jnp.take(c, basis)
     y = jnp.matmul(c_b, B_inv, precision=_EXACT)
@@ -107,15 +107,44 @@ def ranging(A, b, c, basis) -> RangingResult:
 
     Deltas keeping the basis optimal; see :class:`RangingResult`. Degenerate
     optima can make ranges one-sided zeros (textbook behavior).
+
+    The basis is re-inverted by device Newton-Schulz (pure MXU GEMMs, same
+    machinery as the solver's refactorization) and the residual is CHECKED:
+    an ill-conditioned basis that stalls the fp32 iteration falls back to an
+    exact float64 host inversion (only O(m + n) vectors cross back either
+    way), so the ranges are never silently derived from a bad inverse —
+    mirroring the solver's own polish fallback (round-2 advisor finding).
     """
+    from simplex_tpu.core.linalg import inverse_newton
+
     A = jnp.asarray(A, jnp.float32)
+    basis_j = jnp.asarray(basis, jnp.int32)
+    B = jnp.take(A, basis_j, axis=1)
+    B_inv, resid = inverse_newton(B)
+    m = int(B.shape[0])
+    ok = bool(np.isfinite(float(resid)) and float(resid) <= 1e-3)
+    if not ok:
+        from simplex_tpu.logging import get_logger
+
+        get_logger("analysis").warning(
+            "ranging: Newton-Schulz re-inversion stalled (residual %g); "
+            "falling back to exact f64 host inversion", float(resid)
+        )
+        try:
+            B_inv64 = np.linalg.inv(
+                np.asarray(A, np.float64)[:, np.asarray(basis, np.int64)]
+            )
+            B_inv = jnp.asarray(B_inv64.astype(np.float32))
+            ok = True
+        except np.linalg.LinAlgError:
+            ok = False  # singular basis: report, don't raise
     out = _ranging_jit(
         A, jnp.asarray(b, jnp.float32), jnp.asarray(c, jnp.float32),
-        jnp.asarray(basis, jnp.int32),
+        basis_j, B_inv,
     )
     b_lo, b_hi, c_lo, c_hi, y, x = jax.device_get(out)
     return RangingResult(
         b_lo=np.asarray(b_lo), b_hi=np.asarray(b_hi),
         c_lo=np.asarray(c_lo), c_hi=np.asarray(c_hi),
-        y=np.asarray(y), x=np.asarray(x),
+        y=np.asarray(y), x=np.asarray(x), ok=ok,
     )

@@ -40,6 +40,13 @@ class SimplexOptions:
     # eligible pivot. Reference used exact `alpha > 0`.
     pivot_tol: float = 1e-7
 
+    # Harris ratio-test feasibility relaxation: pass 1 tolerates this much
+    # primal infeasibility to let pass 2 pick a larger (more stable) pivot.
+    # Consumed by every backend (single-chip, 1-D, 2-D) so the one
+    # stability-critical tolerance can't silently drift apart across modes.
+    # The residual O(feas_tol) infeasibility is surfaced via feas_err.
+    feas_tol: float = 1e-6
+
     # Pivot limit. 0 means "auto": 50 * (m + n) chosen at trace time.
     max_iter: int = 0
 

@@ -216,7 +216,7 @@ def pivot_step(
     fused_out = (
         fused(
             state.x_b, alpha, state.basis, opts.pivot_tol, use_bland,
-            opts.ratio == "harris",
+            opts.ratio == "harris", opts.feas_tol,
         )
         if fused is not None
         else None
@@ -227,7 +227,8 @@ def pivot_step(
         q, theta_q, unbounded, eta_fused, x_b_fused = fused_out
     elif opts.ratio == "harris":
         q, theta_q, unbounded = backend.ratio_argmin_harris(
-            state.x_b, alpha, state.basis, opts.pivot_tol, use_bland
+            state.x_b, alpha, state.basis, opts.pivot_tol, use_bland,
+            opts.feas_tol,
         )
     else:
         q, theta_q, unbounded = backend.ratio_argmin(

@@ -333,12 +333,16 @@ def solve_general(
     big = phase2_artificial_cost
     if big is None:
         big = -1e4 * max(1.0, float(np.abs(c).max()))
-    pinned = np.asarray(
-        [a for a in np.asarray(basis).tolist() if a in art_set], np.int32
-    )
     iters2 = 0
     art_tol = 1e-5 * max(1.0, float(np.abs(b).max()))
     for _ in range(3):
+        # recompute the pinned set from the CURRENT basis each retry: an
+        # artificial ejected by a degenerate pivot and re-entering elsewhere
+        # must get the escalated penalty, or escalation can never fix it
+        # (round-2 advisor finding). Only artificials still basic stay free.
+        pinned = np.asarray(
+            [a for a in np.asarray(basis).tolist() if a in art_set], np.int32
+        )
         if len(art_cols) > 0:
             c2[art_cols] = big
             if len(pinned) > 0:

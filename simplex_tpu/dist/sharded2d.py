@@ -68,7 +68,8 @@ def _solve_2d_local(
     eps_f = opts.resolve_eps()
     eps = jnp.asarray(eps_f, dtype)
     harris = opts.ratio == "harris"
-    feas_tol = 1e-6
+    feas_tol = opts.feas_tol  # shared SimplexOptions field — same value as
+    # the single-chip Harris test, so the modes can't drift apart silently
     # flagship-config features (mirroring core/step.py; all static)
     devex = opts.pricing == "devex"
     defer = opts.update_defer > 0

@@ -97,7 +97,12 @@ def write_mps(
             continue
         if not np.isfinite(l_j):
             bound_lines.append(f" MI BND       {cn[j]}")
-        elif l_j != 0.0:
+        elif l_j != 0.0 or (np.isfinite(u_j) and u_j < 0):
+            # the explicit LO line is mandatory when lo == 0 but up < 0:
+            # readers following the negative-UP convention (io/mps.py) would
+            # otherwise rewrite the implicit 0 lower to -inf, silently
+            # round-tripping the (crossed) [0, u<0] into a feasible
+            # [-inf, u] (round-2 advisor finding)
             bound_lines.append(f" LO BND       {cn[j]:<10}{_fmt(l_j):>15}")
         if np.isfinite(u_j):
             bound_lines.append(f" UP BND       {cn[j]:<10}{_fmt(u_j):>15}")

@@ -112,3 +112,21 @@ def test_basic_cost_range_matches_bruteforce():
         assert sorted(ro.basis.tolist()) != sorted(res.basis.tolist()), (
             "basis unchanged OUTSIDE the claimed range"
         )
+
+
+def test_ranging_reports_ok_flag():
+    """ranging() checks the Newton-Schulz residual (round-2 advisor finding):
+    a well-conditioned basis reports ok=True; a numerically singular one
+    falls back to the f64 host inverse and, failing that too, ok=False."""
+    from simplex_tpu.analysis import ranging
+
+    A = np.array([[1.0, 0.0, 1.0, 0.0], [0.0, 1.0, 0.0, 1.0]])
+    b = np.array([2.0, 3.0])
+    c = np.array([1.0, 1.0, 0.0, 0.0])
+    r = ranging(A, b, c, np.array([0, 1], np.int32))
+    assert r.ok
+
+    # exactly singular basis (duplicate column): even the f64 LU fails
+    A2 = np.array([[1.0, 1.0, 1.0], [2.0, 2.0, 0.0]])
+    r2 = ranging(A2, np.array([1.0, 1.0]), np.zeros(3), np.array([0, 1], np.int32))
+    assert not r2.ok

@@ -226,6 +226,25 @@ def test_mps_writer_roundtrip(tmp_path):
     np.testing.assert_array_equal(prob.upper, upper)
 
 
+def test_mps_writer_roundtrip_zero_lower_negative_upper(tmp_path):
+    """lo == 0 with a finite NEGATIVE upper must round-trip exactly: the
+    writer emits an explicit LO 0 line so the reader's negative-UP
+    convention cannot rewrite the lower to -inf (round-2 advisor finding).
+    The crossed bounds [0, -1] are (intentionally) infeasible — the point
+    is that they survive the round trip unchanged."""
+    from simplex_tpu.io.mps_write import write_mps
+
+    A = np.array([[1.0]])
+    p = tmp_path / "zl.mps"
+    write_mps(
+        p, A, np.array([5.0]), np.array([1.0]), ["L"],
+        lower=np.array([0.0]), upper=np.array([-1.0]),
+    )
+    prob = read_mps(p)
+    assert prob.lower[0] == 0.0
+    assert prob.upper[0] == -1.0
+
+
 def test_mps_writer_solve_roundtrip(tmp_path):
     """A written instance solves to the same optimum after re-reading."""
     from simplex_tpu.core.twophase import GeneralLP, solve_general
