@@ -81,6 +81,8 @@ def save_checkpoint(
     fields = _FIELDS if not light else tuple(
         f for f in _FIELDS if f not in _LIGHT_SKIP
     )
+    if state.at_upper is not None:  # bounded-variable solve: flags are part
+        fields = fields + ("at_upper",)  # of the combinatorial state
     host = jax.device_get({f: getattr(state, f) for f in fields})
     arrays = {f: np.asarray(v) for f, v in host.items()}
     if light:
@@ -100,8 +102,14 @@ def load_checkpoint(
     dtype); ``b`` / ``c`` additionally re-derive x_b and the devex
     incremental reduced costs exactly when given."""
     with np.load(path) as data:
+        at_upper = (
+            jnp.asarray(data["at_upper"]) if "at_upper" in data else None
+        )
         if "B_inv" in data:
-            return SolverState(**{f: jnp.asarray(data[f]) for f in _FIELDS})
+            return SolverState(
+                **{f: jnp.asarray(data[f]) for f in _FIELDS},
+                at_upper=at_upper,
+            )
         if A is None:
             raise ValueError(
                 "light checkpoint (no B_inv): pass A to load_checkpoint so "
@@ -119,9 +127,15 @@ def load_checkpoint(
             fields["c_b"].astype(np.float64) @ B_inv.astype(np.float64)
         ).astype(dtype)
         if b is not None:
-            # true basic solution — never clamped (see core/step.refactorize)
-            x = B_inv.astype(np.float64) @ np.asarray(b, np.float64)
-            fields["x_b"] = x.astype(dtype)
+            # true basic solution — never clamped (see core/step.refactorize).
+            # Bounded solves: the basic block solves against the EFFECTIVE
+            # rhs b - A x_N (nonbasic-at-upper columns parked at u), but u is
+            # not stored in the snapshot — the caller's resume path
+            # (solve_with_checkpoints) passes at_upper0 through solve()
+            # instead, so only re-derive here for the classic x_N = 0 case.
+            if at_upper is None:
+                x = B_inv.astype(np.float64) @ np.asarray(b, np.float64)
+                fields["x_b"] = x.astype(dtype)
         if c is not None and fields["e"].shape[0] == np.asarray(A).shape[1]:
             # devex: re-derive the incremental reduced costs from the exact y
             fields["e"] = (
@@ -134,6 +148,7 @@ def load_checkpoint(
             R=jnp.zeros(shape, dtype),
             **{f: jnp.asarray(v) for f, v in fields.items() if f != "npend"},
             npend=jnp.int32(0),
+            at_upper=at_upper,
         )
 
 

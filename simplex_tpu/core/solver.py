@@ -48,6 +48,10 @@ class SolveResult(NamedTuple):
     # c - y.A and z == y.b at optimality. The reference never exposed
     # duals; they are free here (the solver maintains y every pivot).
     y: Optional[np.ndarray] = None
+    # bounded-variable solves only: nonbasic-at-upper flags of the returned
+    # solution (None otherwise). Together with basis this is the full
+    # combinatorial state — enough to warm-start a re-solve.
+    at_upper: Optional[np.ndarray] = None
 
 
 def solve_state(
@@ -152,14 +156,25 @@ def _solve_jit(
     opts: SimplexOptions,
     max_iter,  # traced: changing the budget does not retrace
     slack_init: bool,
+    u=None,  # (n,) native upper bounds; None = classic x >= 0
+    at_upper0=None,
 ) -> SolverState:
     dtype = opts.dtype
-    prob = Problem(A=A.astype(dtype), b=b.astype(dtype), c=c.astype(dtype))
+    prob = Problem(
+        A=A.astype(dtype),
+        b=b.astype(dtype),
+        c=c.astype(dtype),
+        u=None if u is None else u.astype(dtype),
+    )
     prob = with_pricing_shadow(prob, opts.pricing_dtype, opts.pricing)
     if slack_init:
-        state0 = initial_state_slack(prob, dtype, opts.pricing, opts.update_defer)
+        state0 = initial_state_slack(
+            prob, dtype, opts.pricing, opts.update_defer, at_upper0
+        )
     else:
-        state0 = initial_state(prob, basis0, dtype, opts.pricing, opts.update_defer)
+        state0 = initial_state(
+            prob, basis0, dtype, opts.pricing, opts.update_defer, at_upper0
+        )
     return solve_state(prob, state0, opts, max_iter)
 
 
@@ -240,14 +255,24 @@ def solve(
     b,
     c,
     *,
+    u=None,
     basis0: Optional[np.ndarray] = None,
+    at_upper0: Optional[np.ndarray] = None,
     options: SimplexOptions = DEFAULT_OPTIONS,
 ) -> SolveResult:
-    """Solve  max c.x  s.t.  A x = b, x >= 0  from a feasible basis.
+    """Solve  max c.x  s.t.  A x = b, 0 <= x (<= u)  from a feasible basis.
 
     ``basis0=None`` assumes the canonical trailing identity slack block
     (the reference's only supported input shape, ``src/v1_baseline.cu:
     336-339``); pass an explicit (m,) index array otherwise.
+
+    ``u`` (optional, (n,) with +inf for unbounded columns) activates the
+    native bounded-variable rule: nonbasic columns may sit at 0 or at u_j
+    (``at_upper0`` marks the latter for the starting point), the ratio test
+    is two-sided, and bound-flip steps change no basis at all. The row-per-
+    bound expansion the general route used through round 2 is thereby
+    unnecessary (the reference's GLPK oracle handled bounds natively,
+    ``glpk_interface.cpp:46-52``; its CUDA solvers never did).
     """
     # keep a host reference to A when the caller passed one: the polish
     # needs A's basis columns on the host, and re-pulling a device A over
@@ -261,6 +286,22 @@ def solve(
         raise ValueError(f"m > n ({m} > {n}): not a canonical-form LP")
     if b.shape != (m,) or c.shape != (n,):
         raise ValueError(f"shape mismatch: A {A.shape}, b {b.shape}, c {c.shape}")
+    bounded = u is not None
+    u_np = None
+    if bounded:
+        u_np = np.asarray(u, np.float64)
+        if u_np.shape != (n,):
+            raise ValueError(f"u shape {u_np.shape} != ({n},)")
+        if np.any(u_np < 0):
+            raise ValueError("negative upper bound (shift lowers to 0 first)")
+        if options.pricing == "devex":
+            raise NotImplementedError(
+                "pricing='devex' is not supported with native bounds yet; "
+                "use dantzig (full/shadow/segmented)"
+            )
+        if not np.any(np.isfinite(u_np)):
+            bounded = False  # all-inf bounds: classic path, zero overhead
+            u_np = None
     max_iter = options.resolve_max_iter(m, n)
     slack_init = basis0 is None
     basis_arr = (
@@ -274,7 +315,18 @@ def solve(
     import dataclasses as _dc
 
     exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
-    final = _solve_jit(A, b, c, basis_arr, exec_options, max_iter, slack_init)
+    u_arr = jnp.asarray(u_np, options.dtype) if bounded else None
+    at_up_arr = None
+    if bounded:
+        at_up_arr = (
+            jnp.zeros(n, bool)
+            if at_upper0 is None
+            else jnp.asarray(at_upper0, bool)
+        )
+    final = _solve_jit(
+        A, b, c, basis_arr, exec_options, max_iter, slack_init,
+        u_arr, at_up_arr,
+    )
     # SELECTIVE host pull: only the O(m)/scalar leaves. device_get of the
     # whole state drags B_inv (+ deferred buffers) through the tunnel —
     # measured ~15-30 s of pure transfer at m=8192; B_inv stays on device
@@ -282,17 +334,40 @@ def solve(
     x_b_np, basis_np, c_b_np, y_np, status_i, iters_i = jax.device_get(
         (final.x_b, final.basis, final.c_b, final.y, final.status, final.iters)
     )
+    at_upper_np = None
+    b_eff = b
+    ub_basic = None
+    z_fixed = 0.0  # objective contribution of nonbasic-at-upper columns
+    if bounded:
+        at_upper_np = np.array(jax.device_get(final.at_upper), bool)
+        at_upper_np[basis_np] = False  # invariant; belt-and-braces
+        up_cols = np.where(at_upper_np)[0]
+        c64 = np.asarray(c, np.float64)
+        if len(up_cols):
+            A_b = A_host if A_host is not None else np.asarray(A)
+            b_eff = np.asarray(b, np.float64) - np.asarray(
+                A_b[:, up_cols], np.float64
+            ) @ u_np[up_cols]
+            z_fixed = float(c64[up_cols] @ u_np[up_cols])
+        ub_basic = u_np[basis_np]
+
+    def _bounded_feas(x_vals) -> float:
+        lo_err = max(0.0, float(-np.min(x_vals))) if len(x_vals) else 0.0
+        if ub_basic is None:
+            return lo_err
+        up_err = float(np.max(np.asarray(x_vals) - ub_basic, initial=0.0))
+        return max(lo_err, up_err)
 
     feas_err = 0.0
     if options.polish and m <= options.polish_max_m:
         # Exact values for the returned (combinatorial) basis: re-derive
         # x_b in float64. Removes fp32 accumulation error from the reported
         # optimum without touching the device solve. NO clamping: z must be
-        # the objective of the true basic solution (A_B x_b = b), and any
-        # genuine negativity is surfaced as feas_err rather than silently
+        # the objective of the true basic solution (A_B x_b = b_eff), and
+        # any genuine violation is surfaced as feas_err rather than silently
         # zeroed into an A x != b 'solution'.
         A_pol = A_host if A_host is not None else np.asarray(A)
-        x_b64, ok = _polish_refine(A_pol, b, basis_np, x_b_np, final.B_inv)
+        x_b64, ok = _polish_refine(A_pol, b_eff, basis_np, x_b_np, final.B_inv)
         if not ok:
             from simplex_tpu.logging import get_logger
 
@@ -304,22 +379,25 @@ def solve(
             try:
                 x_b64 = np.linalg.solve(
                     np.asarray(A_pol, np.float64)[:, basis_np],
-                    np.asarray(b, np.float64),
+                    np.asarray(b_eff, np.float64),
                 )
                 ok = True
             except np.linalg.LinAlgError:
                 ok = False
         if ok:
-            feas_err = float(max(0.0, -x_b64.min()))
+            feas_err = _bounded_feas(x_b64)
             x_b_np = x_b64.astype(x_b_np.dtype)
-            z = float(np.asarray(c, np.float64)[basis_np] @ x_b64)
+            z = float(np.asarray(c, np.float64)[basis_np] @ x_b64) + z_fixed
         else:
-            z = float(np.dot(c_b_np, x_b_np))
-            feas_err = float(max(0.0, -x_b_np.min()))
+            z = float(np.dot(c_b_np, x_b_np)) + z_fixed
+            feas_err = _bounded_feas(x_b_np)
     else:
-        z = float(np.dot(c_b_np, x_b_np))
-        feas_err = float(max(0.0, -x_b_np.min()))
+        z = float(np.dot(c_b_np, x_b_np)) + z_fixed
+        feas_err = _bounded_feas(x_b_np)
     x = np.zeros(n, dtype=x_b_np.dtype)
+    if at_upper_np is not None:
+        up_cols = np.where(at_upper_np)[0]
+        x[up_cols] = u_np[up_cols].astype(x_b_np.dtype)
     x[basis_np] = x_b_np
     return SolveResult(
         z=z,
@@ -330,4 +408,5 @@ def solve(
         iters=int(iters_i),
         feas_err=feas_err,
         y=y_np,
+        at_upper=at_upper_np,
     )

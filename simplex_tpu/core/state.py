@@ -39,12 +39,21 @@ class Problem(NamedTuple):
     ``A`` before pivoting, and termination always uses an exact pass, so it
     changes the pivot *path*, never the correctness contract (see
     ``SimplexOptions.pricing_dtype``).
+
+    ``u`` (optional) are native variable upper bounds: 0 <= x <= u with
+    ``+inf`` entries for classically-unbounded columns. When present the
+    solver runs the bounded-variable rule (nonbasic-at-upper flags, two-sided
+    ratio test, bound-flip pivots) instead of the row-per-bound expansion the
+    general route used through round 2. The reference's GLPK oracle handled
+    bounds natively inside the library (``solver_glpk.cpp:23``,
+    ``glpk_interface.cpp:46-52``); its own CUDA solvers never did.
     """
 
     A: jnp.ndarray  # (m, n)
     b: jnp.ndarray  # (m,)
     c: jnp.ndarray  # (n,)
     A_price: Optional[jnp.ndarray] = None  # (m, n) bf16 pricing shadow
+    u: Optional[jnp.ndarray] = None  # (n,) upper bounds (+inf = none)
 
 
 def with_pricing_shadow(
@@ -82,6 +91,13 @@ class SolverState(NamedTuple):
     U: jnp.ndarray  # (L, m) pending eta vectors
     R: jnp.ndarray  # (L, m) pending true-inverse rows
     npend: jnp.ndarray  # () int32 — number of valid pending pairs
+    # bounded-variable extra (None when Problem.u is None — None is an empty
+    # pytree subtree, so the unbounded paths are untouched): True for
+    # NONBASIC columns currently sitting at their upper bound. Invariant:
+    # always False on basic columns (cleared when a column enters the basis),
+    # so  x_N = where(at_upper, u, 0)  is the full nonbasic solution and
+    # x_b = B_inv (b - A x_N).
+    at_upper: Optional[jnp.ndarray] = None  # (n,) bool
 
 
 def _pricing_extras(prob: Problem, y: jnp.ndarray, dtype, pricing: str):
@@ -101,12 +117,31 @@ def _defer_extras(m: int, dtype, update_defer: int):
     return jnp.zeros((1, 1), dtype), jnp.zeros((1, 1), dtype), jnp.int32(0)
 
 
+def _at_upper_extras(prob: Problem, at_upper0):
+    """(n,) nonbasic-at-upper flags when bounded; None otherwise."""
+    if prob.u is None:
+        return None
+    n = prob.A.shape[1]
+    if at_upper0 is None:
+        return jnp.zeros((n,), bool)
+    return jnp.asarray(at_upper0, bool)
+
+
+def nonbasic_upper_values(prob: Problem, at_upper: jnp.ndarray, dtype) -> jnp.ndarray:
+    """x_N as a full (n,) vector: u at nonbasic-at-upper columns, 0 elsewhere.
+
+    ``where`` (not multiply) so the +inf entries of u never meet a 0.
+    """
+    return jnp.where(at_upper, prob.u, 0).astype(dtype)
+
+
 def initial_state(
     prob: Problem,
     basis0: jnp.ndarray,
     dtype,
     pricing: str = "dantzig",
     update_defer: int = 0,
+    at_upper0=None,
 ) -> SolverState:
     """Build the starting state for a given feasible basis.
 
@@ -114,7 +149,9 @@ def initial_state(
     the reference's init phase (``src/v4_cub_reduction.cu:268-280``):
     ``B_inv = I``, ``c_b = c[n-m:]``, ``x_b = b``, ``y = c_b`` (since
     ``y = c_b @ I``). For a general basis it computes the same quantities
-    through the basis inverse.
+    through the basis inverse. When ``prob.u`` is set, ``at_upper0`` marks
+    nonbasic columns starting at their upper bound and ``x_b`` solves
+    ``B x_b = b - A x_N``.
     """
     m = prob.A.shape[0]
     basis0 = jnp.asarray(basis0, jnp.int32)
@@ -125,7 +162,12 @@ def initial_state(
     # init — matching the reference's one-off init phase, not the pivot loop.
     B_inv = jnp.linalg.solve(B, eye)
     c_b = jnp.take(prob.c, basis0).astype(dtype)
-    x_b = B_inv @ prob.b.astype(dtype)
+    at_upper = _at_upper_extras(prob, at_upper0)
+    b_eff = prob.b.astype(dtype)
+    if prob.u is not None:
+        x_N = nonbasic_upper_values(prob, at_upper, dtype)
+        b_eff = b_eff - prob.A.astype(dtype) @ x_N
+    x_b = B_inv @ b_eff
     y = c_b @ B_inv
     zero = jnp.int32(0)
     e, gamma = _pricing_extras(prob, y, dtype, pricing)
@@ -145,11 +187,16 @@ def initial_state(
         U=U,
         R=R,
         npend=npend,
+        at_upper=at_upper,
     )
 
 
 def initial_state_slack(
-    prob: Problem, dtype, pricing: str = "dantzig", update_defer: int = 0
+    prob: Problem,
+    dtype,
+    pricing: str = "dantzig",
+    update_defer: int = 0,
+    at_upper0=None,
 ) -> SolverState:
     """Fast path for the canonical trailing-identity slack basis.
 
@@ -163,9 +210,14 @@ def initial_state_slack(
     zero = jnp.int32(0)
     e, gamma = _pricing_extras(prob, c_b, dtype, pricing)
     U, R, npend = _defer_extras(m, dtype, update_defer)
+    at_upper = _at_upper_extras(prob, at_upper0)
+    x_b = prob.b.astype(dtype)
+    if prob.u is not None:
+        x_N = nonbasic_upper_values(prob, at_upper, dtype)
+        x_b = x_b - prob.A.astype(dtype) @ x_N
     return SolverState(
         B_inv=jnp.eye(m, dtype=dtype),
-        x_b=prob.b.astype(dtype),
+        x_b=x_b,
         y=c_b,
         c_b=c_b,
         basis=basis0,
@@ -178,4 +230,5 @@ def initial_state_slack(
         U=U,
         R=R,
         npend=npend,
+        at_upper=at_upper,
     )

@@ -72,6 +72,12 @@ def pivot_step(
     dtype = state.B_inv.dtype
     eps_f = opts.resolve_eps()
     eps = jnp.asarray(eps_f, dtype)
+    bounded = prob.u is not None
+    if bounded and opts.pricing == "devex":
+        raise NotImplementedError(
+            "devex pricing is not wired for the native bounded-variable rule"
+            " (use dantzig); solve() should have rejected this"
+        )
 
     use_bland = jnp.logical_and(
         opts.bland_after > 0, state.degen >= opts.bland_after
@@ -84,7 +90,84 @@ def pivot_step(
     c_eff = backend.mask_basic(prob.c, state.basis)
 
     # ---- Pricing / entering variable (ref :289-302) ----
-    if opts.pricing == "devex":
+    if bounded:
+        # Bounded-variable rule: the improvement criterion is the SIGNED
+        # reduced cost s_j = at_upper_j ? -e_j : e_j (at-upper columns
+        # improve by decreasing). Same shadow / segmented / fallback
+        # structure as the unbounded Dantzig branches below; the exact
+        # re-verification of a shadow/segment winner also re-checks the
+        # sign through the CURRENT at_upper flag, so termination
+        # (min s >= -eps) is always decided from exact values.
+        at_up = state.at_upper
+        zero32 = jnp.int32(0)
+
+        def _exact_signed(p_cand):
+            A_pc = backend.gather_column(prob.A, p_cand).astype(dtype)
+            c_pc = backend.gather_cost(prob.c, p_cand).astype(dtype)
+            e_pc = _dot(state.y, A_pc) - c_pc
+            return jnp.where(at_up[p_cand], -e_pc, e_pc)
+
+        def _exact_full(_):
+            return backend.choose_entering_bounded(
+                state.y, prob.A, prob.c, at_up, state.basis, zero32,
+                eps_f, use_bland,
+            )
+
+        if prob.A_price is not None and not _partial_active(opts, prob):
+            p1, _ = backend.choose_entering_bounded(
+                state.y, prob.A_price, prob.c, at_up, state.basis, zero32,
+                eps_f, use_bland,
+            )
+            s_p1 = _exact_signed(p1)
+            stale = jnp.logical_or(s_p1 >= -eps, use_bland)
+            p, min_e = jax.lax.cond(
+                stale, _exact_full, lambda _: (p1, s_p1), None
+            )
+        elif _partial_active(opts, prob):
+            S = opts.partial_pricing
+            n_all = prob.A.shape[1]
+            w = n_all // S
+            A_src = prob.A_price if prob.A_price is not None else prob.A
+            seg = (state.iters % S).astype(jnp.int32)
+
+            def _price_segment(s):
+                def br(_):
+                    A_seg = jax.lax.slice_in_dim(A_src, s * w, (s + 1) * w, axis=1)
+                    c_seg = jax.lax.slice_in_dim(prob.c, s * w, (s + 1) * w)
+                    up_seg = jax.lax.slice_in_dim(at_up, s * w, (s + 1) * w)
+                    p_loc, mn = backend.choose_entering_bounded(
+                        state.y, A_seg, c_seg, up_seg, state.basis,
+                        jnp.int32(s * w), eps_f, jnp.asarray(False),
+                    )
+                    return (s * w + p_loc).astype(jnp.int32), mn
+
+                return br
+
+            p1, _ = jax.lax.switch(
+                seg, [_price_segment(s) for s in range(S)], None
+            )
+            s_p1 = _exact_signed(p1)
+            stale = jnp.logical_or(s_p1 >= -eps, use_bland)
+
+            def _fallback(_):
+                if prob.A_price is None or not opts.fallback_shadow:
+                    return _exact_full(None)
+                p2, _ = backend.choose_entering_bounded(
+                    state.y, prob.A_price, prob.c, at_up, state.basis,
+                    zero32, eps_f, jnp.asarray(False),
+                )
+                s_p2 = _exact_signed(p2)
+                stale2 = jnp.logical_or(s_p2 >= -eps, use_bland)
+                return jax.lax.cond(
+                    stale2, _exact_full, lambda _: (p2, s_p2), None
+                )
+
+            p, min_e = jax.lax.cond(
+                stale, _fallback, lambda _: (p1, s_p1), None
+            )
+        else:
+            p, min_e = _exact_full(None)
+    elif opts.pricing == "devex":
         # Incremental reduced costs + Devex weights. Termination stays exact:
         # whenever the (drift-prone) incremental test fires — or the chosen
         # candidate's exactly-recomputed reduced cost is not improving — fall
@@ -212,42 +295,68 @@ def pivot_step(
         )
     else:
         alpha = state.B_inv @ A_p
-    fused = getattr(backend, "ratio_eta", None)
-    fused_out = (
-        fused(
-            state.x_b, alpha, state.basis, opts.pivot_tol, use_bland,
-            opts.ratio == "harris", opts.feas_tol,
-        )
-        if fused is not None
-        else None
-    )
-    if fused_out is not None:
-        # one kernel for the whole post-ftran O(m) chain (ratio test + eta
-        # vector + x_b axpy) — dispatch latency dominates these at small m
-        q, theta_q, unbounded, eta_fused, x_b_fused = fused_out
-    elif opts.ratio == "harris":
-        q, theta_q, unbounded = backend.ratio_argmin_harris(
-            state.x_b, alpha, state.basis, opts.pivot_tol, use_bland,
-            opts.feas_tol,
-        )
-    else:
-        q, theta_q, unbounded = backend.ratio_argmin(
-            state.x_b, alpha, state.basis, opts.pivot_tol, use_bland
-        )
 
-    do_pivot = jnp.logical_and(~optimal, ~unbounded)
+    if bounded:
+        # direction: entering from its upper bound DEcreases, so every basic
+        # value moves by -d * t with d = sigma * alpha.
+        from_upper = state.at_upper[p]
+        sigma = jnp.where(from_upper, -1, 1).astype(dtype)
+        d_vec = sigma * alpha
+        u_basic = jnp.take(prob.u, state.basis).astype(dtype)
+        u_p = backend.gather_cost(prob.u, p).astype(dtype)
+        q, theta_q, unbounded, flip, leave_upper = backend.ratio_argmin_bounded(
+            state.x_b, d_vec, u_basic, u_p, state.basis, opts.pivot_tol,
+            use_bland, opts.ratio == "harris", opts.feas_tol,
+        )
+        fused_out = None
+    else:
+        from_upper = jnp.asarray(False)
+        d_vec = alpha
+        flip = jnp.asarray(False)
+        leave_upper = jnp.asarray(False)
+        u_p = jnp.asarray(0, dtype)
+        fused = getattr(backend, "ratio_eta", None)
+        fused_out = (
+            fused(
+                state.x_b, alpha, state.basis, opts.pivot_tol, use_bland,
+                opts.ratio == "harris", opts.feas_tol,
+            )
+            if fused is not None
+            else None
+        )
+        if fused_out is not None:
+            # one kernel for the whole post-ftran O(m) chain (ratio test + eta
+            # vector + x_b axpy) — dispatch latency dominates these at small m
+            q, theta_q, unbounded, eta_fused, x_b_fused = fused_out
+        elif opts.ratio == "harris":
+            q, theta_q, unbounded = backend.ratio_argmin_harris(
+                state.x_b, alpha, state.basis, opts.pivot_tol, use_bland,
+                opts.feas_tol,
+            )
+        else:
+            q, theta_q, unbounded = backend.ratio_argmin(
+                state.x_b, alpha, state.basis, opts.pivot_tol, use_bland
+            )
+
+    take = jnp.logical_and(~optimal, ~unbounded)
     # Numerical failure: non-finite pricing value, or a pivot we are about to
     # take whose ratio is non-finite (generalizes v1's ThetaOverflow guard,
     # src/v1_baseline.cu:268-284, which v2+ silently dropped).
     bad = jnp.logical_or(
-        ~jnp.isfinite(min_e), jnp.logical_and(do_pivot, ~jnp.isfinite(theta_q))
+        ~jnp.isfinite(min_e), jnp.logical_and(take, ~jnp.isfinite(theta_q))
     )
-    do_pivot = jnp.logical_and(do_pivot, ~bad)
+    take = jnp.logical_and(take, ~bad)
+    # bound-flip steps change no basis: all B_inv / y / c_b / basis updates
+    # below gate on do_pivot (basis change); x_b and at_upper also move on
+    # flips. flip is the False constant when not bounded, so do_pivot == take
+    # and XLA folds the flip arithmetic away entirely.
+    do_pivot = jnp.logical_and(take, ~flip)
+    do_flip = jnp.logical_and(take, flip)
 
     alpha_q = alpha[q]
     safe_alpha_q = jnp.where(do_pivot, alpha_q, jnp.asarray(1, dtype))
     inv_aq = jnp.asarray(1, dtype) / safe_alpha_q
-    theta_safe = jnp.where(do_pivot, theta_q, jnp.asarray(0, dtype))
+    theta_safe = jnp.where(take, theta_q, jnp.asarray(0, dtype))
 
     binv_q = jax.lax.dynamic_index_in_dim(state.B_inv, q, axis=0, keepdims=False)
     if defer:
@@ -300,14 +409,32 @@ def pivot_step(
     # ---- O(m) primal / dual updates (ref :347-356) ----
     if fused_out is not None:
         x_b_new = x_b_fused
+        x_b_flip = state.x_b  # unbounded path: flips never happen
     else:
-        x_b_new = (state.x_b - theta_safe * alpha).at[q].set(theta_safe)
+        x_b_step = state.x_b - theta_safe * d_vec
+        # entering value: theta above its lower bound, or u_p - theta below
+        # its upper. For the unbounded path from_upper is the False constant
+        # and this folds to theta_safe.
+        x_p_new = jnp.where(from_upper, u_p - theta_safe, theta_safe)
+        x_b_new = x_b_step.at[q].set(x_p_new)
+        x_b_flip = x_b_step  # bound flip: every basic value moves, no q swap
     c_p = backend.gather_cost(prob.c, p).astype(dtype)
     e_p = _dot(state.y, A_p) - c_p  # == min_e under Dantzig; exact under Bland
     y_new = state.y - (e_p * inv_aq) * binv_q
 
     c_b_new = state.c_b.at[q].set(c_p)
     basis_new = state.basis.at[q].set(p)
+
+    if bounded:
+        lv = state.basis[q]  # leaving column (global index; != p, p nonbasic)
+        au = state.at_upper
+        au_flip = au.at[p].set(~from_upper)
+        au_pivot = au.at[p].set(False).at[lv].set(leave_upper)
+        at_upper_new = jnp.where(
+            do_pivot, au_pivot, jnp.where(do_flip, au_flip, au)
+        )
+    else:
+        at_upper_new = None
 
     # ---- Incremental pricing state (devex only) ----
     if opts.pricing == "devex":
@@ -335,7 +462,7 @@ def pivot_step(
         gamma_new = state.gamma
 
     degen_new = jnp.where(
-        theta_q <= jnp.asarray(opts.degen_tol, dtype), state.degen + 1, jnp.int32(0)
+        theta_safe <= jnp.asarray(opts.degen_tol, dtype), state.degen + 1, jnp.int32(0)
     )
 
     status_new = jnp.where(
@@ -355,13 +482,17 @@ def pivot_step(
         # defer mode: the flush cond already applies only on pivot steps; a
         # do_pivot select here would add a full m^2 pass every pivot
         B_inv=B_inv_new if defer else sel(B_inv_new, state.B_inv),
-        x_b=sel(x_b_new, state.x_b),
+        # three-way: basis change takes x_b_new (q swapped in), a bound flip
+        # takes the axpy only. do_flip is the False constant when unbounded.
+        x_b=jnp.where(
+            do_pivot, x_b_new, jnp.where(do_flip, x_b_flip, state.x_b)
+        ),
         y=sel(y_new, state.y),
         c_b=sel(c_b_new, state.c_b),
         basis=sel(basis_new, state.basis),
-        iters=state.iters + jnp.where(do_pivot, jnp.int32(1), jnp.int32(0)),
+        iters=state.iters + jnp.where(take, jnp.int32(1), jnp.int32(0)),
         status=status_new,
-        degen=jnp.where(do_pivot, degen_new, state.degen),
+        degen=jnp.where(take, degen_new, state.degen),
         last_refac=state.last_refac,
         e=sel(e_new, state.e),
         gamma=sel(gamma_new, state.gamma),
@@ -370,7 +501,24 @@ def pivot_step(
         U=U_new,
         R=R_new,
         npend=npend_new,
+        at_upper=at_upper_new,
     )
+
+
+def _effective_rhs(prob: Problem, state: SolverState, dtype) -> jnp.ndarray:
+    """b - A x_N: the rhs the BASIC variables actually solve against.
+
+    x_N is nonzero only under the bounded-variable rule (nonbasic columns
+    parked at a finite upper bound); unbounded problems return b untouched.
+    One O(mn) matvec — refactorization-cadence cost, not per-pivot.
+    """
+    b = prob.b.astype(dtype)
+    if prob.u is None:
+        return b
+    from simplex_tpu.core.state import nonbasic_upper_values
+
+    x_N = nonbasic_upper_values(prob, state.at_upper, dtype)
+    return b - jnp.matmul(prob.A.astype(dtype), x_N, precision=_EXACT)
 
 
 def refactorize(
@@ -409,7 +557,7 @@ def refactorize(
         # fold any pending deferred pairs into the seed (exact telescoping)
         X0 = X0 + jnp.matmul(state.U.T, state.R, precision=_EXACT)
     B_inv, _resid = inverse_newton(B, seed=X0)
-    x_b = jnp.matmul(B_inv, prob.b.astype(dtype), precision=_EXACT)
+    x_b = jnp.matmul(B_inv, _effective_rhs(prob, state, dtype), precision=_EXACT)
     y = jnp.matmul(state.c_b, B_inv, precision=_EXACT)
     new = state._replace(
         B_inv=B_inv,
@@ -444,7 +592,7 @@ def recompute_xy(prob: Problem, state: SolverState, defer: bool) -> SolverState:
     errors. Does NOT touch the inverse itself (that is refactorize's job).
     """
     dtype = state.B_inv.dtype
-    b = prob.b.astype(dtype)
+    b = _effective_rhs(prob, state, dtype)
     x_b = jnp.matmul(state.B_inv, b, precision=_EXACT)
     y = jnp.matmul(state.c_b, state.B_inv, precision=_EXACT)
     if defer:

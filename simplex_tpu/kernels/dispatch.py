@@ -35,6 +35,9 @@ def _xla_backend() -> types.SimpleNamespace:
         ratio_argmin=_xla.ratio_argmin,
         ratio_argmin_harris=_xla.ratio_argmin_harris,
         rank1_update=_xla.rank1_update,
+        # bounded-variable rule ops (native upper bounds): XLA-only for now
+        choose_entering_bounded=_xla.choose_entering_bounded,
+        ratio_argmin_bounded=_xla.ratio_argmin_bounded,
     )
 
 
@@ -54,6 +57,10 @@ def _pallas_backend() -> types.SimpleNamespace:
         ratio_argmin=_pl.ratio_argmin,
         ratio_argmin_harris=_xla.ratio_argmin_harris,
         rank1_update=_pl.rank1_update,
+        # bounded-variable rule ops: no Pallas kernels yet (the measured
+        # verdict favored XLA end-to-end anyway, pallas_ops.py:19-33)
+        choose_entering_bounded=_xla.choose_entering_bounded,
+        ratio_argmin_bounded=_xla.ratio_argmin_bounded,
     )
 
 

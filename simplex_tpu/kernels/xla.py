@@ -103,6 +103,121 @@ def devex_choose(
     return p.astype(jnp.int32), jnp.min(e)
 
 
+def choose_entering_bounded(
+    y: jnp.ndarray,
+    A: jnp.ndarray,
+    c: jnp.ndarray,
+    at_upper: jnp.ndarray,
+    basis: jnp.ndarray,
+    base_col: jnp.ndarray,
+    eps: float,
+    use_bland: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Entering choice under the bounded-variable rule. Returns ``(p, min_s)``.
+
+    A nonbasic-at-LOWER column improves by increasing (needs ``e_j < -eps``);
+    a nonbasic-at-UPPER column improves by decreasing (needs ``e_j > +eps``).
+    Both collapse to one signed criterion ``s_j = at_upper ? -e_j : e_j`` with
+    the usual ``min s >= -eps`` optimality test. Basic columns are masked to
+    ``+BASIC_PENALTY`` AFTER the sign flip (the ``mask_basic`` c-trick would
+    flip the penalty's sign for at-upper columns).
+
+    ``A``/``c``/``at_upper`` may be a column segment starting at global index
+    ``base_col`` (segmented pricing); ``basis`` stays global and is mapped
+    into the segment for the masking scatter. ``p`` is returned LOCAL to the
+    segment (callers add ``base_col``).
+    """
+    e = reduced_costs(y, A, c)
+    s = jnp.where(at_upper, -e, e)
+    w = s.shape[0]
+    loc = jnp.clip(basis - base_col, 0, w - 1)
+    in_seg = jnp.logical_and(basis >= base_col, basis < base_col + w)
+    s = s.at[loc].add(jnp.where(in_seg, jnp.asarray(BASIC_PENALTY, s.dtype), 0))
+    p_dantzig = jnp.argmin(s)
+    neg = s < -eps
+    p_bland = jnp.argmax(neg)
+    p = jnp.where(use_bland, p_bland, p_dantzig)
+    return p.astype(jnp.int32), jnp.min(s)
+
+
+def ratio_argmin_bounded(
+    x_b: jnp.ndarray,
+    d: jnp.ndarray,
+    u_basic: jnp.ndarray,
+    u_p: jnp.ndarray,
+    basis: jnp.ndarray,
+    pivot_tol: float,
+    use_bland: jnp.ndarray,
+    harris: bool,
+    feas_tol: float,
+):
+    """Two-sided (bounded-variable) ratio test.
+
+    ``d = sigma * alpha`` is the rate at which each basic value DEcreases per
+    unit step of the entering variable (``sigma`` = +1 entering from lower,
+    -1 from upper). Three ways a step can be blocked:
+
+      * a basic variable hits its LOWER bound 0:      d_i > tol
+      * a basic variable hits its (finite) UPPER u_i: d_i < -tol
+      * the entering variable hits its own opposite bound: t = u_p
+        (the bound-FLIP outcome — no basis change at all)
+
+    Returns ``(q, theta, unbounded, flip, leave_upper)``: ``flip`` means the
+    entering column just flips bound (q/leave_upper meaningless); otherwise
+    ``leave_upper`` says the leaving variable exits at its upper bound.
+    Unbounded iff no row blocks and ``u_p`` is infinite.
+
+    ``harris=True`` applies the same two-pass stabilization as
+    :func:`ratio_argmin_harris`, with BOTH bounds relaxed by ``feas_tol`` in
+    pass 1 and the largest ``|d|`` picked among rows whose true ratio fits
+    the relaxed bound.
+    """
+    inf = jnp.asarray(jnp.inf, x_b.dtype)
+    one = jnp.asarray(1, x_b.dtype)
+    dec = d > pivot_tol
+    inc = jnp.logical_and(d < -pivot_tol, jnp.isfinite(u_basic))
+    x_pos = jnp.maximum(x_b, 0)
+    # headroom to the upper bound, clamped at 0 like x_pos (Harris drift)
+    gap_pos = jnp.maximum(u_basic - x_b, 0)
+    safe_dec = jnp.where(dec, d, one)
+    safe_inc = jnp.where(inc, -d, one)
+    theta_dec = jnp.where(dec, x_pos / safe_dec, inf)
+    theta_inc = jnp.where(inc, gap_pos / safe_inc, inf)
+    theta_row = jnp.minimum(theta_dec, theta_inc)
+    any_row = jnp.any(jnp.logical_or(dec, inc))
+    unbounded = jnp.logical_and(~any_row, ~jnp.isfinite(u_p))
+
+    if harris:
+        rel_dec = jnp.where(dec, (x_pos + feas_tol) / safe_dec, inf)
+        rel_inc = jnp.where(inc, (gap_pos + feas_tol) / safe_inc, inf)
+        theta_max = jnp.min(jnp.minimum(rel_dec, rel_inc))
+        ok = jnp.logical_and(
+            jnp.logical_or(dec, inc), theta_row <= theta_max
+        )
+        q_harris = jnp.argmax(jnp.where(ok, jnp.abs(d), -inf))
+    else:
+        theta_max = jnp.min(theta_row)
+        q_harris = jnp.argmin(theta_row)
+
+    # Bland: exact smallest ratio, smallest basis index among exact ties
+    # (see ratio_argmin for why the tie set must be exact equality).
+    tmin = jnp.min(theta_row)
+    tie = theta_row == tmin
+    big = jnp.iinfo(jnp.int32).max
+    q_bland = jnp.argmin(jnp.where(tie, basis, big))
+    q = jnp.where(use_bland, q_bland, q_harris).astype(jnp.int32)
+    theta_q = jnp.where(use_bland, tmin, theta_row[q])
+
+    # the entering variable's own traverse to its other bound competes with
+    # the row minimum; prefer the flip on ties (no basis change, and the
+    # Harris pass-1 bound also admits it when u_p <= theta_max)
+    row_bound = jnp.where(use_bland, tmin, jnp.where(harris, theta_max, tmin))
+    flip = jnp.logical_and(~unbounded, u_p <= row_bound)
+    theta = jnp.where(flip, u_p, jnp.where(any_row, theta_q, inf))
+    leave_upper = theta_inc[q] < theta_dec[q]
+    return q, theta, unbounded, flip, leave_upper
+
+
 def pricing_update(A: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
     """w = rho . A — the updated pivot row of the tableau (one O(mn) pass,
     replacing the Dantzig y.A pricing pass at identical HBM traffic). Feeds
