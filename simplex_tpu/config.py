@@ -139,6 +139,19 @@ class SimplexOptions:
     # to exercise the segmented path on small LPs.
     partial_min_segment: int = 512
 
+    # Multiple pricing (classic suboptimization, Orchard-Hays). Pick the
+    # K most-improving columns in ONE pricing pass, ftran them all in ONE
+    # (m, m) x (m, K) GEMM — the per-pivot m^2 fp32 read of the base inverse
+    # (the measured per-pivot floor, docs/TUNING.md) amortizes over up to K
+    # pivots — then run minor pivots among the candidates, updating their
+    # tableau columns EXACTLY at O(K m) per pivot via the product form
+    #   alpha_j' = alpha_j + alpha_j[q] * eta,   e_j' = e_j - e_p/a_q * alpha_j[q].
+    # When no candidate improves (or Bland's rule is active), the buffer
+    # refills from a fresh pricing pass, so termination is still decided by
+    # an exact full pass. Dantzig only (ignored under devex); takes
+    # precedence over partial_pricing when both are set. 0 disables.
+    multi_price: int = 0
+
     # Two-stage fallback for segmented pricing: when a segment is dry, retry
     # over the FULL bf16 shadow (1/16th the bytes of exact pricing) before
     # paying the exact f32 pass. Termination is still decided from exact

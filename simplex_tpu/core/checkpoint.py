@@ -221,6 +221,14 @@ def solve_with_checkpoints(
         state = load_checkpoint(path, A=A, b=b, c=c)
         validate_checkpoint(state, A, b)
         state = state._replace(status=jnp.int32(SolveStatus.RUNNING))
+        if options.multi_price > 0 and state.cand is None:
+            # snapshots don't carry the (ephemeral) multiple-pricing buffer;
+            # attach an empty one so the resumed chunks keep the fast path
+            from simplex_tpu.core.state import _cand_extras
+
+            state = state._replace(
+                cand=_cand_extras(m, n, options.dtype, options.multi_price)
+            )
         if int(state.last_refac) < int(state.iters):
             # full checkpoint carried a drifted inverse: refactorize so the
             # resumed solve starts clean (light ones are rebuilt exact).
@@ -251,10 +259,12 @@ def solve_with_checkpoints(
                 options.dtype,
                 options.pricing,
                 options.update_defer,
+                multi_price=options.multi_price,
             )
         else:
             state = initial_state_slack(
-                prob, options.dtype, options.pricing, options.update_defer
+                prob, options.dtype, options.pricing, options.update_defer,
+                multi_price=options.multi_price,
             )
 
     retries = 0
@@ -303,11 +313,13 @@ def solve_with_checkpoints(
                         options.dtype,
                         options.pricing,
                         options.update_defer,
+                        multi_price=options.multi_price,
                     )
                 else:
                     state = initial_state_slack(
                         prob0, options.dtype, options.pricing,
                         options.update_defer,
+                        multi_price=options.multi_price,
                     )
             continue
         status = SolveStatus(int(state.status))

@@ -169,11 +169,13 @@ def _solve_jit(
     prob = with_pricing_shadow(prob, opts.pricing_dtype, opts.pricing)
     if slack_init:
         state0 = initial_state_slack(
-            prob, dtype, opts.pricing, opts.update_defer, at_upper0
+            prob, dtype, opts.pricing, opts.update_defer, at_upper0,
+            opts.multi_price,
         )
     else:
         state0 = initial_state(
-            prob, basis0, dtype, opts.pricing, opts.update_defer, at_upper0
+            prob, basis0, dtype, opts.pricing, opts.update_defer, at_upper0,
+            opts.multi_price,
         )
     return solve_state(prob, state0, opts, max_iter)
 

@@ -98,6 +98,26 @@ class SolverState(NamedTuple):
     # so  x_N = where(at_upper, u, 0)  is the full nonbasic solution and
     # x_b = B_inv (b - A x_N).
     at_upper: Optional[jnp.ndarray] = None  # (n,) bool
+    # multiple-pricing candidate buffer (None when multi_price == 0); see
+    # SimplexOptions.multi_price and core/step._multi_pricing.
+    cand: Optional["CandBuffer"] = None
+
+
+class CandBuffer(NamedTuple):
+    """Multiple-pricing (suboptimization) candidate buffer.
+
+    ``alpha[j]`` is the ftran'd tableau column of candidate ``idx[j]``
+    against the CURRENT represented inverse (base + pending deferred pairs)
+    and ``e[j]`` its reduced cost; both are maintained exactly across minor
+    pivots by the product form (see SimplexOptions.multi_price). ``valid``
+    clears when a candidate enters the basis, stops improving, or the
+    representation is rebuilt (refactorize / recompute invalidate the whole
+    buffer)."""
+
+    idx: jnp.ndarray  # (K,) int32 global column indices
+    alpha: jnp.ndarray  # (K, m)
+    e: jnp.ndarray  # (K,) reduced costs
+    valid: jnp.ndarray  # (K,) bool
 
 
 def _pricing_extras(prob: Problem, y: jnp.ndarray, dtype, pricing: str):
@@ -115,6 +135,22 @@ def _defer_extras(m: int, dtype, update_defer: int):
         zeros = jnp.zeros((update_defer, m), dtype)
         return zeros, zeros, jnp.int32(0)
     return jnp.zeros((1, 1), dtype), jnp.zeros((1, 1), dtype), jnp.int32(0)
+
+
+def _cand_extras(m: int, n: int, dtype, multi_price: int):
+    """Empty candidate buffer when multiple pricing is on; None otherwise.
+
+    K clamps to n: a buffer wider than the column count would make the
+    refill's top_k ill-posed (and is pointless anyway)."""
+    if multi_price <= 0:
+        return None
+    K = min(multi_price, n)
+    return CandBuffer(
+        idx=jnp.zeros((K,), jnp.int32),
+        alpha=jnp.zeros((K, m), dtype),
+        e=jnp.zeros((K,), dtype),
+        valid=jnp.zeros((K,), bool),
+    )
 
 
 def _at_upper_extras(prob: Problem, at_upper0):
@@ -142,6 +178,7 @@ def initial_state(
     pricing: str = "dantzig",
     update_defer: int = 0,
     at_upper0=None,
+    multi_price: int = 0,
 ) -> SolverState:
     """Build the starting state for a given feasible basis.
 
@@ -153,7 +190,7 @@ def initial_state(
     nonbasic columns starting at their upper bound and ``x_b`` solves
     ``B x_b = b - A x_N``.
     """
-    m = prob.A.shape[0]
+    m, n = prob.A.shape
     basis0 = jnp.asarray(basis0, jnp.int32)
     B = jnp.take(prob.A, basis0, axis=1).astype(dtype)
     eye = jnp.eye(m, dtype=dtype)
@@ -188,6 +225,7 @@ def initial_state(
         R=R,
         npend=npend,
         at_upper=at_upper,
+        cand=_cand_extras(m, n, dtype, multi_price),
     )
 
 
@@ -197,6 +235,7 @@ def initial_state_slack(
     pricing: str = "dantzig",
     update_defer: int = 0,
     at_upper0=None,
+    multi_price: int = 0,
 ) -> SolverState:
     """Fast path for the canonical trailing-identity slack basis.
 
@@ -231,4 +270,5 @@ def initial_state_slack(
         R=R,
         npend=npend,
         at_upper=at_upper,
+        cand=_cand_extras(m, n, dtype, multi_price),
     )

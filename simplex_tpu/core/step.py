@@ -62,6 +62,129 @@ def _partial_active(opts: SimplexOptions, prob: Problem) -> bool:
     )
 
 
+def _multi_pricing(
+    prob: Problem,
+    state: SolverState,
+    opts: SimplexOptions,
+    eps,
+    use_bland,
+    dtype,
+    bounded: bool,
+):
+    """Multiple pricing (suboptimization): pick the entering column from a
+    K-candidate buffer, refilling it only when no candidate improves.
+
+    The refill prices ALL columns once (bf16 shadow first, exact fp32 when
+    the shadow is stale or Bland is active), takes the K most improving, and
+    ftrans them in ONE (m, m) x (m, K) GEMM — so the per-pivot m^2 fp32 read
+    of the base inverse (the measured per-pivot floor, docs/TUNING.md)
+    amortizes over up to K pivots. Minor pivots between refills update each
+    candidate's tableau column and reduced cost EXACTLY by the product form
+    (see pivot_step's post-pivot block), the same O(m)-per-candidate math
+    the reference spends on x_b/y (src/v4_cub_reduction.cu:347-356).
+
+    Returns ``(p, min_e, alpha_p, cand, j_star)``; ``min_e`` is the signed
+    improvement criterion of the chosen candidate, or — when the refill's
+    exact full pass found nothing improving — the exact minimum over all
+    nonbasic columns, so the caller's ``optimal = min_e >= -eps`` test is
+    always decided from exact values.
+    """
+    from simplex_tpu.core.state import CandBuffer
+    from simplex_tpu.kernels import xla as _xk
+
+    cand = state.cand
+    K = cand.idx.shape[0]  # opts.multi_price clamped to n by _cand_extras
+
+    def signed_full(e_all):
+        return jnp.where(state.at_upper, -e_all, e_all) if bounded else e_all
+
+    def signed_sel(e_vals, idxs):
+        if bounded:
+            return jnp.where(jnp.take(state.at_upper, idxs), -e_vals, e_vals)
+        return e_vals
+
+    def mask_s(s_all):
+        pen = jnp.asarray(_xk.BASIC_PENALTY, s_all.dtype)
+        return s_all.at[state.basis].add(pen)
+
+    s_now = jnp.where(cand.valid, signed_sel(cand.e, cand.idx), jnp.inf)
+    need_refill = jnp.logical_or(~jnp.any(s_now < -eps), use_bland)
+
+    def _exact_fill(_):
+        e_all = _xk.reduced_costs(state.y, prob.A, prob.c).astype(dtype)
+        s_all = mask_s(signed_full(e_all))
+        min_exact = jnp.min(s_all)
+        negv, idxs = jax.lax.top_k(-s_all, K)
+        idxs = idxs.astype(jnp.int32)
+        e_sel = jnp.take(e_all, idxs)
+        valid = -negv < -eps
+        # Bland's rule needs the LOWEST improving index, not the K most
+        # negative: fill with that single candidate (refill then recurs
+        # every pivot while the rule stays active)
+        imp = s_all < -eps
+        p_b = jnp.argmax(imp).astype(jnp.int32)
+        idxs_b = jnp.full((K,), p_b, jnp.int32)
+        e_b = jnp.full((K,), jnp.take(e_all, p_b), dtype)
+        valid_b = jnp.zeros((K,), bool).at[0].set(jnp.any(imp))
+        return (
+            jnp.where(use_bland, idxs_b, idxs),
+            jnp.where(use_bland, e_b, e_sel),
+            jnp.where(use_bland, valid_b, valid),
+            min_exact,
+        )
+
+    def _fill(_):
+        if prob.A_price is None:
+            idxs, e_sel, valid, min_exact = _exact_fill(None)
+        else:
+            # bf16 shadow pass + exact recheck of the K winners; exact full
+            # pass only when the shadow came up dry (mirrors the two-stage
+            # shadow fallback of the single-candidate path)
+            e_sh = _xk.reduced_costs(state.y, prob.A_price, prob.c).astype(dtype)
+            s_sh = mask_s(signed_full(e_sh))
+            _v, idxs1 = jax.lax.top_k(-s_sh, K)
+            idxs1 = idxs1.astype(jnp.int32)
+            A_c1 = jnp.take(prob.A, idxs1, axis=1).astype(dtype)
+            e1 = (
+                jnp.matmul(state.y, A_c1, precision=_EXACT)
+                - jnp.take(prob.c, idxs1).astype(dtype)
+            )
+            valid1 = signed_sel(e1, idxs1) < -eps
+            stale = jnp.logical_or(~jnp.any(valid1), use_bland)
+            idxs, e_sel, valid, min_exact = jax.lax.cond(
+                stale,
+                _exact_fill,
+                lambda _: (idxs1, e1, valid1, jnp.asarray(-jnp.inf, dtype)),
+                None,
+            )
+        A_cols = jnp.take(prob.A, idxs, axis=1).astype(dtype)  # (m, K)
+        Alpha = jnp.matmul(state.B_inv, A_cols)  # ONE m^2 read for K pivots
+        if opts.update_defer > 0:
+            Alpha = Alpha + jnp.matmul(
+                state.U.T,
+                jnp.matmul(state.R, A_cols, precision=_EXACT),
+                precision=_EXACT,
+            )
+        return (
+            CandBuffer(idx=idxs, alpha=Alpha.T, e=e_sel, valid=valid),
+            min_exact,
+        )
+
+    cand2, min_exact = jax.lax.cond(
+        need_refill,
+        _fill,
+        lambda _: (cand, jnp.asarray(jnp.inf, dtype)),
+        None,
+    )
+    s2 = jnp.where(cand2.valid, signed_sel(cand2.e, cand2.idx), jnp.inf)
+    j_star = jnp.argmin(s2).astype(jnp.int32)
+    any_valid = jnp.isfinite(s2[j_star])
+    p = cand2.idx[j_star]
+    min_e = jnp.where(any_valid, s2[j_star], min_exact)
+    alpha_p = cand2.alpha[j_star]
+    return p, min_e, alpha_p, cand2, j_star
+
+
 def pivot_step(
     prob: Problem,
     state: SolverState,
@@ -89,8 +212,21 @@ def pivot_step(
     # the optimality test use c_eff; all value math uses the true c.
     c_eff = backend.mask_basic(prob.c, state.basis)
 
+    # Multiple pricing is active when the state carries a candidate buffer
+    # (single-chip dantzig only: the sharded state builders don't allocate
+    # one, so a multi_price option is silently inert there for now).
+    multi = (
+        opts.multi_price > 0
+        and opts.pricing == "dantzig"
+        and state.cand is not None
+    )
+
     # ---- Pricing / entering variable (ref :289-302) ----
-    if bounded:
+    if multi:
+        p, min_e, alpha_pre, cand_mid, j_star = _multi_pricing(
+            prob, state, opts, eps, use_bland, dtype, bounded
+        )
+    elif bounded:
         # Bounded-variable rule: the improvement criterion is the SIGNED
         # reduced cost s_j = at_upper_j ? -e_j : e_j (at-upper columns
         # improve by decreasing). Same shadow / segmented / fallback
@@ -286,7 +422,12 @@ def pivot_step(
     # ---- FTRAN + ratio test / leaving variable (ref :307-325) ----
     A_p = backend.gather_column(prob.A, p).astype(dtype)
     defer = opts.update_defer > 0
-    if defer:
+    if multi:
+        # the buffer already holds this candidate's ftran'd column (filled
+        # by the refill GEMM, kept exact by the per-pivot product-form
+        # update below) — the per-pivot m^2 read disappears entirely
+        alpha = alpha_pre
+    elif defer:
         # Lazy product form: the true inverse is B_inv + U.T @ R (telescoped
         # pending rank-1s), so ftran gains two O(L m) corrections but the
         # O(m^2) base read stays on the *unmodified* base matrix.
@@ -478,6 +619,32 @@ def pivot_step(
     def sel(new, old):
         return jnp.where(do_pivot, new, old)
 
+    if multi:
+        # Exact product-form update of every candidate column/reduced cost:
+        # alpha_j' = E alpha_j = alpha_j + alpha_j[q] * eta  and
+        # e_j' = e_j - (e_p / a_q) * alpha_j[q]  (w_j = binv_q . A_j is just
+        # alpha_j[q] — already in the buffer, so the whole minor-pivot
+        # bookkeeping is O(K m) with zero extra HBM reads of A or B_inv).
+        # Bound flips / terminal steps leave the buffer as the (possibly
+        # refilled) cand_mid; the entering candidate is invalidated.
+        from simplex_tpu.core.state import CandBuffer
+
+        w_c = jax.lax.dynamic_index_in_dim(
+            cand_mid.alpha, q, axis=1, keepdims=False
+        )
+        cand_new = CandBuffer(
+            idx=cand_mid.idx,
+            alpha=sel(cand_mid.alpha + w_c[:, None] * eta[None, :],
+                      cand_mid.alpha),
+            e=sel(cand_mid.e - (e_p * inv_aq) * w_c, cand_mid.e),
+            valid=sel(
+                jnp.logical_and(cand_mid.valid, cand_mid.idx != p),
+                cand_mid.valid,
+            ),
+        )
+    else:
+        cand_new = state.cand
+
     return SolverState(
         # defer mode: the flush cond already applies only on pivot steps; a
         # do_pivot select here would add a full m^2 pass every pivot
@@ -502,6 +669,7 @@ def pivot_step(
         R=R_new,
         npend=npend_new,
         at_upper=at_upper_new,
+        cand=cand_new,
     )
 
 
@@ -581,6 +749,12 @@ def refactorize(
             - prob.c.astype(dtype)
         )
         new = new._replace(e=e, gamma=jnp.ones_like(state.gamma))
+    if state.cand is not None:
+        # candidate tableau columns were ftran'd against the OLD (drifted)
+        # representation: invalidate so the next pivot refills exactly
+        new = new._replace(
+            cand=state.cand._replace(valid=jnp.zeros_like(state.cand.valid))
+        )
     return new
 
 
@@ -604,4 +778,10 @@ def recompute_xy(prob: Problem, state: SolverState, defer: bool) -> SolverState:
             state.R,
             precision=_EXACT,
         )
-    return state._replace(x_b=x_b, y=y)
+    new = state._replace(x_b=x_b, y=y)
+    if state.cand is not None:
+        # candidate reduced costs ride on y: refresh-from-scratch next pivot
+        new = new._replace(
+            cand=state.cand._replace(valid=jnp.zeros_like(state.cand.valid))
+        )
+    return new
