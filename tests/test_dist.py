@@ -107,3 +107,27 @@ def test_sharded_flagship_config(mesh):
     )
     assert res.status == ref.status == SolveStatus.OPTIMAL
     assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_result_contract_unified_across_modes(mesh):
+    """Round-2 verdict weak #2 + next #4: all modes share finalize_result —
+    polished z, feas_err, and duals must agree between single-chip, 1-D
+    sharded, and 2-D sharded solves of the same LP."""
+    from simplex_tpu.dist.mesh import make_mesh as _mk
+    from simplex_tpu.dist.sharded2d import ROWS_AXIS, solve_sharded_2d
+
+    m, n = 16, 64
+    A, b, c = random_dense_lp(m, n, seed=33)
+    r_single = solve(A, b, c)
+    r_1d = solve_sharded(A, b, c, mesh)
+    mesh2 = _mk(axis_names=(ROWS_AXIS, COLS_AXIS), shape=(4, 2))
+    r_2d = solve_sharded_2d(A, b, c, mesh2)
+    for r in (r_1d, r_2d):
+        assert r.status == SolveStatus.OPTIMAL
+        # polished f64 objective: all three must agree to f64 refinement
+        # accuracy, not just fp32 noise level
+        assert r.z == pytest.approx(r_single.z, rel=1e-9, abs=1e-9)
+        assert r.y is not None and r.y.shape == (m,)
+        np.testing.assert_allclose(r.y, r_single.y, rtol=1e-4, atol=1e-5)
+        assert r.feas_err <= 1e-9
+        assert r.x.shape == (n,)
