@@ -61,9 +61,24 @@ def _argmin_all(val, gidx, axes):
 
 def _solve_2d_local(
     A_loc, Ap_loc, b, c_loc, basis_loc, opts: SimplexOptions, max_iter,
-    m, n, m_loc, n_loc,
+    m, n, m_loc, n_loc, iters0=None, degen0=None, rebuild=False,
+    state_in=None,
 ):
-    """Shard-local solve body (runs inside shard_map on each chip)."""
+    """Shard-local solve body (runs inside shard_map on each chip).
+
+    Three entries (all trace-time static):
+      * fresh start (default): slack-basis init from ``basis_loc``
+        (``A[:, basis0] = I``), exactly the reference's init phase;
+      * snapshot resume (``rebuild=True``): ``basis_loc`` is an ARBITRARY
+        basis from a light checkpoint — the init's cost/psum derivation
+        already handles any basis, and one distributed Newton-Schulz
+        refactorization rebuilds the row-sharded inverse plus exact
+        x_b / y (/ devex e) before the loop starts. ``iters0`` / ``degen0``
+        carry the snapshot's counters;
+      * chunk continuation (``state_in``): the previous chunk's device-
+        resident state dict continues unchanged (no rebuild, no host
+        round-trip of the O(m^2/R) inverse).
+    """
     dtype = opts.dtype
     eps_f = opts.resolve_eps()
     eps = jnp.asarray(eps_f, dtype)
@@ -89,34 +104,35 @@ def _solve_2d_local(
     row_base = r_ix * m_loc
     both = (ROWS_AXIS, COLS_AXIS)
 
-    # ---- slack-basis init (basis columns are an identity block in A) ----
-    # The basis is row-sharded but its columns are owned anywhere on the
-    # flattened mesh, so FIRST reconstruct the full (m,) basis (one int
-    # psum over "rows"), THEN psum each slot's cost from its column owner
-    # over both axes. (Masking each group's local slots against the local
-    # column shard and psum-ing would mix slot positions across groups.)
-    basis_full0 = (
-        jax.lax.psum(
-            jnp.zeros((m,), jnp.int32)
-            .at[row_base + jnp.arange(m_loc)]
-            .set(basis_loc + 1),
-            ROWS_AXIS,
-        )
-        - 1
-    )
-    loc0 = basis_full0 - col_base
-    mine0 = jnp.logical_and(loc0 >= 0, loc0 < n_loc)
-    c_b_full = jax.lax.psum(
-        jnp.where(
-            mine0, jnp.take(c_loc, jnp.clip(loc0, 0, n_loc - 1)), 0
-        ).astype(dtype),
-        both,
-    )  # (m,) replicated: c[basis] in row order
-    c_b_loc = jax.lax.dynamic_slice(c_b_full, (row_base,), (m_loc,))
-    y0 = c_b_full  # y = c_b @ I
     eye_rows = jnp.zeros((m_loc, m), dtype).at[
         jnp.arange(m_loc), row_base + jnp.arange(m_loc)
     ].set(1)
+    if state_in is None:
+        # ---- basis-cost init (works for ANY starting basis) ----
+        # The basis is row-sharded but its columns are owned anywhere on the
+        # flattened mesh, so FIRST reconstruct the full (m,) basis (one int
+        # psum over "rows"), THEN psum each slot's cost from its column owner
+        # over both axes. (Masking each group's local slots against the local
+        # column shard and psum-ing would mix slot positions across groups.)
+        basis_full0 = (
+            jax.lax.psum(
+                jnp.zeros((m,), jnp.int32)
+                .at[row_base + jnp.arange(m_loc)]
+                .set(basis_loc + 1),
+                ROWS_AXIS,
+            )
+            - 1
+        )
+        loc0 = basis_full0 - col_base
+        mine0 = jnp.logical_and(loc0 >= 0, loc0 < n_loc)
+        c_b_full = jax.lax.psum(
+            jnp.where(
+                mine0, jnp.take(c_loc, jnp.clip(loc0, 0, n_loc - 1)), 0
+            ).astype(dtype),
+            both,
+        )  # (m,) replicated: c[basis] in row order
+        c_b_loc = jax.lax.dynamic_slice(c_b_full, (row_base,), (m_loc,))
+        y0 = c_b_full  # y = c_b @ I (rebuilt exactly when rebuild=True)
 
     def cond(s):
         return jnp.logical_and(
@@ -617,31 +633,39 @@ def _solve_2d_local(
             out["gamma"] = jnp.ones_like(s["gamma"])
         return out
 
-    state0 = {
-        "last_refac": jnp.int32(0),
-        "B_inv": eye_rows,
-        "x_b": jnp.take(
-            b.astype(dtype), row_base + jnp.arange(m_loc)
-        ),
-        "y": y0,
-        "c_b": c_b_loc,
-        "basis": basis_loc,
-        "iters": jnp.int32(0),
-        "status": jnp.int32(SolveStatus.RUNNING),
-        "degen": jnp.int32(0),
-    }
-    if defer:
-        state0["U"] = jnp.zeros((L, m_loc), dtype)
-        state0["R"] = jnp.zeros((L, m), dtype)
-        state0["npend"] = jnp.int32(0)
-    if devex:
-        state0["e"] = (
-            jax.lax.dot_general(
-                y0, A_loc, (((0,), (0,)), ((), ())), precision=_EXACT
+    if state_in is not None:
+        state0 = state_in
+    else:
+        state0 = {
+            "last_refac": jnp.int32(0) if iters0 is None else iters0,
+            "B_inv": eye_rows,
+            "x_b": jnp.take(
+                b.astype(dtype), row_base + jnp.arange(m_loc)
+            ),
+            "y": y0,
+            "c_b": c_b_loc,
+            "basis": basis_loc,
+            "iters": jnp.int32(0) if iters0 is None else iters0,
+            "status": jnp.int32(SolveStatus.RUNNING),
+            "degen": jnp.int32(0) if degen0 is None else degen0,
+        }
+        if defer:
+            state0["U"] = jnp.zeros((L, m_loc), dtype)
+            state0["R"] = jnp.zeros((L, m), dtype)
+            state0["npend"] = jnp.int32(0)
+        if devex:
+            state0["e"] = (
+                jax.lax.dot_general(
+                    y0, A_loc, (((0,), (0,)), ((), ())), precision=_EXACT
+                )
+                - c_loc
             )
-            - c_loc
-        )
-        state0["gamma"] = jnp.ones((n_loc,), dtype)
+            state0["gamma"] = jnp.ones((n_loc,), dtype)
+        if rebuild:
+            # snapshot resume: B_inv / x_b / y above assumed the identity
+            # slack basis — rebuild them exactly from the checkpointed basis
+            # with the distributed Newton-Schulz (scaled-transpose seed).
+            state0 = refactorize_2d(state0)
     final = jax.lax.while_loop(cond, body, state0)
 
     if opts.verify_terminal:
@@ -685,22 +709,49 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _build_2d_fn(mesh, m, n, m_loc, n_loc, options):
+def _build_2d_fn(mesh, m, n, m_loc, n_loc, options, kind="start"):
     """Build (and cache) the jitted 2-D shard_map solve — a fresh jit
     wrapper per call would re-trace every solve. The pivot budget is a
-    traced argument, not part of the cache key."""
+    traced argument, not part of the cache key.
+
+    ``kind`` selects the entry (see _solve_2d_local): "start" = slack
+    basis, "resume" = arbitrary checkpointed basis + counters (rebuilds
+    the inverse on-mesh), "cont" = previous chunk's device state dict.
+    """
     dtype = options.dtype
     use_bf16 = options.pricing_dtype != "float32"
 
-    def shard_fn(A_loc, b_rep, c_loc, basis_loc, max_iter):
+    def _prep(A_loc, c_loc):
         A_loc = A_loc.astype(dtype)
         Ap_loc = (
             A_loc.astype(jnp.dtype(options.pricing_dtype)) if use_bf16 else None
         )
-        return _solve_2d_local(
-            A_loc, Ap_loc, b_rep, c_loc.astype(dtype), basis_loc, options,
-            max_iter, m, n, m_loc, n_loc,
-        )
+        return A_loc, Ap_loc, c_loc.astype(dtype)
+
+    if kind == "start":
+        def shard_fn(A_loc, b_rep, c_loc, basis_loc, max_iter):
+            A_loc, Ap_loc, c_loc = _prep(A_loc, c_loc)
+            return _solve_2d_local(
+                A_loc, Ap_loc, b_rep, c_loc, basis_loc, options,
+                max_iter, m, n, m_loc, n_loc,
+            )
+    elif kind == "resume":
+        def shard_fn(A_loc, b_rep, c_loc, basis_loc, iters0, degen0, max_iter):
+            A_loc, Ap_loc, c_loc = _prep(A_loc, c_loc)
+            return _solve_2d_local(
+                A_loc, Ap_loc, b_rep, c_loc, basis_loc, options,
+                max_iter, m, n, m_loc, n_loc,
+                iters0=iters0, degen0=degen0, rebuild=True,
+            )
+    elif kind == "cont":
+        def shard_fn(A_loc, b_rep, c_loc, state, max_iter):
+            A_loc, Ap_loc, c_loc = _prep(A_loc, c_loc)
+            return _solve_2d_local(
+                A_loc, Ap_loc, b_rep, c_loc, None, options,
+                max_iter, m, n, m_loc, n_loc, state_in=state,
+            )
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
 
     state_specs = {
         "last_refac": P(),
@@ -722,17 +773,22 @@ def _build_2d_fn(mesh, m, n, m_loc, n_loc, options):
         # incremental reduced costs / weights share the column sharding
         state_specs["e"] = P((ROWS_AXIS, COLS_AXIS))
         state_specs["gamma"] = P((ROWS_AXIS, COLS_AXIS))
+    base_specs = (
+        P(None, (ROWS_AXIS, COLS_AXIS)),
+        P(None),
+        P((ROWS_AXIS, COLS_AXIS)),
+    )
+    if kind == "start":
+        in_specs = base_specs + (P(ROWS_AXIS), P())
+    elif kind == "resume":
+        in_specs = base_specs + (P(ROWS_AXIS), P(), P(), P())
+    else:  # cont: the state dict re-enters with its own output shardings
+        in_specs = base_specs + (state_specs, P())
     return jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(
-                P(None, (ROWS_AXIS, COLS_AXIS)),
-                P(None),
-                P((ROWS_AXIS, COLS_AXIS)),
-                P(ROWS_AXIS),
-                P(),
-            ),
+            in_specs=in_specs,
             out_specs=(state_specs, P()),
             check_vma=False,
         )
