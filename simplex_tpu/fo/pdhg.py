@@ -22,7 +22,10 @@ Use it for huge instances where simplex's O(m^2) per-pivot state or pivot
 counts are the wall; use the simplex core when vertex-exact answers matter.
 
 Measured convergence (v5e/CPU, random dense LPs from oracle.generator):
-64x160 ~7k iters to 1e-4; 256x640 ~107k (f64) / ~321k (f32); at
+64x160 ~7k iters to 1e-4; 256x640 to 1e-4 (f32): ~321k under the round-2
+sufficient-decay-only scheme, ~65.8k with the artificial (necessary-decay)
+restart added, ~56.3k with the smoothed adaptive primal weight on top
+(the shipped default); at
 8192x16384 the same uniform-positive dense instance STALLS (rp ~0.17
 after 46k iters) — all-positive dense A has a dominant rank-1 component
 (sigma_max ~ mean * sqrt(mn)) that Ruiz scaling cannot remove, so the
@@ -38,10 +41,18 @@ Iteration (minimization form, f = min -c.x):
 
 with tau sigma ||A||_2^2 < 1. Restarts: every ``check_every`` iterations
 the KKT errors of the current iterate and of the running average (since
-the last restart) are evaluated; when the better of the two has decayed
-to 0.2x the error at the last restart, the loop restarts from that point
-(the PDLP sufficient-decay "restart to average" scheme — measured 2.6x
-faster than restarting every window, and plain averaging never converged).
+the last restart) are evaluated; the loop restarts from the better point
+on PDLP's criteria — sufficient decay (0.2x the error at the last
+restart) or artificial/necessary decay (0.8x reached AND the error just
+rose). Restarting every window regardless was measured 2.6x slower, and
+plain averaging never converged. At each restart the primal weight
+w = sqrt(sigma/tau) is updated by PDLP's smoothed rule
+w' = sqrt(w * ||dy||/||dx||) over the finished epoch (a per-window
+update was measured unstable — see _pdhg_chunk).
+
+Non-convergent exits run PDLP's infeasibility detection on the divergent
+iterate ray and return INFEASIBLE / UNBOUNDED with an explicit Farkas /
+recession certificate when one verifies (see _certify).
 """
 
 from __future__ import annotations
@@ -67,6 +78,14 @@ class PDHGResult(NamedTuple):
     primal_res: float  # ||A x - b||_inf / (1 + ||b||_inf)
     dual_res: float  # ||min(c_min - A^T y, 0)||_inf / (1 + ||c||_inf)
     gap: float  # |c.x - b.y| / (1 + |c.x| + |b.y|)
+    # Certificates from the divergent iterate ray (PDLP's infeasibility
+    # detection; see _certify). status=INFEASIBLE pairs with ray_dual r:
+    # A^T r <= 0 (to cert_tol), b.r > 0 — a Farkas proof that Ax=b, x>=0 is
+    # empty. status=UNBOUNDED pairs with ray_primal d >= 0: A d = 0 (to
+    # cert_tol), c.d > 0 — an improving recession direction of the
+    # maximization problem. Both are unit-inf-norm, in ORIGINAL units.
+    ray_primal: np.ndarray | None = None
+    ray_dual: np.ndarray | None = None
 
 
 def _ruiz_equilibrate(A, iters: int = 10, dtype=jnp.float32):
@@ -97,16 +116,27 @@ def _ruiz_equilibrate(A, iters: int = 10, dtype=jnp.float32):
 
 
 def _spectral_norm(A, iters: int = 30):
-    """||A||_2 by power iteration on A^T A (deterministic start)."""
+    """||A||_2 by power iteration on A^T A (deterministic start).
+
+    The start vector must not be orthogonal to the top singular subspace:
+    an all-ones start is EXACTLY orthogonal for e.g. A = [[1, -1]] (the
+    returned norm was 0 and the step size exploded to 1e30) — a ramp
+    start has a generic component along every direction. The result is
+    floored at max|A_ij| (a valid lower bound of ||A||_2), so a collapsed
+    iteration can only make the steps smaller, never unstable.
+    """
 
     def body(_, v):
         w = jnp.matmul(A, v, precision=_EXACT)
         v = jnp.matmul(w, A, precision=_EXACT)
         return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
 
-    v0 = jnp.ones(A.shape[1], A.dtype) / jnp.sqrt(A.shape[1])
+    n = A.shape[1]
+    v0 = jnp.arange(1, n + 1, dtype=A.dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
     v = jax.lax.fori_loop(0, iters, body, v0)
-    return jnp.linalg.norm(jnp.matmul(A, v, precision=_EXACT))
+    nrm = jnp.linalg.norm(jnp.matmul(A, v, precision=_EXACT))
+    return jnp.maximum(nrm, jnp.max(jnp.abs(A)))
 
 
 def _kkt(A, b, cmin, x, y, dr, dc, b_scale, c_scale):
@@ -158,11 +188,12 @@ def _pdhg_setup(A, b, cmin, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("check_every", "max_iter", "tol", "windows")
+    jax.jit,
+    static_argnames=("check_every", "max_iter", "tol", "windows", "adaptive"),
 )
 def _pdhg_chunk(
-    As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state,
-    tol, max_iter, check_every, windows,
+    As, bs, cs, dr, dc, b_scale, c_scale, state,
+    tol, max_iter, check_every, windows, adaptive,
 ):
     """Advance the PDHG state by at most ``windows`` check windows.
 
@@ -172,6 +203,13 @@ def _pdhg_chunk(
     at 8192x16384 ("kernel fault" after ~20 min in one executable), and
     chunking also bounds lost work and enables progress logging. The
     chunk budget is sized so one call is seconds, not minutes.
+
+    State layout (see solve_pdhg): (x, y, sx, sy, cnt, lre, it, rp, rd,
+    gp, stall, tau, sigma, xr, yr). tau/sigma are LOOP-CARRIED because the
+    adaptive primal weight rescales them at restarts; xr/yr anchor the
+    restart epoch (for the weight's movement ratio AND the exit-time
+    infeasibility certificates — the displacement x - xr approximates the
+    divergent ray).
     """
     dtype = As.dtype
 
@@ -187,7 +225,8 @@ def _pdhg_chunk(
 
         return inner
 
-    BETA = jnp.asarray(0.2, dtype)  # sufficient-decay restart factor
+    BETA_SUF = jnp.asarray(0.2, dtype)  # sufficient-decay restart factor
+    BETA_NEC = jnp.asarray(0.8, dtype)  # necessary decay (PDLP artificial)
 
     def outer_cond(carry):
         s, wc = carry
@@ -205,7 +244,10 @@ def _pdhg_chunk(
         return _pdhg_window(s), wc + 1
 
     def _pdhg_window(s):
-        x, y, sx, sy, cnt, lre, it, rp0, rd0, gp0, stall = s
+        (
+            x, y, sx, sy, cnt, lre, it, rp0, rd0, gp0, stall, tau, sigma,
+            xr, yr,
+        ) = s
         (x1, y1, sx1, sy1), _ = jax.lax.scan(
             make_inner(tau, sigma), (x, y, sx, sy), None, length=check_every
         )
@@ -217,12 +259,21 @@ def _pdhg_chunk(
         err_c = jnp.maximum(jnp.maximum(rp_c, rd_c), gp_c)
         err_a = jnp.maximum(jnp.maximum(rp_a, rd_a), gp_a)
         err = jnp.minimum(err_c, err_a)
-        # PDLP-style sufficient-decay restart: only when the best candidate
-        # has decayed to BETA x the error at the last restart does the loop
-        # restart from it (and reset the running average). An every-window
-        # best-of restart was measured 2.6x slower (283k vs 107k iterations
-        # to 1e-4 at 256x640); averaging with no restarts never got there.
-        restart = jnp.logical_or(err <= BETA * lre, err < tol)
+        err_prev = jnp.maximum(jnp.maximum(rp0, rd0), gp0)
+        # PDLP restart scheme: (a) sufficient decay — the best candidate
+        # fell to BETA_SUF x the error at the last restart; (b) artificial —
+        # necessary decay (BETA_NEC x) reached AND the error just went UP
+        # (the iterate is spiraling; restart from the best point seen). An
+        # every-window best-of restart was measured 2.6x slower (283k vs
+        # 107k iterations to 1e-4 at 256x640); averaging with no restarts
+        # never got there.
+        restart = jnp.logical_or(
+            jnp.logical_or(
+                err <= BETA_SUF * lre,
+                jnp.logical_and(err <= BETA_NEC * lre, err > err_prev),
+            ),
+            err < tol,
+        )
         avg_better = err_a < err_c
         adopt_avg = jnp.logical_and(restart, avg_better)
         x2 = jnp.where(adopt_avg, xa, x1)
@@ -231,6 +282,27 @@ def _pdhg_chunk(
         sy2 = jnp.where(restart, jnp.zeros_like(sy1), sy1)
         cnt2 = jnp.where(restart, 0, cnt1)
         lre2 = jnp.where(restart, err, lre)
+        if adaptive:
+            # PDLP's smoothed primal weight, applied ONLY at restarts:
+            # w' = exp(0.5 log ||dy||/||dx|| + 0.5 log w) with the movement
+            # measured over the finished restart epoch. (A per-window
+            # movement-ratio update was measured UNSTABLE — w ran away to
+            # 1e10 and the KKT error stalled; the restart-gated smoothed
+            # form is the scheme PDLP actually prescribes.)
+            dxn = jnp.linalg.norm(x2 - xr)
+            dyn = jnp.linalg.norm(y2 - yr)
+            w_old = jnp.sqrt(sigma / tau)
+            eta = jnp.sqrt(sigma * tau)
+            valid = jnp.logical_and(dxn > 1e-12, dyn > 1e-12)
+            # theta = 0.5: w' = exp(.5 log(dyn/dxn) + .5 log w) = sqrt(r * w)
+            w_new = jnp.where(valid, jnp.sqrt((dyn / dxn) * w_old), w_old)
+            w_new = jnp.clip(w_new, 1e-4, 1e4)
+            tau2 = jnp.where(restart, eta / w_new, tau)
+            sigma2 = jnp.where(restart, eta * w_new, sigma)
+        else:
+            tau2, sigma2 = tau, sigma
+        xr2 = jnp.where(restart, x2, xr)
+        yr2 = jnp.where(restart, y2, yr)
         # report the residuals of the point actually CARRIED forward: on a
         # non-restart window that is the current iterate even if the average
         # scored better, so a MAX_ITER/stall exit never pairs x with another
@@ -239,16 +311,84 @@ def _pdhg_chunk(
         rp = jnp.where(adopt_avg, rp_a, rp_c)
         rd = jnp.where(adopt_avg, rd_a, rd_c)
         gp = jnp.where(adopt_avg, gp_a, gp_c)
-        err_prev = jnp.maximum(jnp.maximum(rp0, rd0), gp0)
         stall = jnp.where(err < err_prev * (1 - 1e-4), 0, stall + 1)
         return (
-            x2, y2, sx2, sy2, cnt2, lre2, it + check_every, rp, rd, gp, stall
+            x2, y2, sx2, sy2, cnt2, lre2, it + check_every, rp, rd, gp,
+            stall, tau2, sigma2, xr2, yr2,
         )
 
     state, _ = jax.lax.while_loop(
         outer_cond, outer_body, (state, jnp.int32(0))
     )
     return state
+
+
+@jax.jit
+def _cert_metrics(A, b, cmin, xhat, yhat):
+    """Certificate quality of candidate rays, on the ORIGINAL data.
+
+    ``xhat`` (>= 0, unit inf-norm) is a candidate primal recession
+    direction: a certificate of dual infeasibility — hence an UNBOUNDED
+    ray for a feasible primal — when ``A xhat ~= 0`` and ``cmin.xhat < 0``.
+    ``yhat`` (unit inf-norm) is a candidate Farkas dual ray: primal
+    INFEASIBILITY is certified when ``A^T yhat <= 0`` and ``b.yhat > 0``.
+    Returns (||A xhat||_inf, cmin.xhat, ||max(A^T yhat, 0)||_inf, b.yhat).
+    """
+    viol_p = jnp.max(jnp.abs(jnp.matmul(A, xhat, precision=_EXACT)))
+    obj_p = jnp.dot(cmin, xhat, precision=_EXACT)
+    aty = jnp.matmul(yhat, A, precision=_EXACT)
+    viol_d = jnp.max(jnp.maximum(aty, 0))
+    obj_d = jnp.dot(b, yhat, precision=_EXACT)
+    return viol_p, obj_p, viol_d, obj_d
+
+
+def _certify(A, b, cmin, x, y, xr, yr, b_scale, c_scale, cert_tol):
+    """Exit-time infeasibility detection from the divergent iterate ray.
+
+    PDLP's certificate test (arXiv:2102.04592 applied as in PDLP): when
+    PDHG cannot converge, its iterates diverge along the infimal
+    displacement vector, which IS a certificate ray. Two candidates each
+    way — the displacement over the last restart epoch (converges fastest)
+    and the normalized iterate itself — are scored on the original data;
+    the first that passes the relative test wins. Vectors here are small
+    O(m+n) host arrays; the two GEMVs per candidate run jitted on device.
+
+    Returns (status, ray_primal, ray_dual) with status one of INFEASIBLE /
+    UNBOUNDED / None.
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    dx = np.maximum(x - np.asarray(xr, np.float64), 0)  # recession dir >= 0
+    dy = y - np.asarray(yr, np.float64)
+
+    def unit(v):
+        nv = float(np.max(np.abs(v))) if v.size else 0.0
+        return (v / nv, True) if nv > 0 else (v, False)
+
+    b_sc = float(b_scale)
+    c_sc = float(c_scale)
+    # dual (Farkas / INFEASIBLE) first: if both certificates exist the
+    # problem is infeasible, and an infeasible problem can still have an
+    # improving recession direction
+    for cand in (dy, y):
+        ray, ok = unit(cand)
+        if not ok:
+            continue
+        viol_p, obj_p, viol_d, obj_d = map(
+            float, _cert_metrics(A, b, cmin, jnp.zeros_like(jnp.asarray(x)), ray)
+        )
+        if obj_d > 1e-8 * b_sc and viol_d <= cert_tol * obj_d:
+            return SolveStatus.INFEASIBLE, None, ray
+    for cand in (dx, np.maximum(x, 0)):
+        ray, ok = unit(cand)
+        if not ok:
+            continue
+        viol_p, obj_p, _vd, _od = map(
+            float, _cert_metrics(A, b, cmin, ray, jnp.zeros_like(jnp.asarray(y)))
+        )
+        if -obj_p > 1e-8 * c_sc and viol_p <= cert_tol * (-obj_p):
+            return SolveStatus.UNBOUNDED, ray, None
+    return None, None, None
 
 
 def solve_pdhg(
@@ -260,6 +400,8 @@ def solve_pdhg(
     max_iter: int = 1_000_000,
     check_every: int = 128,
     dtype=jnp.float32,
+    adaptive_weight: bool = True,
+    cert_tol: float = 1e-5,
 ) -> PDHGResult:
     """Solve max c.x s.t. Ax=b, x>=0 to relative KKT tolerance ``tol``.
 
@@ -273,11 +415,16 @@ def solve_pdhg(
     feeds back through the projection), but f64 matmuls are emulated on
     TPU; prefer f64 on CPU, f32 + a larger budget on TPU.
 
+    ``adaptive_weight``: PDLP's smoothed primal-weight rescaling at
+    restarts (see _pdhg_chunk); ``cert_tol``: relative tolerance of the
+    exit-time infeasibility certificates (see _certify).
+
     Returns PDHGResult; ``status`` is OPTIMAL when all three KKT errors
-    (primal residual, dual residual, gap) are below ``tol``, MAX_ITER when
-    the budget ran out, SINGULAR when progress stalled for 64 consecutive
-    check windows (commonly an infeasible/unbounded instance — PDHG
-    diverges or stalls rather than certifying those).
+    (primal residual, dual residual, gap) are below ``tol``; INFEASIBLE /
+    UNBOUNDED when the divergent iterate ray certifies it (with the ray in
+    ``ray_dual`` / ``ray_primal``); MAX_ITER when the budget ran out;
+    SINGULAR when progress stalled for 64 consecutive check windows with
+    no certificate (e.g. the step size collapsed on a feasible instance).
     """
     A = jnp.asarray(A)
     b = jnp.asarray(b)
@@ -285,7 +432,7 @@ def solve_pdhg(
     m, n = A.shape
     dt = jnp.dtype(dtype)
     cmin = (-c).astype(dt)  # minimization form
-    As, dr, dc, bs, cs, tau, sigma, b_scale, c_scale = _pdhg_setup(
+    As, dr, dc, bs, cs, tau0, sigma0, b_scale, c_scale = _pdhg_setup(
         A, b, cmin, dt
     )
     # chunk budget: ~1e13 streamed bytes per device call (seconds, not the
@@ -297,12 +444,13 @@ def solve_pdhg(
     state = (
         jnp.zeros(n, dt), jnp.zeros(m, dt), jnp.zeros(n, dt),
         jnp.zeros(m, dt), jnp.int32(0), inf, jnp.int32(0), inf, inf, inf,
-        jnp.int32(0),
+        jnp.int32(0), tau0, sigma0, jnp.zeros(n, dt), jnp.zeros(m, dt),
     )
     while True:
         state = _pdhg_chunk(
-            As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state,
+            As, bs, cs, dr, dc, b_scale, c_scale, state,
             float(tol), int(max_iter), int(check_every), windows,
+            bool(adaptive_weight),
         )
         it = int(state[6])
         rp, rd, gp = float(state[7]), float(state[8]), float(state[9])
@@ -321,12 +469,24 @@ def solve_pdhg(
     y = np.asarray(y, np.float64)
     rp_f, rd_f, gp_f = float(rp), float(rd), float(gp)
     ok = max(rp_f, rd_f, gp_f) < tol
+    ray_p = ray_d = None
     if ok:
         status = SolveStatus.OPTIMAL
-    elif int(stall) >= 64:
-        status = SolveStatus.SINGULAR
     else:
-        status = SolveStatus.MAX_ITER
+        # non-convergent exit: look for an infeasibility/unboundedness
+        # certificate in the divergent iterate ray before reporting a
+        # status-free failure (PDLP's certificate test)
+        xr, yr = state[13] / dc, state[14] / dr
+        cert, ray_p, ray_d = _certify(
+            A, b, cmin, x, y, np.asarray(xr, np.float64),
+            np.asarray(yr, np.float64), b_scale, c_scale, cert_tol,
+        )
+        if cert is not None:
+            status = cert
+        elif int(stall) >= 64:
+            status = SolveStatus.SINGULAR
+        else:
+            status = SolveStatus.MAX_ITER
     z = float(np.asarray(c, np.float64) @ x)
     return PDHGResult(
         z=z,
@@ -337,4 +497,6 @@ def solve_pdhg(
         primal_res=rp_f,
         dual_res=rd_f,
         gap=gp_f,
+        ray_primal=ray_p,
+        ray_dual=ray_d,
     )

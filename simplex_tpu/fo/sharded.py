@@ -72,11 +72,18 @@ def _setup_local(A_loc, b, c_loc, axis_name):
         nv = jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis_name))
         return v / jnp.maximum(nv, 1e-30)
 
-    v0 = jnp.ones(n_loc, dtype) / jnp.sqrt(
-        jnp.asarray(n_loc * jax.lax.axis_size(axis_name), dtype)
-    )
+    # ramp start (globally increasing across shards) — an all-ones start
+    # can be exactly orthogonal to the top singular subspace (see
+    # fo.pdhg._spectral_norm); floor at the valid lower bound max|A_ij|
+    col0 = jax.lax.axis_index(axis_name).astype(dtype) * n_loc
+    v0 = col0 + jnp.arange(1, n_loc + 1, dtype=dtype)
+    nv0 = jnp.sqrt(jax.lax.psum(jnp.sum(v0 * v0), axis_name))
+    v0 = v0 / nv0
     v = jax.lax.fori_loop(0, 30, power, v0)
-    nrm = jnp.linalg.norm(matvec(v))
+    nrm = jnp.maximum(
+        jnp.linalg.norm(matvec(v)),
+        jax.lax.pmax(jnp.max(jnp.abs(As)), axis_name),
+    )
 
     cs_norm = jnp.sqrt(jax.lax.psum(jnp.sum(cs * cs), axis_name))
     w0 = jnp.sqrt((cs_norm + 1e-6) / (jnp.linalg.norm(bs) + 1e-6))
