@@ -57,6 +57,14 @@ def __getattr__(name):
         from simplex_tpu.analysis import ranging
 
         return ranging
+    if name == "solve_dual":
+        from simplex_tpu.core.dual import solve_dual
+
+        return solve_dual
+    if name == "reoptimize":
+        from simplex_tpu.analysis import reoptimize
+
+        return reoptimize
     if name == "solve_with_checkpoints":
         from simplex_tpu.core.checkpoint import solve_with_checkpoints
 
@@ -83,7 +91,9 @@ __all__ = [
     "loads_lp",
     "save_lp",
     "ranging",
+    "reoptimize",
     "solve",
+    "solve_dual",
     "solve_batched",
     "solve_pdhg",
     "solve_general",

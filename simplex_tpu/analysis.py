@@ -148,3 +148,40 @@ def ranging(A, b, c, basis) -> RangingResult:
         c_lo=np.asarray(c_lo), c_hi=np.asarray(c_hi),
         y=np.asarray(y), x=np.asarray(x), ok=ok,
     )
+
+
+def reoptimize(
+    A,
+    b_new,
+    c,
+    prev,
+    *,
+    u=None,
+    options=None,
+):
+    """Re-solve after a RHS change, warm-started from a prior optimal basis.
+
+    ``prev`` is the :class:`~simplex_tpu.core.solver.SolveResult` of the
+    original solve (its ``basis`` is dual-feasible for ANY b — reduced-cost
+    signs depend only on A and c). Pairs with :func:`ranging`: a delta-b
+    inside the allowable range keeps the same basis (the dual loop exits in
+    0 pivots and only the values are re-derived); outside it, the dual
+    simplex pivots to the new optimal basis in far fewer steps than a cold
+    phase-1 + phase-2 run (see tests/test_dual.py for measured counts).
+
+    For a COST change use the primal warm start instead —
+    ``solve(A, b, c_new, basis0=prev.basis)`` (the old basis stays
+    primal-feasible when only c moved).
+    """
+    from simplex_tpu.config import DEFAULT_OPTIONS
+    from simplex_tpu.core.dual import solve_dual
+
+    return solve_dual(
+        A,
+        b_new,
+        c,
+        basis0=prev.basis,
+        u=u,
+        at_upper0=getattr(prev, "at_upper", None),
+        options=options if options is not None else DEFAULT_OPTIONS,
+    )

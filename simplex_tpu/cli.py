@@ -230,6 +230,31 @@ def cmd_analyze(args) -> int:
     print(f"\ncol  x_j         allowable delta-c_j (first {k} columns)")
     for j in range(k):
         print(f"{j:>3}  {rng.x[j]:>10.6g}  [{c_lo[j]:>10.4g}, {c_hi[j]:>10.4g}]")
+    if args.reoptimize:
+        from simplex_tpu.analysis import reoptimize
+
+        db = np.zeros(len(b), np.float64)
+        try:
+            for part in args.reoptimize.split(","):
+                i_s, d_s = part.split("=")
+                db[int(i_s)] = float(d_s)
+        except (ValueError, IndexError) as exc:
+            print(f"error: bad --reoptimize spec: {exc}", file=sys.stderr)
+            return 1
+        b2 = (np.asarray(b, np.float64) + db).astype(np.asarray(b).dtype)
+        inside = np.all((db >= rng.b_lo - 1e-9) & (db <= rng.b_hi + 1e-9))
+        warm = reoptimize(np.asarray(A), b2, c, res, options=_options(args))
+        print(
+            f"\nreoptimize: delta-b {'inside' if inside else 'OUTSIDE'} the "
+            f"allowable range -> {'same basis expected' if inside else 'dual pivots expected'}"
+        )
+        if warm.status != SolveStatus.OPTIMAL:
+            print(f"re-solve: {warm.status.describe()}")
+            return 2
+        print(
+            f"re-solve optimum: {sgn * warm.z + c0:g}  "
+            f"({warm.iters} warm pivots vs {res.iters} cold)"
+        )
     return 0
 
 
@@ -332,6 +357,12 @@ def main(argv=None) -> int:
     pa.add_argument(
         "--top-cols", type=int, default=16,
         help="how many columns' cost ranges to print",
+    )
+    pa.add_argument(
+        "--reoptimize", metavar="SPEC", default=None,
+        help="re-solve after a RHS change via the dual simplex, warm-"
+        "started from the optimal basis: SPEC is 'i=delta[,i=delta...]' "
+        "(e.g. '0=+2.5,3=-1' adds 2.5 to b_0 and -1 to b_3)",
     )
     common(pa)
     pa.set_defaults(fn=cmd_analyze)

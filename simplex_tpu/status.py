@@ -24,7 +24,8 @@ class SolveStatus(enum.IntEnum):
     UNBOUNDED = 2
     MAX_ITER = 3
     SINGULAR = 4  # pivot element too small (reference: ThetaOverflow)
-    INFEASIBLE = 5  # phase 1 proved no feasible point exists (two-phase only)
+    INFEASIBLE = 5  # no feasible point: phase-1 optimum < 0, a PDHG Farkas
+    # certificate, or an unbounded dual in the dual simplex
 
     def describe(self) -> str:
         return {
@@ -33,5 +34,5 @@ class SolveStatus(enum.IntEnum):
             SolveStatus.UNBOUNDED: "Problem unbounded.",
             SolveStatus.MAX_ITER: "MAX_ITER exceeded.",
             SolveStatus.SINGULAR: "Pivot element too small (theta overflow).",
-            SolveStatus.INFEASIBLE: "Problem infeasible (phase 1 optimum < 0).",
+            SolveStatus.INFEASIBLE: "Problem infeasible.",
         }[self]

@@ -1,0 +1,170 @@
+"""Dual simplex warm-start tests (round-2 verdict next-step #7).
+
+Contract: after an optimal solve, the basis stays DUAL-feasible under any
+RHS change, so ``solve_dual`` / ``reoptimize`` re-solves from it with a
+dual pivot loop — measured here to take far fewer pivots than a cold solve
+— and the result meets the same oracle-parity bar as a cold solve. A
+perturbation that makes the problem empty must come back INFEASIBLE (the
+dual goes unbounded), not wrong-OPTIMAL.
+"""
+
+import numpy as np
+import pytest
+
+from simplex_tpu import SimplexOptions, SolveStatus, solve
+from simplex_tpu.analysis import ranging, reoptimize
+from simplex_tpu.core.dual import solve_dual
+from simplex_tpu.oracle.generator import random_dense_lp
+from simplex_tpu.oracle.reference import relative_gap, solve_scipy
+
+OPTS = SimplexOptions(refactor_every=64)
+
+
+def _perturbed(b, seed, scale):
+    rng = np.random.default_rng(seed)
+    return (np.asarray(b, np.float64) * (1 + scale * rng.uniform(-1, 1, b.shape))).astype(b.dtype)
+
+
+@pytest.mark.parametrize("m,n", [(16, 40), (48, 120)])
+def test_warm_rhs_resolve_matches_oracle(m, n):
+    A, b, c = random_dense_lp(m, n, seed=11)
+    cold = solve(A, b, c, options=OPTS)
+    assert cold.status == SolveStatus.OPTIMAL
+    b2 = _perturbed(b, seed=5, scale=0.25)
+    ref = solve_scipy(A, b2, c)
+    assert ref.status == SolveStatus.OPTIMAL
+    warm = reoptimize(A, b2, c, cold, options=OPTS)
+    assert warm.status == SolveStatus.OPTIMAL
+    assert relative_gap(warm.z, ref.z) < 1e-5
+    assert warm.feas_err < 1e-4
+    # duals of the re-solve must price b2 (strong duality)
+    assert abs(float(warm.y @ np.asarray(b2, np.float64)) - warm.z) < 1e-3 * (
+        1 + abs(warm.z)
+    )
+
+
+def test_warm_is_much_cheaper_than_cold():
+    A, b, c = random_dense_lp(64, 160, seed=3)
+    cold = solve(A, b, c, options=OPTS)
+    assert cold.status == SolveStatus.OPTIMAL
+    b2 = _perturbed(b, seed=9, scale=0.05)
+    cold2 = solve(A, b2, c, options=OPTS)
+    warm = reoptimize(A, b2, c, cold, options=OPTS)
+    assert warm.status == SolveStatus.OPTIMAL
+    assert relative_gap(warm.z, cold2.z) < 1e-5
+    # the whole point: a small RHS move re-solves in a fraction of the
+    # cold pivot count (dual pivots + the primal loop's certification pass)
+    assert warm.iters <= max(4, cold2.iters // 4), (warm.iters, cold2.iters)
+
+
+def test_rhs_inside_ranging_band_needs_no_pivots():
+    A, b, c = random_dense_lp(24, 64, seed=7)
+    cold = solve(A, b, c, options=OPTS)
+    rng = ranging(A, b, c, cold.basis)
+    # move each b_i by 40% of its allowable slack (basis provably unchanged)
+    db = 0.4 * np.where(
+        np.isfinite(rng.b_hi), rng.b_hi, 0.0
+    ) + 0.4 * np.where(np.isfinite(rng.b_lo) & ~np.isfinite(rng.b_hi), rng.b_lo, 0.0)
+    b2 = (np.asarray(b, np.float64) + db).astype(np.float32)
+    ref = solve_scipy(A, b2, c)
+    warm = reoptimize(A, b2, c, cold, options=OPTS)
+    assert warm.status == SolveStatus.OPTIMAL
+    assert warm.iters == 0, warm.iters  # same basis: values re-derived only
+    assert relative_gap(warm.z, ref.z) < 1e-5
+    np.testing.assert_array_equal(np.sort(warm.basis), np.sort(cold.basis))
+
+
+def test_infeasible_rhs_change_detected():
+    # max -x1 - 2 x2 s.t. x1 + x2 + s = b, all >= 0; b = 5 solves fine,
+    # b = -1 is empty (a sum of nonnegatives cannot be negative)
+    A = np.array([[1.0, 1.0, 1.0]], np.float32)
+    b = np.array([5.0], np.float32)
+    c = np.array([-1.0, -2.0, 0.0], np.float32)
+    cold = solve(A, b, c, options=OPTS)
+    assert cold.status == SolveStatus.OPTIMAL
+    warm = reoptimize(A, np.array([-1.0], np.float32), c, cold, options=OPTS)
+    assert warm.status == SolveStatus.INFEASIBLE
+
+
+def test_dual_from_scratch_slack_basis():
+    # all costs <= 0 => the slack basis is dual-feasible even with negative
+    # b: the classic from-scratch dual simplex case (basis0=None)
+    rng = np.random.default_rng(2)
+    m, n = 12, 30
+    A = rng.uniform(-1, 1, (m, n - m)).astype(np.float32)
+    A = np.hstack([A, np.eye(m, dtype=np.float32)])
+    b = rng.uniform(-2, 2, m).astype(np.float32)
+    c = np.concatenate(
+        [-rng.uniform(0.5, 2, n - m), np.zeros(m)]
+    ).astype(np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve_dual(A, b, c, options=OPTS)
+    assert res.status == ref.status
+    if ref.status == SolveStatus.OPTIMAL:
+        assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_bounded_warm_resolve():
+    # native bounds: perturb b, warm-start with the prior at_upper flags
+    from scipy.optimize import linprog
+
+    rng = np.random.default_rng(4)
+    m, k = 8, 20
+    A0 = rng.uniform(0.2, 1.5, (m, k)).astype(np.float32)
+    A = np.hstack([A0, np.eye(m, dtype=np.float32)])
+    b = (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+        np.float32
+    )
+    c = np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(np.float32)
+    u = np.concatenate(
+        [rng.uniform(0.5, 1.5, k), np.full(m, np.inf)]
+    ).astype(np.float32)
+
+    def oracle(bv):
+        r = linprog(
+            -np.asarray(c, np.float64),
+            A_eq=np.asarray(A, np.float64),
+            b_eq=np.asarray(bv, np.float64),
+            bounds=[(0, float(ui) if np.isfinite(ui) else None) for ui in u],
+            method="highs",
+        )
+        return -r.fun if r.status == 0 else None
+
+    cold = solve(A, b, c, u=u, options=OPTS)
+    assert cold.status == SolveStatus.OPTIMAL
+    b2 = _perturbed(b, seed=13, scale=0.15)
+    z_ref = oracle(b2)
+    assert z_ref is not None
+    warm = solve_dual(
+        A, b2, c, basis0=cold.basis, u=u, at_upper0=cold.at_upper,
+        options=OPTS,
+    )
+    assert warm.status == SolveStatus.OPTIMAL
+    assert relative_gap(warm.z, z_ref) < 1e-4
+    assert warm.feas_err < 1e-4
+
+
+def test_entry_contract_rejects_dual_infeasible_basis():
+    # the slack basis of a problem with a positive cost is NOT dual-feasible;
+    # solve_dual must say so (and point at the primal warm start) rather
+    # than claim INFEASIBLE from an unsound dual loop
+    A = np.array([[1.0, 1.0]], np.float32)  # slack basis = column 1
+    b = np.array([-1.0], np.float32)
+    c = np.array([1.0, 0.0], np.float32)
+    with pytest.raises(ValueError, match="dual-feasible"):
+        solve_dual(A, b, c, options=OPTS)
+
+
+def test_cost_change_primal_warm_start_pairing():
+    # the documented pairing: cost changes keep the old basis PRIMAL-
+    # feasible, so solve(basis0=prev.basis) warm-starts those
+    A, b, c = random_dense_lp(16, 40, seed=21)
+    cold = solve(A, b, c, options=OPTS)
+    rng = np.random.default_rng(6)
+    c2 = (np.asarray(c, np.float64) * (1 + 0.2 * rng.uniform(-1, 1, c.shape))).astype(
+        np.float32
+    )
+    ref = solve_scipy(A, b, c2)
+    warm = solve(A, b, c2, basis0=cold.basis, options=OPTS)
+    assert warm.status == SolveStatus.OPTIMAL
+    assert relative_gap(warm.z, ref.z) < 1e-5
