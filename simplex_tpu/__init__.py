@@ -61,6 +61,10 @@ def __getattr__(name):
         from simplex_tpu.core.dual import solve_dual
 
         return solve_dual
+    if name == "BlockSparse":
+        from simplex_tpu.sparse import BlockSparse
+
+        return BlockSparse
     if name == "reoptimize":
         from simplex_tpu.analysis import reoptimize
 
@@ -78,6 +82,7 @@ def __getattr__(name):
 __version__ = "0.2.0"
 
 __all__ = [
+    "BlockSparse",
     "DEFAULT_OPTIONS",
     "GeneralLP",
     "read_mps",
