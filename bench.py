@@ -51,7 +51,7 @@ def main() -> None:
     # first iterations after a fresh dispatch run cold)
     ap.add_argument("--pivots", type=int, default=512)
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
-    ap.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex"])
+    ap.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex", "steepest"])
     ap.add_argument(
         "--pricing-dtype", default="bfloat16", choices=["float32", "bfloat16"]
     )

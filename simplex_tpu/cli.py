@@ -289,7 +289,7 @@ def main(argv=None) -> int:
 
     def common(p):
         p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
-        p.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex"])
+        p.add_argument("--pricing", default="dantzig", choices=["dantzig", "devex", "steepest"])
         p.add_argument("--fp64", action="store_true")
         p.add_argument("--cpu", action="store_true", help="force the CPU backend")
         p.add_argument("--max-iter", type=int, default=0)

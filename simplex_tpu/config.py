@@ -93,6 +93,11 @@ class SimplexOptions:
     #               Devex reference weights; typically far fewer pivots.
     #               Termination is still exact: an O(mn) recompute verifies
     #               optimality whenever the incremental test fires.
+    #   "steepest" — EXACT steepest edge (Goldfarb-Reid): the true norms
+    #               gamma_j = 1 + ||B_inv A_j||^2 maintained exactly at one
+    #               extra O(m^2) GEMV + one extra O(mn) pass per pivot
+    #               (~2x devex's traffic for the fewest pivots of any rule).
+    #               Single-chip, eager-update only (no defer/multi_price).
     #               (The reference left steepest-edge unchecked, README.md:21.)
     pricing: str = "dantzig"
 

@@ -296,14 +296,21 @@ def solve(
             raise ValueError(f"u shape {u_np.shape} != ({n},)")
         if np.any(u_np < 0):
             raise ValueError("negative upper bound (shift lowers to 0 first)")
-        if options.pricing == "devex":
+        if options.pricing in ("devex", "steepest"):
             raise NotImplementedError(
-                "pricing='devex' is not supported with native bounds yet; "
-                "use dantzig (full/shadow/segmented)"
+                f"pricing='{options.pricing}' is not supported with native "
+                "bounds yet; use dantzig (full/shadow/segmented)"
             )
         if not np.any(np.isfinite(u_np)):
             bounded = False  # all-inf bounds: classic path, zero overhead
             u_np = None
+    if options.pricing == "steepest" and (
+        options.update_defer > 0 or options.multi_price > 0
+    ):
+        raise NotImplementedError(
+            "pricing='steepest' maintains exact norms against the eager "
+            "B_inv; it composes with neither update_defer nor multi_price"
+        )
     max_iter = options.resolve_max_iter(m, n)
     slack_init = basis0 is None
     basis_arr = (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from simplex_tpu.status import SolveStatus
@@ -62,11 +63,11 @@ def with_pricing_shadow(
     """Attach the reduced-precision pricing shadow of A when requested.
 
     One cast pass over A at solve start (trivial next to the pivot loop);
-    ``"float32"`` leaves the problem untouched. Devex never reads the
-    shadow (its incremental updates must be exact), so skip the ~n*m*2-byte
-    HBM copy there.
+    ``"float32"`` leaves the problem untouched. Devex / steepest-edge never
+    read the shadow (their incremental updates must be exact), so skip the
+    ~n*m*2-byte HBM copy there.
     """
-    if pricing_dtype == "float32" or pricing == "devex":
+    if pricing_dtype == "float32" or pricing in ("devex", "steepest"):
         return prob
     return prob._replace(A_price=prob.A.astype(jnp.dtype(pricing_dtype)))
 
@@ -120,13 +121,27 @@ class CandBuffer(NamedTuple):
     valid: jnp.ndarray  # (K,) bool
 
 
-def _pricing_extras(prob: Problem, y: jnp.ndarray, dtype, pricing: str):
-    """(e, gamma) for the devex rule; (1,) dummies otherwise."""
-    if pricing == "devex":
-        e = (y @ prob.A.astype(dtype) - prob.c.astype(dtype)).astype(dtype)
+def _pricing_extras(
+    prob: Problem, y: jnp.ndarray, dtype, pricing: str, B_inv=None
+):
+    """(e, gamma) for the devex / steepest-edge rules; (1,) dummies otherwise.
+
+    Devex starts from unit reference weights. EXACT steepest edge starts
+    from the true norms gamma_j = 1 + ||B_inv A_j||^2 — one (m,m)x(m,n)
+    GEMM at init (``B_inv=None`` means the identity slack basis, where the
+    norms are just the column norms of A)."""
+    if pricing not in ("devex", "steepest"):
+        return jnp.zeros((1,), dtype), jnp.ones((1,), dtype)
+    A = prob.A.astype(dtype)
+    e = (y @ A - prob.c.astype(dtype)).astype(dtype)
+    if pricing == "steepest":
+        T = A if B_inv is None else jnp.matmul(
+            B_inv, A, precision=jax.lax.Precision.HIGHEST
+        )
+        gamma = 1 + jnp.sum(T * T, axis=0)
+    else:
         gamma = jnp.ones(prob.A.shape[1], dtype)
-        return e, gamma
-    return jnp.zeros((1,), dtype), jnp.ones((1,), dtype)
+    return e, gamma
 
 
 def _defer_extras(m: int, dtype, update_defer: int):
@@ -207,7 +222,7 @@ def initial_state(
     x_b = B_inv @ b_eff
     y = c_b @ B_inv
     zero = jnp.int32(0)
-    e, gamma = _pricing_extras(prob, y, dtype, pricing)
+    e, gamma = _pricing_extras(prob, y, dtype, pricing, B_inv=B_inv)
     U, R, npend = _defer_extras(m, dtype, update_defer)
     return SolverState(
         B_inv=B_inv,

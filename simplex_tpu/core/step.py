@@ -196,10 +196,10 @@ def pivot_step(
     eps_f = opts.resolve_eps()
     eps = jnp.asarray(eps_f, dtype)
     bounded = prob.u is not None
-    if bounded and opts.pricing == "devex":
+    if bounded and opts.pricing in ("devex", "steepest"):
         raise NotImplementedError(
-            "devex pricing is not wired for the native bounded-variable rule"
-            " (use dantzig); solve() should have rejected this"
+            f"pricing='{opts.pricing}' is not wired for the native bounded-"
+            "variable rule (use dantzig); solve() should have rejected this"
         )
 
     use_bland = jnp.logical_and(
@@ -303,8 +303,10 @@ def pivot_step(
             )
         else:
             p, min_e = _exact_full(None)
-    elif opts.pricing == "devex":
-        # Incremental reduced costs + Devex weights. Termination stays exact:
+    elif opts.pricing in ("devex", "steepest"):
+        # Incremental reduced costs + Devex or exact steepest-edge weights
+        # (same selection rule max e^2/gamma; the weights differ — see the
+        # post-pivot block). Termination stays exact:
         # whenever the (drift-prone) incremental test fires — or the chosen
         # candidate's exactly-recomputed reduced cost is not improving — fall
         # back to one exact O(mn) pricing pass for this iteration.
@@ -577,27 +579,53 @@ def pivot_step(
     else:
         at_upper_new = None
 
-    # ---- Incremental pricing state (devex only) ----
-    if opts.pricing == "devex":
+    # ---- Incremental pricing state (devex / steepest-edge only) ----
+    if opts.pricing in ("devex", "steepest"):
         # w = updated pivot row of the tableau: rho.A with rho = B_inv_new[q].
         # One O(mn) pass — the same traffic Dantzig spends on y.A, but it
         # yields both the reduced-cost update (e -= e_p w, since w_p = 1 and
-        # e_new_p = 0) and the Devex weight update.
+        # e_new_p = 0) and the weight update.
         # w must be exact (f32): the bf16 pricing shadow is NOT used here —
         # incremental-e noise compounds over pivots (unlike Dantzig's, which
         # is re-derived from y every iteration and re-checked exactly).
         rho = binv_q * inv_aq
         w = backend.pricing_update(prob.A.astype(dtype), rho)
         e_new = state.e - e_p * w
-        gamma_p = backend.gather_cost(state.gamma, p)
-        # clamp: gamma grows multiplicatively across pivots and can overflow
-        # fp32 over tens of thousands of iterations (observed nan at 16k);
-        # the weights are a steepest-edge heuristic, so capping is harmless
-        gamma_new = jnp.clip(
-            jnp.maximum(state.gamma, (w * w) * jnp.maximum(gamma_p, 1)),
-            1.0,
-            1e30,
-        )
+        if opts.pricing == "steepest":
+            # EXACT steepest edge (Goldfarb-Reid), gamma_j = 1 + ||t_j||^2
+            # with t_j = B_inv A_j. After the pivot t_j' = t_j + w_j * eta
+            # (w_j here is ALREADY the beta of the textbook recurrence:
+            # rho = binv_q/alpha_q gives w_j = (pivot row)_j / alpha_q), so
+            #   gamma_j' = gamma_j - 2 w_j v_j + w_j^2 (1 + ||alpha||^2)
+            # with v_j = t_j . alpha = A_j . (B^{-T} alpha) — one extra
+            # O(m^2) GEMV (u = alpha @ B_inv) + one extra O(mn) pass (u.A)
+            # per pivot buys the exact norms the reference's ladder left
+            # unchecked (README.md:21). The leaving column's weight is set
+            # exactly: t_lv' = e_q + eta => gamma_lv' = 1 +
+            # (1 + ||alpha||^2 - alpha_q^2) / alpha_q^2.
+            u = jnp.matmul(alpha, state.B_inv, precision=_EXACT)
+            v = backend.pricing_update(prob.A.astype(dtype), u)
+            gp1 = 1 + _dot(alpha, alpha)
+            lv_se = state.basis[q]
+            gamma_lv = 1 + (gp1 - safe_alpha_q * safe_alpha_q) * (
+                inv_aq * inv_aq
+            )
+            gse = state.gamma - 2 * w * v + (w * w) * gp1
+            gse = gse.at[lv_se].set(gamma_lv)
+            # floor at the provable minimum 1 (fp cancellation in the
+            # three-term recurrence can dip below); cap like devex
+            gamma_new = jnp.clip(gse, 1.0, 1e30)
+        else:
+            gamma_p = backend.gather_cost(state.gamma, p)
+            # clamp: gamma grows multiplicatively across pivots and can
+            # overflow fp32 over tens of thousands of iterations (observed
+            # nan at 16k); the devex weights are a steepest-edge heuristic,
+            # so capping is harmless
+            gamma_new = jnp.clip(
+                jnp.maximum(state.gamma, (w * w) * jnp.maximum(gamma_p, 1)),
+                1.0,
+                1e30,
+            )
     else:
         e_new = state.e
         gamma_new = state.gamma
@@ -743,12 +771,19 @@ def refactorize(
         R=jnp.zeros_like(state.R),
         npend=jnp.int32(0),
     )
-    if pricing == "devex":
+    if pricing in ("devex", "steepest"):
         e = (
             jnp.matmul(y, prob.A.astype(dtype), precision=_EXACT)
             - prob.c.astype(dtype)
         )
-        new = new._replace(e=e, gamma=jnp.ones_like(state.gamma))
+        # devex: standard restart (reference weights reset to 1). Steepest:
+        # KEEP gamma — the true norms depend only on the BASIS, which
+        # refactorization does not change; recomputing them exactly would
+        # cost an O(m^2 n) GEMM per refactorization.
+        gamma = state.gamma if pricing == "steepest" else jnp.ones_like(
+            state.gamma
+        )
+        new = new._replace(e=e, gamma=gamma)
     if state.cand is not None:
         # candidate tableau columns were ftran'd against the OLD (drifted)
         # representation: invalidate so the next pivot refills exactly

@@ -268,6 +268,11 @@ def solve_sharded(
         if basis0 is None
         else jnp.asarray(basis0, jnp.int32)
     )
+    if options.pricing == "steepest":
+        raise NotImplementedError(
+            "pricing='steepest' is single-chip only (its weight scatter "
+            "needs global column addressing); use devex for sharded solves"
+        )
     n_shards = mesh.shape[axis_name]
     if n % n_shards != 0:
         raise ValueError(

@@ -815,6 +815,11 @@ def solve_sharded_2d(
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
+    if options.pricing == "steepest":
+        raise NotImplementedError(
+            "pricing='steepest' is single-chip only (its weight scatter "
+            "needs global column addressing); use devex for sharded solves"
+        )
     R = mesh.shape[ROWS_AXIS]
     C = mesh.shape[COLS_AXIS]
     if n % (R * C) != 0 or m % R != 0:
