@@ -81,6 +81,11 @@ def main() -> None:
     )
     ap.add_argument("--batch", type=int, default=4096, help="batch-mode LP count")
     ap.add_argument(
+        "--sparse", action="store_true",
+        help="pdhg mode: netlib-class structured instance via BlockSparse "
+        "(rows ~ --m), dense time reported as context",
+    )
+    ap.add_argument(
         "--no-oracle", action="store_true",
         help="full mode: skip the host HiGHS parity solve (minutes at 8k+)",
     )
@@ -368,7 +373,13 @@ def bench_pdhg(args) -> None:
     NB: the default uniform-positive dense generator is ADVERSARIAL for
     first-order methods at large sizes (dominant rank-1 spectrum — see
     fo/pdhg.py); measured to stall at 8192x16384. Use moderate sizes here,
-    or structured instances, when evaluating this mode."""
+    or structured instances, when evaluating this mode.
+
+    ``--sparse``: switch to the netlib-class structured workload instead —
+    a multiperiod production LP (sparse equality structure, bounds on every
+    structural column) in equality form, sized so rows ~ --m, solved BOTH
+    dense and block-sparse; the JSON metric is the sparse solve, with the
+    dense time and tile density as context."""
     import jax
 
     from simplex_tpu.fo import solve_pdhg
@@ -376,6 +387,8 @@ def bench_pdhg(args) -> None:
 
     m, n = args.m, args.n
     log(f"devices: {jax.devices()}")
+    if args.sparse:
+        return _bench_pdhg_sparse(args)
     log(f"generating dense LP {m}x{n}...")
     A, b, c = random_dense_lp(m, n, seed=0, dtype=np.float32)
     A, b, c = jax.device_put((A, b, c))
@@ -405,6 +418,70 @@ def bench_pdhg(args) -> None:
         # baseline: the reference has no first-order mode at all; compare
         # against its simplex roofline for the same wall-clock class
         "vs_baseline": None,
+        "iters": res.iters,
+        "iters_per_sec": round(ips, 1),
+    }
+    if gap is not None:
+        record["obj_rel_gap_vs_highs"] = float(f"{gap:.3e}")
+    print(json.dumps(record))
+
+
+def _bench_pdhg_sparse(args) -> None:
+    """Sparse PDHG on the netlib-class structured workload (see bench_pdhg)."""
+    from simplex_tpu import sparse as bsp
+    from simplex_tpu.fo import solve_pdhg
+    from simplex_tpu.io.canonical import to_equality_form
+    from simplex_tpu.oracle.generator import multiperiod_production_lp
+
+    # size the instance so rows ~ --m: rows = T*(P+1) with P = 32
+    P = 32
+    T = max(2, args.m // (P + 1))
+    lp = multiperiod_production_lp(T, P, seed=0)
+    A, b, c, u = to_equality_form(lp)
+    A = A.astype(np.float32)
+    b, c, u = b.astype(np.float32), c.astype(np.float32), u.astype(np.float32)
+    M = bsp.from_dense(A, block_shape=(128, 128))
+    dens = M.tile_density()
+    log(
+        f"multiperiod T={T} P={P}: {A.shape[0]}x{A.shape[1]} equality form, "
+        f"{M.n_tiles} stored tiles (tile density {dens:.3f})"
+    )
+    log("dense solve (reference point)...")
+    t0 = time.time()
+    res_d = solve_pdhg(A, b, c, u=u, tol=1e-4)
+    dt_dense = time.time() - t0
+    log(f"dense: {res_d.status.name} iters={res_d.iters} in {dt_dense:.1f}s")
+    log("block-sparse solve...")
+    t0 = time.time()
+    res = solve_pdhg(M, b, c, u=u, tol=1e-4)
+    dt = time.time() - t0
+    ips = res.iters / dt if dt > 0 else float("nan")
+    log(
+        f"sparse: {res.status.name} iters={res.iters} in {dt:.1f}s -> "
+        f"{ips:.0f} it/s; rp={res.primal_res:.2e} rd={res.dual_res:.2e}"
+    )
+    gap = None
+    if not args.no_oracle:
+        from simplex_tpu.oracle.reference import relative_gap, solve_scipy_general
+
+        log("oracle: HiGHS f64 (host) on the general form...")
+        ref = solve_scipy_general(lp)
+        if ref.z is not None:
+            # res.z is in shifted units when lp has nonzero lowers (it
+            # doesn't here: multiperiod lowers are 0)
+            gap = relative_gap(res.z, ref.z)
+            log(f"objective rel_gap={gap:.3e}")
+    record = {
+        "metric": (
+            f"pdhg_seconds_to_kkt1e-4_sparse_{A.shape[0]}x{A.shape[1]}_fp32"
+        ),
+        "value": round(dt, 2),
+        "unit": "seconds",
+        # context, not a baseline: the same instance solved without the
+        # block-sparse storage on the same chip
+        "vs_baseline": None,
+        "dense_seconds": round(dt_dense, 2),
+        "tile_density": round(float(dens), 4),
         "iters": res.iters,
         "iters_per_sec": round(ips, 1),
     }

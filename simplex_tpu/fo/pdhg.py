@@ -198,7 +198,7 @@ def _spectral_norm(A, iters: int = 30):
     return jnp.maximum(nrm, _absmax(A))
 
 
-def _kkt(A, b, cmin, x, y, dr, dc, b_scale, c_scale):
+def _kkt(A, b, cmin, x, y, dr, dc, b_scale, c_scale, us):
     """(primal_res, dual_res, gap) — relative inf-norm KKT errors of the
     ORIGINAL problem, evaluated on the scaled system.
 
@@ -208,12 +208,21 @@ def _kkt(A, b, cmin, x, y, dr, dc, b_scale, c_scale):
     this reason), while all the arithmetic stays on the equilibrated
     system. ``b_scale``/``c_scale`` must come from the ORIGINAL b / c.
     The duality gap is scale-invariant (cs.xs == c.x, bs.ys == b.y).
+
+    ``us`` are the SCALED upper bounds (+inf where unbounded). A finite-u
+    column is dual-feasible at any reduced-cost sign (its bound multiplier
+    absorbs the negative part), so it contributes to the dual OBJECTIVE —
+    the Lagrangian term  u_j * min(0, red_j), scale-invariant because
+    us_j * red_s_j == u_j * red_j — instead of the dual residual.
     """
     r_p = jnp.max(jnp.abs(dr * (_mv(A, x) - b))) / b_scale
     red = cmin - _rmv(A, y)
-    r_d = jnp.max(dc * jnp.maximum(-red, 0)) / c_scale
+    finite = jnp.isfinite(us)
+    r_d = jnp.max(jnp.where(finite, 0, dc * jnp.maximum(-red, 0))) / c_scale
     pobj = jnp.dot(cmin, x, precision=_EXACT)
-    dobj = jnp.dot(b, y, precision=_EXACT)
+    dobj = jnp.dot(b, y, precision=_EXACT) + jnp.sum(
+        jnp.where(finite, us, 0) * jnp.minimum(red, 0)
+    )
     gap = jnp.abs(pobj - dobj) / (1 + jnp.abs(pobj) + jnp.abs(dobj))
     return r_p, r_d, gap
 
@@ -248,7 +257,7 @@ def _pdhg_setup(A, b, cmin, dtype):
     static_argnames=("check_every", "max_iter", "tol", "windows", "adaptive"),
 )
 def _pdhg_chunk(
-    As, bs, cs, dr, dc, b_scale, c_scale, state,
+    As, bs, cs, dr, dc, b_scale, c_scale, us, state,
     tol, max_iter, check_every, windows, adaptive,
 ):
     """Advance the PDHG state by at most ``windows`` check windows.
@@ -273,7 +282,9 @@ def _pdhg_chunk(
         def inner(carry, _):
             x, y, sx, sy = carry
             red = cs - _rmv(As, y)
-            x1 = jnp.maximum(x - tau * red, 0)
+            # projection onto the box [0, us] — PDLP's native bound
+            # handling; us = +inf folds the minimum away entirely
+            x1 = jnp.minimum(jnp.maximum(x - tau * red, 0), us)
             y1 = y + sigma * (bs - _mv(As, 2 * x1 - x))
             return (x1, y1, sx + x1, sy + y1), None
 
@@ -308,8 +319,12 @@ def _pdhg_chunk(
         cnt1 = cnt + check_every
         xa = sx1 / cnt1
         ya = sy1 / cnt1
-        rp_c, rd_c, gp_c = _kkt(As, bs, cs, x1, y1, dr, dc, b_scale, c_scale)
-        rp_a, rd_a, gp_a = _kkt(As, bs, cs, xa, ya, dr, dc, b_scale, c_scale)
+        rp_c, rd_c, gp_c = _kkt(
+            As, bs, cs, x1, y1, dr, dc, b_scale, c_scale, us
+        )
+        rp_a, rd_a, gp_a = _kkt(
+            As, bs, cs, xa, ya, dr, dc, b_scale, c_scale, us
+        )
         err_c = jnp.maximum(jnp.maximum(rp_c, rd_c), gp_c)
         err_a = jnp.maximum(jnp.maximum(rp_a, rd_a), gp_a)
         err = jnp.minimum(err_c, err_a)
@@ -378,25 +393,33 @@ def _pdhg_chunk(
 
 
 @jax.jit
-def _cert_metrics(A, b, cmin, xhat, yhat):
+def _cert_metrics(A, b, cmin, xhat, yhat, u):
     """Certificate quality of candidate rays, on the ORIGINAL data.
 
-    ``xhat`` (>= 0, unit inf-norm) is a candidate primal recession
-    direction: a certificate of dual infeasibility — hence an UNBOUNDED
-    ray for a feasible primal — when ``A xhat ~= 0`` and ``cmin.xhat < 0``.
-    ``yhat`` (unit inf-norm) is a candidate Farkas dual ray: primal
-    INFEASIBILITY is certified when ``A^T yhat <= 0`` and ``b.yhat > 0``.
-    Returns (||A xhat||_inf, cmin.xhat, ||max(A^T yhat, 0)||_inf, b.yhat).
+    ``xhat`` (>= 0, zero on finite-u columns, unit inf-norm) is a candidate
+    primal recession direction: a certificate of dual infeasibility — hence
+    an UNBOUNDED ray for a feasible primal — when ``A xhat ~= 0`` and
+    ``cmin.xhat < 0`` (bounded columns cannot recede, hence the zeroing).
+    ``yhat`` (unit inf-norm) is a candidate Farkas dual ray for
+    {Ax=b, 0<=x<=u}: infeasibility is certified when
+    ``b.yhat - sum_finite u_j max((A^T yhat)_j, 0) > 0`` with
+    ``(A^T yhat)_j <= 0`` on the unbounded columns — the finite bounds
+    absorb their positive parts into the objective term instead.
+    Returns (||A xhat||_inf, cmin.xhat, viol_d, obj_d).
     """
     viol_p = jnp.max(jnp.abs(_mv(A, xhat)))
     obj_p = jnp.dot(cmin, xhat, precision=_EXACT)
     aty = _rmv(A, yhat)
-    viol_d = jnp.max(jnp.maximum(aty, 0))
-    obj_d = jnp.dot(b, yhat, precision=_EXACT)
+    finite = jnp.isfinite(u)
+    pos = jnp.maximum(aty, 0)
+    viol_d = jnp.max(jnp.where(finite, 0, pos))
+    obj_d = jnp.dot(b, yhat, precision=_EXACT) - jnp.sum(
+        jnp.where(finite, u, 0) * pos
+    )
     return viol_p, obj_p, viol_d, obj_d
 
 
-def _certify(A, b, cmin, x, y, xr, yr, b_scale, c_scale, cert_tol):
+def _certify(A, b, cmin, x, y, xr, yr, b_scale, c_scale, cert_tol, u):
     """Exit-time infeasibility detection from the divergent iterate ray.
 
     PDLP's certificate test (arXiv:2102.04592 applied as in PDLP): when
@@ -412,7 +435,9 @@ def _certify(A, b, cmin, x, y, xr, yr, b_scale, c_scale, cert_tol):
     """
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
-    dx = np.maximum(x - np.asarray(xr, np.float64), 0)  # recession dir >= 0
+    u_np = np.asarray(u, np.float64)
+    free = ~np.isfinite(u_np)  # only unbounded columns can recede
+    dx = np.where(free, np.maximum(x - np.asarray(xr, np.float64), 0), 0)
     dy = y - np.asarray(yr, np.float64)
 
     def unit(v):
@@ -424,21 +449,28 @@ def _certify(A, b, cmin, x, y, xr, yr, b_scale, c_scale, cert_tol):
     # dual (Farkas / INFEASIBLE) first: if both certificates exist the
     # problem is infeasible, and an infeasible problem can still have an
     # improving recession direction
+    u_dev = jnp.asarray(u_np)
     for cand in (dy, y):
         ray, ok = unit(cand)
         if not ok:
             continue
         viol_p, obj_p, viol_d, obj_d = map(
-            float, _cert_metrics(A, b, cmin, jnp.zeros_like(jnp.asarray(x)), ray)
+            float,
+            _cert_metrics(
+                A, b, cmin, jnp.zeros_like(jnp.asarray(x)), ray, u_dev
+            ),
         )
         if obj_d > 1e-8 * b_sc and viol_d <= cert_tol * obj_d:
             return SolveStatus.INFEASIBLE, None, ray
-    for cand in (dx, np.maximum(x, 0)):
+    for cand in (dx, np.where(free, np.maximum(x, 0), 0)):
         ray, ok = unit(cand)
         if not ok:
             continue
         viol_p, obj_p, _vd, _od = map(
-            float, _cert_metrics(A, b, cmin, ray, jnp.zeros_like(jnp.asarray(y)))
+            float,
+            _cert_metrics(
+                A, b, cmin, ray, jnp.zeros_like(jnp.asarray(y)), u_dev
+            ),
         )
         if -obj_p > 1e-8 * c_sc and viol_p <= cert_tol * (-obj_p):
             return SolveStatus.UNBOUNDED, ray, None
@@ -450,6 +482,7 @@ def solve_pdhg(
     b,
     c,
     *,
+    u=None,
     tol: float = 1e-4,
     max_iter: int = 1_000_000,
     check_every: int = 128,
@@ -457,7 +490,15 @@ def solve_pdhg(
     adaptive_weight: bool = True,
     cert_tol: float = 1e-5,
 ) -> PDHGResult:
-    """Solve max c.x s.t. Ax=b, x>=0 to relative KKT tolerance ``tol``.
+    """Solve max c.x s.t. Ax=b, 0 <= x (<= u) to relative KKT tol ``tol``.
+
+    ``u`` (optional, (n,) with +inf for unbounded columns) adds native box
+    bounds: the projection clips to [0, u] (one extra elementwise min per
+    iteration — PDLP's native bound handling, free next to the GEMVs), the
+    dual residual/objective account for the implicit bound multipliers,
+    and the certificates respect the box (bounded columns cannot recede;
+    Farkas uses  b.y - sum u_j max(A^T y, 0)_j ). Unlike the simplex
+    core's bounded rule this costs NO extra passes at all.
 
     Default tol=1e-4: first-order methods converge linearly, and on
     degenerate instances the tail from 1e-4 to 1e-6 can cost more
@@ -499,9 +540,18 @@ def solve_pdhg(
     m, n = A.shape
     dt = jnp.dtype(dtype)
     cmin = (-c).astype(dt)  # minimization form
+    u_np = (
+        np.full(n, np.inf)
+        if u is None
+        else np.asarray(u, np.float64)
+    )
+    if u is not None and np.any(u_np < 0):
+        raise ValueError("negative upper bound (shift lowers to 0 first)")
     As, dr, dc, bs, cs, tau0, sigma0, b_scale, c_scale = _pdhg_setup(
         A, b, cmin, dt
     )
+    # scaled bounds: x = xs / dc  =>  xs <= u * dc (inf stays inf)
+    us = jnp.asarray(u_np, dt) * dc
     # chunk budget: ~1e13 streamed bytes per device call (seconds, not the
     # multi-minute single call that crashed the worker), floor one window,
     # cap 64k iterations. For block-sparse A the per-iteration bytes are
@@ -517,7 +567,7 @@ def solve_pdhg(
     )
     while True:
         state = _pdhg_chunk(
-            As, bs, cs, dr, dc, b_scale, c_scale, state,
+            As, bs, cs, dr, dc, b_scale, c_scale, us, state,
             float(tol), int(max_iter), int(check_every), windows,
             bool(adaptive_weight),
         )
@@ -548,7 +598,7 @@ def solve_pdhg(
         xr, yr = state[13] / dc, state[14] / dr
         cert, ray_p, ray_d = _certify(
             A, b, cmin, x, y, np.asarray(xr, np.float64),
-            np.asarray(yr, np.float64), b_scale, c_scale, cert_tol,
+            np.asarray(yr, np.float64), b_scale, c_scale, cert_tol, u_np,
         )
         if cert is not None:
             status = cert

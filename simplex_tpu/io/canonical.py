@@ -88,3 +88,52 @@ def pad_rows(
         [np.arange(n - m, n, dtype=np.int32), np.arange(n, n + m_pad, dtype=np.int32)]
     )
     return A2, b2, c2, basis0
+
+
+def to_equality_form(lp) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """GeneralLP -> (A, b, c, u) in box-bounded equality form:
+
+        max c.x  s.t.  A x = b,  0 <= x <= u   (u_j = +inf when unbounded)
+
+    L rows gain a +slack column, G rows a -surplus column (both unbounded
+    above), E rows gain nothing. Nonzero variable LOWER bounds are shifted
+    to 0 (b absorbs A @ lower; the caller's objective picks up the constant
+    c . lower — returned z values are in SHIFTED units, add c.lower back).
+    This is the entry format of the first-order mode (``solve_pdhg`` with
+    ``u=``), which needs no feasible basis and no artificials — unlike the
+    simplex route, where twophase.py owns the standardization.
+
+    Raises on lower == -inf columns (free variables need a split the
+    first-order mode does not use yet).
+    """
+    A = np.asarray(lp.A, np.float64)
+    b = np.asarray(lp.b, np.float64).copy()
+    c = np.asarray(lp.c, np.float64)
+    m, k = A.shape
+    lower = (
+        np.zeros(k)
+        if getattr(lp, "lower", None) is None
+        else np.asarray(lp.lower, np.float64)
+    )
+    upper = (
+        np.full(k, np.inf)
+        if getattr(lp, "upper", None) is None
+        else np.asarray(lp.upper, np.float64)
+    )
+    if np.any(~np.isfinite(lower)):
+        raise NotImplementedError(
+            "free (lower == -inf) variables are not supported by "
+            "to_equality_form; split them or use the two-phase route"
+        )
+    if np.any(lower != 0):
+        b = b - A @ lower
+        upper = upper - lower  # shifted bounds; z is in shifted units
+    types = [t.upper() for t in lp.row_types]
+    aug = [i for i, t in enumerate(types) if t in ("L", "G")]
+    S = np.zeros((m, len(aug)))
+    for j, i in enumerate(aug):
+        S[i, j] = 1.0 if types[i] == "L" else -1.0
+    A_eq = np.concatenate([A, S], axis=1)
+    c_eq = np.concatenate([c, np.zeros(len(aug))])
+    u_eq = np.concatenate([upper, np.full(len(aug), np.inf)])
+    return A_eq, b, c_eq, u_eq

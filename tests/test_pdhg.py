@@ -195,3 +195,65 @@ def test_pdhg_sharded_chunked_multiple_calls():
         sh._build_fns = orig
     assert res.status == SolveStatus.OPTIMAL
     assert abs(res.z - ref.z) < 1e-4
+
+
+def test_pdhg_native_bounds_matches_oracle():
+    """Box bounds handled natively in the projection (PDLP-style): compare
+    against HiGHS with the same bounds."""
+    from scipy.optimize import linprog
+
+    rng = np.random.default_rng(11)
+    m, k = 8, 20
+    A0 = rng.uniform(0.2, 1.5, (m, k))
+    A = np.hstack([A0, np.eye(m)]).astype(np.float32)
+    b = (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+        np.float32
+    )
+    c = np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(
+        np.float32
+    )
+    u = np.concatenate(
+        [rng.uniform(0.3, 1.0, k), np.full(m, np.inf)]
+    ).astype(np.float32)
+    r = linprog(
+        -np.asarray(c, np.float64),
+        A_eq=np.asarray(A, np.float64),
+        b_eq=np.asarray(b, np.float64),
+        bounds=[(0, float(ui) if np.isfinite(ui) else None) for ui in u],
+        method="highs",
+    )
+    assert r.status == 0
+    res = solve_pdhg(A, b, c, u=u, tol=1e-6, max_iter=400_000)
+    assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
+    assert relative_gap(res.z, -r.fun) < 1e-3
+    assert np.all(res.x <= np.asarray(u, np.float64) + 1e-4)
+
+
+def test_pdhg_bounded_infeasible_certificate():
+    """Bounds can make a problem infeasible that was feasible without them
+    (x1 + x2 = 5 with x <= 1 each): the Farkas test must use the bounded
+    form b.y - sum u_j max(A^T y, 0)_j > 0."""
+    A = np.array([[1.0, 1.0]], np.float32)
+    b = np.array([5.0], np.float32)
+    c = np.array([1.0, 1.0], np.float32)
+    u = np.array([1.0, 1.0], np.float32)
+    res = solve_pdhg(A, b, c, u=u, tol=1e-6, max_iter=200_000)
+    assert res.status == SolveStatus.INFEASIBLE, (res.status, res.iters)
+    r = res.ray_dual
+    assert r is not None
+    # verify the bounded Farkas inequality on the certificate
+    aty = np.asarray(A, np.float64).T @ r
+    lhs = float(b @ r) - float(u @ np.maximum(aty, 0))
+    assert lhs > 0
+
+
+def test_pdhg_bounded_not_unbounded():
+    """An instance whose unbounded ray is capped by u must come back
+    OPTIMAL at the cap, not UNBOUNDED."""
+    A = np.array([[-1.0, 1.0, 1.0]], np.float32)
+    b = np.array([1.0], np.float32)
+    c = np.array([1.0, 0.0, 0.0], np.float32)
+    u = np.array([10.0, np.inf, np.inf], np.float32)
+    res = solve_pdhg(A, b, c, u=u, tol=1e-6, max_iter=400_000)
+    assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
+    assert abs(res.z - 10.0) < 1e-2

@@ -128,3 +128,35 @@ def test_pdhg_sparse_infeasible_certificate():
     assert res.status == SolveStatus.INFEASIBLE
     r = res.ray_dual
     assert r is not None and float(np.array([-1.0]) @ r) > 0
+
+
+def test_pdhg_sparse_bounded_netlib_class():
+    """The full netlib-class shape in one: a multiperiod production LP
+    (mostly-sparse equality structure, bounds on EVERY structural column)
+    in equality form, solved block-sparse with native box bounds, against
+    HiGHS on the same general form."""
+    from simplex_tpu.oracle.generator import multiperiod_production_lp
+    from simplex_tpu.oracle.reference import solve_scipy_general
+
+    lp = multiperiod_production_lp(6, 4, seed=2)  # 30 rows, 72 bounded cols
+    ref = solve_scipy_general(lp)
+    assert ref.status == SolveStatus.OPTIMAL
+    m, k = lp.A.shape
+    slack_cols = [i for i, t in enumerate(lp.row_types) if t == "L"]
+    S = np.zeros((m, len(slack_cols)))
+    for j, i in enumerate(slack_cols):
+        S[i, j] = 1.0
+    A_eq = np.concatenate([lp.A, S], axis=1).astype(np.float32)
+    c_eq = np.concatenate([lp.c, np.zeros(len(slack_cols))]).astype(
+        np.float32
+    )
+    u_eq = np.concatenate(
+        [lp.upper, np.full(len(slack_cols), np.inf)]
+    ).astype(np.float32)
+    M = bsp.from_dense(A_eq, block_shape=(8, 8))
+    assert M.tile_density() < 0.9
+    res = solve_pdhg(
+        M, lp.b.astype(np.float32), c_eq, u=u_eq, tol=1e-5, max_iter=600_000
+    )
+    assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
+    assert relative_gap(res.z, ref.z) < 1e-3
