@@ -157,6 +157,18 @@ class SimplexOptions:
     # precedence over partial_pricing when both are set. 0 disables.
     multi_price: int = 0
 
+    # Price against a BLOCK-SPARSE shadow of A (simplex_tpu.sparse): the
+    # dominant O(mn) pricing read touches only the tiles containing
+    # nonzeros — on netlib-class instances (>99% sparse) this multiplies
+    # with pricing_dtype="bfloat16" (bf16 tiles, f32 accumulation). The
+    # exact-recheck contract is unchanged: the shadow winner's reduced cost
+    # is re-verified against dense fp32 A, and termination always comes
+    # from an exact pass. Ignored under devex/steepest (no shadow there);
+    # incompatible with partial_pricing (segments need sliceable arrays)
+    # and the pallas backend. Dense A stays resident for column gathers,
+    # so this trades memory for pricing traffic.
+    pricing_sparse: bool = False
+
     # Two-stage fallback for segmented pricing: when a segment is dry, retry
     # over the FULL bf16 shadow (1/16th the bytes of exact pricing) before
     # paying the exact f32 pass. Termination is still decided from exact

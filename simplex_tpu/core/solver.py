@@ -158,6 +158,7 @@ def _solve_jit(
     slack_init: bool,
     u=None,  # (n,) native upper bounds; None = classic x >= 0
     at_upper0=None,
+    A_price=None,  # prebuilt BlockSparse pricing shadow (pricing_sparse)
 ) -> SolverState:
     dtype = opts.dtype
     prob = Problem(
@@ -166,7 +167,12 @@ def _solve_jit(
         c=c.astype(dtype),
         u=None if u is None else u.astype(dtype),
     )
-    prob = with_pricing_shadow(prob, opts.pricing_dtype, opts.pricing)
+    if A_price is not None:
+        # block-sparse shadow built on the host (tile occupancy is a data-
+        # dependent structure, so it cannot be traced here)
+        prob = prob._replace(A_price=A_price)
+    else:
+        prob = with_pricing_shadow(prob, opts.pricing_dtype, opts.pricing)
     if slack_init:
         state0 = initial_state_slack(
             prob, dtype, opts.pricing, opts.update_defer, at_upper0,
@@ -311,6 +317,21 @@ def solve(
             "pricing='steepest' maintains exact norms against the eager "
             "B_inv; it composes with neither update_defer nor multi_price"
         )
+    A_price = None
+    if options.pricing_sparse and options.pricing == "dantzig":
+        if options.partial_pricing > 1:
+            raise NotImplementedError(
+                "pricing_sparse needs the full-shadow pass; segmented "
+                "pricing (partial_pricing) slices dense arrays"
+            )
+        if options.backend != "xla":
+            raise NotImplementedError("pricing_sparse requires backend='xla'")
+        from simplex_tpu import sparse as _bsp
+
+        A_price = _bsp.from_dense(
+            A_host if A_host is not None else np.asarray(A),
+            dtype=jnp.dtype(options.pricing_dtype),
+        )
     max_iter = options.resolve_max_iter(m, n)
     slack_init = basis0 is None
     basis_arr = (
@@ -334,7 +355,7 @@ def solve(
         )
     final = _solve_jit(
         A, b, c, basis_arr, exec_options, max_iter, slack_init,
-        u_arr, at_up_arr,
+        u_arr, at_up_arr, A_price,
     )
     # SELECTIVE host pull: only the O(m)/scalar leaves. device_get of the
     # whole state drags B_inv (+ deferred buffers) through the tunnel —

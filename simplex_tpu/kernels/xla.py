@@ -29,8 +29,15 @@ def reduced_costs(y: jnp.ndarray, A: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray
 
     ``A`` may be the bf16 pricing shadow (``Problem.A_price``): the dot then
     runs with bf16 operands but accumulates in ``c``'s dtype (f32), and the
-    subtraction of ``c`` stays in f32.
+    subtraction of ``c`` stays in f32. It may also be a
+    :class:`simplex_tpu.sparse.BlockSparse` shadow
+    (``SimplexOptions.pricing_sparse``): the pass then reads only the
+    stored tiles — same exact-recheck contract either way.
     """
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(A, _bsp.BlockSparse):
+        return _bsp.rmatvec(A, y).astype(c.dtype) - c
     acc = jnp.promote_types(c.dtype, jnp.float32)
     e = jax.lax.dot_general(
         y.astype(A.dtype), A, (((0,), (0,)), ((), ())), preferred_element_type=acc

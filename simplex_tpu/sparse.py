@@ -160,12 +160,21 @@ def _pad_to(v, length):
     return jnp.pad(v, (0, length - v.shape[0]))
 
 
+def _acc(dtype):
+    """Accumulation dtype: never below f32 (bf16 tiles accumulate in f32,
+    mirroring the dense pricing shadow's contract)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def matvec(M: BlockSparse, x) -> jnp.ndarray:
     """y = M @ x  (x logical (n,), result logical (m,))."""
     br, bc = M.block_shape
     gr, gc = M.grid
     xt = _pad_to(x, gc * bc).reshape(gc, bc)[M.cols]  # (T, bc)
-    yt = jnp.einsum("tij,tj->ti", M.tiles, xt.astype(M.dtype), precision=_EXACT)
+    yt = jnp.einsum(
+        "tij,tj->ti", M.tiles, xt.astype(M.dtype), precision=_EXACT,
+        preferred_element_type=_acc(M.dtype),
+    )
     y = jax.ops.segment_sum(yt, M.rows, num_segments=gr)  # (gr, br)
     return y.reshape(-1)[: M.shape[0]]
 
@@ -175,7 +184,10 @@ def rmatvec(M: BlockSparse, y) -> jnp.ndarray:
     br, bc = M.block_shape
     gr, gc = M.grid
     yt = _pad_to(y, gr * br).reshape(gr, br)[M.rows]  # (T, br)
-    xt = jnp.einsum("ti,tij->tj", yt.astype(M.dtype), M.tiles, precision=_EXACT)
+    xt = jnp.einsum(
+        "ti,tij->tj", yt.astype(M.dtype), M.tiles, precision=_EXACT,
+        preferred_element_type=_acc(M.dtype),
+    )
     x = jax.ops.segment_sum(xt, M.cols, num_segments=gc)  # (gc, bc)
     return x.reshape(-1)[: M.shape[1]]
 

@@ -160,3 +160,74 @@ def test_pdhg_sparse_bounded_netlib_class():
     )
     assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
     assert relative_gap(res.z, ref.z) < 1e-3
+
+
+def _sparse_canonical(m, k, density, seed):
+    """Sparse A0 + identity slacks, b > 0 (feasible slack basis)."""
+    rng = np.random.default_rng(seed)
+    A0 = rng.uniform(0.2, 1.5, (m, k))
+    A0[rng.uniform(size=A0.shape) > density] = 0.0
+    A = np.hstack([A0, np.eye(m)]).astype(np.float32)
+    b = (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+        np.float32
+    )
+    c = np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(
+        np.float32
+    )
+    return A, b, c
+
+
+def test_simplex_pricing_sparse_matches_oracle():
+    """pricing_sparse: the simplex core's O(mn) pricing pass runs over a
+    BlockSparse shadow; answers must meet the same oracle bar (the winner
+    is exactly re-verified, termination stays exact)."""
+    from simplex_tpu import SimplexOptions, solve
+
+    A, b, c = _sparse_canonical(24, 60, density=0.2, seed=6)
+    ref = solve_scipy(A, b, c)
+    assert ref.status == SolveStatus.OPTIMAL
+    for pdtype in ("float32", "bfloat16"):
+        res = solve(
+            A, b, c,
+            options=SimplexOptions(
+                pricing_sparse=True, pricing_dtype=pdtype, refactor_every=64
+            ),
+        )
+        assert res.status == SolveStatus.OPTIMAL, pdtype
+        assert relative_gap(res.z, ref.z) < 1e-5, pdtype
+
+
+def test_simplex_pricing_sparse_bounded():
+    from simplex_tpu import SimplexOptions, solve
+
+    rng = np.random.default_rng(8)
+    m, k = 8, 20
+    A0 = rng.uniform(0.2, 1.5, (m, k))
+    A0[rng.uniform(size=A0.shape) > 0.3] = 0.0
+    A = np.hstack([A0, np.eye(m)]).astype(np.float32)
+    b = (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+        np.float32
+    )
+    c = np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(
+        np.float32
+    )
+    u = np.concatenate(
+        [rng.uniform(0.3, 1.0, k), np.full(m, np.inf)]
+    ).astype(np.float32)
+    base = solve(A, b, c, u=u)
+    res = solve(A, b, c, u=u, options=SimplexOptions(pricing_sparse=True))
+    assert res.status == base.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, base.z) < 1e-5
+
+
+def test_simplex_pricing_sparse_rejects_segments():
+    from simplex_tpu import SimplexOptions, solve
+
+    A, b, c, _ = _transport_eq(4, 5, seed=1)
+    with pytest.raises(NotImplementedError, match="partial_pricing"):
+        solve(
+            A, b, c,
+            options=SimplexOptions(
+                pricing_sparse=True, partial_pricing=4, partial_min_segment=1
+            ),
+        )
