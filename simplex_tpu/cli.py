@@ -113,12 +113,38 @@ def cmd_solve(args) -> int:
     with timer.phase("Solve"):
         if isinstance(loaded, GeneralLP):
             if args.algo == "pdhg":
-                print(
-                    "error: --algo pdhg requires a canonical-form input",
-                    file=sys.stderr,
+                # general route for the first-order mode: equality form with
+                # native box bounds — no feasible basis, no artificials
+                from simplex_tpu.fo import solve_pdhg
+                from simplex_tpu.io.canonical import to_equality_form
+
+                try:
+                    A_eq, b_eq, c_eq, u_eq = to_equality_form(loaded)
+                except NotImplementedError as exc:
+                    print(f"error: {exc}", file=sys.stderr)
+                    return 1
+                k = loaded.A.shape[1]
+                lower = (
+                    np.zeros(k)
+                    if loaded.lower is None
+                    else np.asarray(loaded.lower, np.float64)
                 )
-                return 1
-            res = solve_general(loaded, options=_options(args))
+                res = solve_pdhg(
+                    A_eq.astype(np.float32),
+                    b_eq.astype(np.float32),
+                    c_eq.astype(np.float32),
+                    u=u_eq.astype(np.float32),
+                    tol=args.pdhg_tol,
+                )
+                # undo the lower-bound shift: x = x_shift + lower, and the
+                # objective picks the constant c.lower back up
+                x_struct = res.x[:k] + lower
+                res = res._replace(
+                    z=res.z + float(np.asarray(loaded.c, np.float64) @ lower),
+                    x=x_struct,
+                )
+            else:
+                res = solve_general(loaded, options=_options(args))
         elif args.algo == "pdhg":
             from simplex_tpu.fo import solve_pdhg
 

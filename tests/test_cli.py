@@ -99,3 +99,22 @@ def test_analyze_subcommand():
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Optimum: 9" in r.stdout
     assert "dual y_i" in r.stdout and "delta-c_j" in r.stdout
+
+
+def test_solve_general_mps_with_pdhg():
+    """--algo pdhg on a general MPS (bounds + mixed rows): equality-form +
+    native box bounds route; objective must match the simplex route."""
+    mps = os.path.join(os.path.dirname(__file__), "data", "prod_bounded.mps")
+    r = run_cli("solve", mps, "--cpu", "--algo", "pdhg")
+    assert r.returncode == 0, r.stderr
+    line = [l for l in r.stdout.splitlines() if "Optimum found" in l][0]
+    assert abs(float(line.split(":")[1]) - 15.25) < 5e-3, line
+
+
+def test_analyze_reoptimize():
+    r = run_cli(
+        "analyze", SAMPLE, "--cpu", "--reoptimize", "0=+1,1=-2"
+    )
+    assert r.returncode == 0, r.stderr
+    assert "re-solve optimum: 6" in r.stdout
+    assert "warm pivots" in r.stdout
