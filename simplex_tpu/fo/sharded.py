@@ -44,12 +44,15 @@ def _setup_local(A_loc, b, c_loc, axis_name):
     m, n_loc = A_loc.shape
 
     def ruiz(_, carry):
+        # all-zero rows/cols scale by 1 (see fo.pdhg._ruiz_equilibrate: the
+        # old 1e-30 floor compounded into dr/dc and blew up b/dr)
         As, dr, dc = carry
-        r_loc = jnp.max(jnp.abs(As), axis=1)
-        r = jnp.sqrt(jnp.maximum(jax.lax.pmax(r_loc, axis_name), 1e-30))
+        mr = jax.lax.pmax(jnp.max(jnp.abs(As), axis=1), axis_name)
+        r = jnp.sqrt(jnp.where(mr > 0, mr, 1))
         As = As / r[:, None]
         dr = dr * r
-        c = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(As), axis=0), 1e-30))
+        mc = jnp.max(jnp.abs(As), axis=0)
+        c = jnp.sqrt(jnp.where(mc > 0, mc, 1))
         As = As / c[None, :]
         dc = dc * c
         return As, dr, dc
@@ -95,12 +98,18 @@ def _setup_local(A_loc, b, c_loc, axis_name):
 
 
 def _chunk_local(
-    As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state, max_iter,
+    As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us, state, max_iter,
     tol, check_every, windows, axis_name,
 ):
-    """Advance the sharded PDHG state by at most ``windows`` check windows."""
+    """Advance the sharded PDHG state by at most ``windows`` check windows.
+
+    ``us`` are the SCALED box upper bounds, column-sharded like cs (+inf
+    where unbounded): the projection clips to [0, us], finite-u columns
+    move from the dual residual into the dual objective (see fo.pdhg._kkt).
+    """
     dtype = As.dtype
     BETA = jnp.asarray(0.2, dtype)
+    finite_u = jnp.isfinite(us)
 
     def matvec(x_loc):
         return jax.lax.psum(
@@ -114,17 +123,23 @@ def _chunk_local(
         rp = jnp.max(jnp.abs(dr * (matvec(x_loc) - bs))) / b_scale
         red = cs - rmatvec(y)
         rd = (
-            jax.lax.pmax(jnp.max(dc * jnp.maximum(-red, 0)), axis_name)
+            jax.lax.pmax(
+                jnp.max(jnp.where(finite_u, 0, dc * jnp.maximum(-red, 0))),
+                axis_name,
+            )
             / c_scale
         )
         pobj = jax.lax.psum(jnp.dot(cs, x_loc, precision=_EXACT), axis_name)
-        dobj = jnp.dot(bs, y, precision=_EXACT)
+        dobj = jnp.dot(bs, y, precision=_EXACT) + jax.lax.psum(
+            jnp.sum(jnp.where(finite_u, us, 0) * jnp.minimum(red, 0)),
+            axis_name,
+        )
         gap = jnp.abs(pobj - dobj) / (1 + jnp.abs(pobj) + jnp.abs(dobj))
         return rp, rd, gap
 
     def inner(carry, _):
         x, y, sx, sy = carry
-        x1 = jnp.maximum(x - tau * (cs - rmatvec(y)), 0)
+        x1 = jnp.minimum(jnp.maximum(x - tau * (cs - rmatvec(y)), 0), us)
         y1 = y + sigma * (bs - matvec(2 * x1 - x))
         return (x1, y1, sx + x1, sy + y1), None
 
@@ -208,7 +223,7 @@ def _build_fns(mesh, axis_name, tol, check_every, windows):
             mesh=mesh,
             in_specs=(
                 P(None, axis_name), rep, xs, rep, xs, rep, rep, rep, rep,
-                state_specs, rep,
+                xs, state_specs, rep,
             ),
             out_specs=state_specs,
             check_vma=False,
@@ -223,12 +238,17 @@ def solve_pdhg_sharded(
     c,
     mesh: jax.sharding.Mesh,
     *,
+    u=None,
     tol: float = 1e-4,
     max_iter: int = 1_000_000,
     check_every: int = 128,
     axis_name: str = COLS_AXIS,
 ) -> PDHGResult:
-    """Distributed PDHG with A's columns sharded over ``mesh[axis_name]``."""
+    """Distributed PDHG with A's columns sharded over ``mesh[axis_name]``.
+
+    ``u`` (optional (n,), +inf = unbounded) adds native box bounds exactly
+    as in :func:`simplex_tpu.fo.pdhg.solve_pdhg` — the bound vector shards
+    with the columns, so bounds cost no extra collectives."""
     A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
@@ -236,6 +256,9 @@ def solve_pdhg_sharded(
     D = mesh.shape[axis_name]
     if n % D != 0:
         raise ValueError(f"n={n} not divisible by mesh axis size {D}")
+    u_np = np.full(n, np.inf) if u is None else np.asarray(u, np.float64)
+    if u is not None and np.any(u_np < 0):
+        raise ValueError("negative upper bound (shift lowers to 0 first)")
 
     # chunk budget sized like fo.pdhg: ~1e13 streamed bytes per device call
     iters_per_call = int(min(max(1e13 / (8 * m * n / D), check_every), 65536))
@@ -244,6 +267,8 @@ def solve_pdhg_sharded(
         mesh, axis_name, float(tol), int(check_every), int(windows)
     )
     As, dr, dc, bs, cs, tau, sigma, b_scale, c_scale = setup(A, b, c)
+    # scaled bounds: x = xs / dc => xs <= u * dc (inherits dc's sharding)
+    us = jnp.asarray(u_np, jnp.float32) * dc
 
     dt = jnp.float32
     inf = jnp.asarray(jnp.inf, dt)
@@ -254,7 +279,7 @@ def solve_pdhg_sharded(
     )
     while True:
         state = chunk(
-            As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, state,
+            As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us, state,
             jnp.int32(max_iter),
         )
         it = int(state[4])

@@ -257,3 +257,34 @@ def test_pdhg_bounded_not_unbounded():
     res = solve_pdhg(A, b, c, u=u, tol=1e-6, max_iter=400_000)
     assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
     assert abs(res.z - 10.0) < 1e-2
+
+
+def test_pdhg_sharded_native_bounds():
+    """The sharded solve with u must agree with the single-chip bounded
+    solve (bounds shard with the columns, zero extra collectives)."""
+    import jax
+
+    from simplex_tpu.dist.mesh import make_mesh
+    from simplex_tpu.fo.sharded import solve_pdhg_sharded
+
+    rng = np.random.default_rng(17)
+    m, k = 8, 24
+    A0 = rng.uniform(0.2, 1.5, (m, k))
+    A = np.hstack([A0, np.eye(m)]).astype(np.float32)
+    b = (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+        np.float32
+    )
+    c = np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(
+        np.float32
+    )
+    u = np.concatenate(
+        [rng.uniform(0.3, 1.0, k), np.full(m, np.inf)]
+    ).astype(np.float32)
+    single = solve_pdhg(A, b, c, u=u, tol=1e-6, max_iter=400_000,
+                        adaptive_weight=False)
+    assert single.status == SolveStatus.OPTIMAL
+    mesh = make_mesh(devices=jax.devices()[:8])
+    res = solve_pdhg_sharded(A, b, c, mesh, u=u, tol=1e-6, max_iter=400_000)
+    assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
+    assert relative_gap(res.z, single.z) < 1e-3
+    assert np.all(res.x <= np.asarray(u, np.float64) + 1e-4)
