@@ -176,6 +176,18 @@ class SimplexOptions:
     # at 1024x2048 on v5e), so on by default.
     fallback_shadow: bool = True
 
+    # Dual simplex (core/dual.py): bound-flipping ratio test (BFRT /
+    # "long step"). When the dual step passes the breakpoint of a FINITE-
+    # bound column, that column flips to its other bound instead of
+    # entering, and the walk continues while the dual objective still
+    # improves (slope |delta_r| minus the passed u_j |g_j| weights stays
+    # positive) — one pivot absorbs many bound flips, the classic win on
+    # bound-heavy (netlib-class) instances. Costs one n-sort per pivot and
+    # one O(mn)+O(m^2) matvec when flips actually happen; unbounded-column
+    # problems never flip (the test reduces to the classic rule exactly),
+    # and Bland anti-cycling mode disables it. False = single-break test.
+    dual_flip: bool = True
+
     # Checkpoint the solver state every K pivots into a host-side store
     # (0 = never). Used by simplex_tpu.core.checkpoint.
     checkpoint_every: int = 0

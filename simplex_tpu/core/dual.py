@@ -118,24 +118,61 @@ def dual_pivot_step(
         ~is_basic,
         jnp.where(at_up, g < -opts.pivot_tol, g > opts.pivot_tol),
     )
-    infeasible = jnp.logical_and(~feasible, ~jnp.any(elig))
     d_pos = jnp.maximum(jnp.where(at_up, -e, e), 0)  # clamp dual drift
     absg = jnp.abs(g)
     safe_g = jnp.where(elig, absg, 1)
     inf_ = jnp.asarray(jnp.inf, dtype)
     mu_all = jnp.where(elig, d_pos / safe_g, inf_)
-    # Harris-stabilized: pass 1 relaxes dual feasibility by eps_d, pass 2
-    # picks the largest |g| (most stable pivot) within the relaxed bound
-    mu_rel = jnp.where(elig, (d_pos + eps_d) / safe_g, inf_)
-    mu_max = jnp.min(mu_rel)
-    ok = jnp.logical_and(elig, mu_all <= mu_max)
-    p_harris = jnp.argmax(jnp.where(ok, absg, -inf_))
     # Bland: smallest eligible column index attaining the exact min ratio
     mu_min = jnp.min(mu_all)
     tie = mu_all == mu_min
     p_bland = jnp.argmax(jnp.logical_and(tie, elig))
-    p = jnp.where(use_bland, p_bland, p_harris).astype(jnp.int32)
-    mu = jnp.where(use_bland, mu_min, mu_all[p])
+
+    long_step = bounded and opts.dual_flip
+    if long_step:
+        # Bound-flipping ratio test (BFRT, the dual "long step"): walk the
+        # breakpoints mu_j in ascending order; passing a FINITE-bound
+        # column flips it to its other bound (no basis change) and reduces
+        # the dual-objective slope from |delta_r| by u_j |g_j|; the column
+        # where the slope would go nonpositive — or the first unbounded-
+        # column breakpoint (weight +inf) — enters. If the slope survives
+        # every eligible breakpoint, the dual is unbounded along this row
+        # even WITH all flips applied: primal INFEASIBLE.
+        slope0 = v[r]
+        u_all = prob.u.astype(dtype)
+        finite_u = jnp.isfinite(u_all)
+        u_safe = jnp.where(finite_u, u_all, 1)  # keep inf out of the product
+        weight = jnp.where(
+            elig, jnp.where(finite_u, u_safe * absg, inf_), 0
+        )
+        order = jnp.argsort(mu_all)  # eligible first (ineligible mu = inf)
+        csum = jnp.cumsum(weight[order])
+        crossed = csum >= slope0
+        found = jnp.any(crossed)
+        sel_k = jnp.argmax(crossed)
+        p_flip = order[sel_k].astype(jnp.int32)
+        flip_sorted = jnp.arange(n) < sel_k
+        flip_raw = (
+            jnp.zeros((n,), bool).at[order].set(flip_sorted)
+        )
+        flip_raw = jnp.logical_and(jnp.logical_and(flip_raw, elig), finite_u)
+        infeasible = jnp.logical_and(
+            ~feasible,
+            jnp.where(use_bland, ~jnp.any(elig), ~found),
+        )
+        p = jnp.where(use_bland, p_bland, p_flip).astype(jnp.int32)
+        mu = mu_all[p]
+    else:
+        infeasible = jnp.logical_and(~feasible, ~jnp.any(elig))
+        # Harris-stabilized single-break test: pass 1 relaxes dual
+        # feasibility by eps_d, pass 2 picks the largest |g| (most stable
+        # pivot) within the relaxed bound
+        mu_rel = jnp.where(elig, (d_pos + eps_d) / safe_g, inf_)
+        mu_max = jnp.min(mu_rel)
+        ok = jnp.logical_and(elig, mu_all <= mu_max)
+        p_harris = jnp.argmax(jnp.where(ok, absg, -inf_))
+        p = jnp.where(use_bland, p_bland, p_harris).astype(jnp.int32)
+        mu = jnp.where(use_bland, mu_min, mu_all[p])
 
     # ---- ftran + primal step ----
     A_p = backend.gather_column(prob.A, p).astype(dtype)
@@ -149,8 +186,33 @@ def dual_pivot_step(
 
     safe_ar = jnp.where(take, alpha_r, jnp.asarray(1, dtype))
     inv_ar = jnp.asarray(1, dtype) / safe_ar
+
+    if long_step:
+        # apply the bound flips the walk passed: x_b absorbs A @ dxN via
+        # one O(mn) + O(m^2) pass, skipped entirely when nothing flipped
+        flip_mask = jnp.logical_and(
+            flip_raw, jnp.logical_and(take, ~use_bland)
+        )
+        dxN = jnp.where(
+            flip_mask,
+            jnp.where(at_up, -u_safe, u_safe),
+            jnp.asarray(0, dtype),
+        ).astype(dtype)
+
+        def _apply_flips(xb):
+            return xb - state.B_inv @ jnp.matmul(
+                prob.A.astype(dtype), dxN, precision=_EXACT
+            )
+
+        x_b_base = jax.lax.cond(
+            jnp.any(flip_mask), _apply_flips, lambda xb: xb, state.x_b
+        )
+    else:
+        flip_mask = jnp.zeros((n,), bool)
+        x_b_base = state.x_b
+
     bound_r = jnp.where(sigma > 0, u_basic[r], jnp.asarray(0, dtype))
-    delta_r = state.x_b[r] - bound_r
+    delta_r = x_b_base[r] - bound_r
     t = jnp.where(take, delta_r * inv_ar, jnp.asarray(0, dtype))
 
     u_p = (
@@ -158,8 +220,10 @@ def dual_pivot_step(
         if bounded
         else jnp.asarray(jnp.inf, dtype)
     )
+    # the entering column's CURRENT bound value (after any flip it itself
+    # did NOT take — p is the crossing breakpoint, never in flip_mask)
     v_p = jnp.where(at_up[p], u_p, jnp.asarray(0, dtype))
-    x_b_new = (state.x_b - t * alpha).at[r].set(v_p + t)
+    x_b_new = (x_b_base - t * alpha).at[r].set(v_p + t)
 
     # ---- product-form update (identical algebra to the primal step) ----
     eta = (-alpha * inv_ar).at[r].set(inv_ar - 1)
@@ -171,7 +235,8 @@ def dual_pivot_step(
     lv = state.basis[r]
     basis_new = state.basis.at[r].set(p)
     if bounded:
-        at_upper_new = state.at_upper.at[p].set(False).at[lv].set(sigma > 0)
+        au = jnp.logical_xor(state.at_upper, flip_mask)  # long-step flips
+        at_upper_new = au.at[p].set(False).at[lv].set(sigma > 0)
     else:
         at_upper_new = None
 

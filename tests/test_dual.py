@@ -168,3 +168,86 @@ def test_cost_change_primal_warm_start_pairing():
     warm = solve(A, b, c2, basis0=cold.basis, options=OPTS)
     assert warm.status == SolveStatus.OPTIMAL
     assert relative_gap(warm.z, ref.z) < 1e-5
+
+
+def _bounded_instance(m, k, seed, tight=0.6):
+    """Sparse-ish bounded canonical LP where most columns have FINITE,
+    fairly tight upper bounds (the BFRT's designed workload)."""
+    rng = np.random.default_rng(seed)
+    A0 = rng.uniform(0.2, 1.5, (m, k))
+    A = np.hstack([A0, np.eye(m)]).astype(np.float32)
+    b = (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+        np.float32
+    )
+    c = np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(
+        np.float32
+    )
+    u = np.concatenate(
+        [rng.uniform(0.2, tight, k), np.full(m, np.inf)]
+    ).astype(np.float32)
+    return A, b, c, u
+
+
+def _oracle_bounded(A, b, c, u):
+    from scipy.optimize import linprog
+
+    r = linprog(
+        -np.asarray(c, np.float64),
+        A_eq=np.asarray(A, np.float64),
+        b_eq=np.asarray(b, np.float64),
+        bounds=[(0, float(ui) if np.isfinite(ui) else None) for ui in u],
+        method="highs",
+    )
+    return (-r.fun, r.status) if r.status == 0 else (None, r.status)
+
+
+def test_bound_flip_ratio_test_matches_oracle_and_saves_pivots():
+    """The long-step (BFRT) dual: same optimum, and on bound-heavy
+    instances no more total pivots than the single-break rule (each long
+    step absorbs what the classic rule spends whole pivots on)."""
+    total_flip = total_classic = 0
+    for seed in (3, 4, 5):
+        A, b, c, u = _bounded_instance(10, 28, seed)
+        cold = solve(A, b, c, u=u, options=OPTS)
+        assert cold.status == SolveStatus.OPTIMAL
+        rng = np.random.default_rng(seed + 50)
+        b2 = (
+            np.asarray(b, np.float64)
+            * (1 + 0.5 * rng.uniform(-1, 1, b.shape))
+        ).astype(np.float32)
+        z_ref, st = _oracle_bounded(A, b2, c, u)
+        if st != 0:
+            continue
+        w_flip = solve_dual(
+            A, b2, c, basis0=cold.basis, u=u, at_upper0=cold.at_upper,
+            options=OPTS,
+        )
+        w_classic = solve_dual(
+            A, b2, c, basis0=cold.basis, u=u, at_upper0=cold.at_upper,
+            options=SimplexOptions(refactor_every=64, dual_flip=False),
+        )
+        assert w_flip.status == w_classic.status == SolveStatus.OPTIMAL
+        assert relative_gap(w_flip.z, z_ref) < 1e-4, seed
+        assert relative_gap(w_classic.z, z_ref) < 1e-4, seed
+        total_flip += w_flip.iters
+        total_classic += w_classic.iters
+    assert total_flip <= total_classic, (total_flip, total_classic)
+
+
+def test_bound_flip_infeasible_with_flips():
+    """BFRT infeasibility: all eligible columns are bounded and flipping
+    every one still leaves infeasibility -> INFEASIBLE (the dual ray
+    includes the flips)."""
+    # x1 + x2 + s = b with x1,x2 <= 1, s >= 0: b = -0.5 is infeasible even
+    # after flips (sum of bounded nonnegatives can't go negative)
+    A = np.array([[1.0, 1.0, 1.0]], np.float32)
+    b = np.array([2.5], np.float32)
+    c = np.array([-1.0, -2.0, 0.0], np.float32)
+    u = np.array([1.0, 1.0, np.inf], np.float32)
+    cold = solve(A, b, c, u=u, options=OPTS)
+    assert cold.status == SolveStatus.OPTIMAL
+    warm = solve_dual(
+        A, np.array([-0.5], np.float32), c, basis0=cold.basis, u=u,
+        at_upper0=cold.at_upper, options=OPTS,
+    )
+    assert warm.status == SolveStatus.INFEASIBLE
