@@ -29,6 +29,10 @@ def __getattr__(name):
         from simplex_tpu.batch.vmapped import solve_batched
 
         return solve_batched
+    if name == "reoptimize_batched":
+        from simplex_tpu.batch.vmapped import reoptimize_batched
+
+        return reoptimize_batched
     if name == "solve_sharded":
         from simplex_tpu.dist.sharded import solve_sharded
 
@@ -97,6 +101,7 @@ __all__ = [
     "save_lp",
     "ranging",
     "reoptimize",
+    "reoptimize_batched",
     "solve",
     "solve_dual",
     "solve_batched",

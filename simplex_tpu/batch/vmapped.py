@@ -45,18 +45,55 @@ class BatchSolveResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "max_iter"))
-def _solve_batch_jit(As, bs, cs, opts: SimplexOptions, max_iter: int):
+def _solve_batch_jit(As, bs, cs, opts: SimplexOptions, max_iter: int, u=None):
     dtype = opts.dtype
 
     def one(A, b, c):
-        prob = Problem(A.astype(dtype), b.astype(dtype), c.astype(dtype))
+        prob = Problem(
+            A.astype(dtype), b.astype(dtype), c.astype(dtype),
+            u=None if u is None else u.astype(dtype),
+        )
         prob = with_pricing_shadow(prob, opts.pricing_dtype, opts.pricing)
         state0 = initial_state_slack(prob, dtype, opts.pricing, opts.update_defer)
         final = solve_state(prob, state0, opts, max_iter)
         z = jnp.dot(final.c_b, final.x_b)
+        if u is not None:
+            from simplex_tpu.core.state import nonbasic_upper_values
+
+            x_N = nonbasic_upper_values(prob, final.at_upper, dtype)
+            z = z + jnp.dot(prob.c, x_N)
         return z, final.x_b, final.basis, final.status, final.iters
 
     return jax.vmap(one)(As, bs, cs)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _reopt_batch_jit(
+    A, bs_new, c, basis0, opts: SimplexOptions, max_iter, u=None,
+    at_upper0=None,
+):
+    """vmap of the dual-then-primal warm solve over a batch of RHS vectors.
+
+    A / c / basis0 (and bounds) are SHARED: under vmap the per-instance
+    GEMVs batch into MXU matmuls, so re-pricing B scenarios costs about
+    one pricing pass of a B-row matmul — the 'serving' shape (thousands of
+    what-if RHS scenarios against one planning model).
+    """
+    from simplex_tpu.core.dual import _warm_jit
+
+    def one(b):
+        final = _warm_jit(A, b, c, basis0, opts, max_iter, u, at_upper0)
+        z = jnp.dot(final.c_b, final.x_b)
+        if u is not None:
+            from simplex_tpu.core.state import nonbasic_upper_values
+
+            prob_u = Problem(A, b, c, u=u.astype(opts.dtype))
+            x_N = nonbasic_upper_values(prob_u, final.at_upper, opts.dtype)
+            z = z + jnp.dot(c.astype(opts.dtype), x_N)
+        feas = jnp.maximum(-jnp.min(final.x_b), 0)
+        return z, final.x_b, final.basis, final.status, final.iters, feas
+
+    return jax.vmap(one)(bs_new)
 
 
 def solve_batched(
@@ -64,6 +101,7 @@ def solve_batched(
     bs,
     cs,
     *,
+    u=None,
     options: SimplexOptions = DEFAULT_OPTIONS,
     mesh: Optional[jax.sharding.Mesh] = None,
     batch_axis: str = "batch",
@@ -71,7 +109,9 @@ def solve_batched(
     """Solve a stack of same-shape LPs: As (B, m, n), bs (B, m), cs (B, n).
 
     All LPs must use the canonical trailing slack basis. With ``mesh``, the
-    batch dimension is sharded across the mesh's ``batch_axis``.
+    batch dimension is sharded across the mesh's ``batch_axis``. ``u``
+    (optional (n,), shared across the batch — the scenario pattern) runs
+    every instance under the native bounded-variable rule.
     """
     As = jnp.asarray(As)
     bs = jnp.asarray(bs)
@@ -89,8 +129,99 @@ def solve_batched(
         bs = shard(bs, P(batch_axis, None))
         cs = shard(cs, P(batch_axis, None))
     max_iter = options.resolve_max_iter(m, n)
+    u_arr = None
+    if u is not None:
+        u_np = np.asarray(u, np.float64)
+        if np.any(u_np < 0):
+            raise ValueError("negative upper bound (shift lowers to 0 first)")
+        if options.pricing in ("devex", "steepest"):
+            raise NotImplementedError(
+                f"pricing='{options.pricing}' is not supported with native "
+                "bounds yet; use dantzig"
+            )
+        u_arr = jnp.asarray(u_np, options.dtype)
     z, x_b, basis, status, iters = jax.device_get(
-        _solve_batch_jit(As, bs, cs, options, max_iter)
+        _solve_batch_jit(As, bs, cs, options, max_iter, u_arr)
+    )
+    return BatchSolveResult(
+        z=np.asarray(z),
+        x_b=np.asarray(x_b),
+        basis=np.asarray(basis),
+        status=np.asarray(status),
+        iters=np.asarray(iters),
+    )
+
+
+def reoptimize_batched(
+    A,
+    bs_new,
+    c,
+    prev,
+    *,
+    u=None,
+    options: SimplexOptions = DEFAULT_OPTIONS,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    batch_axis: str = "batch",
+) -> BatchSolveResult:
+    """Warm re-solve MANY RHS scenarios from one prior optimal basis.
+
+    ``bs_new`` is (B, m); ``prev`` is the SolveResult of the original
+    solve (or a bare (m,) basis array). Each scenario runs the dual
+    simplex from the shared dual-feasible basis, then the primal loop
+    certifies optimality — all inside ONE vmapped executable, so the
+    per-scenario GEMVs batch onto the MXU. This is the production-serving
+    pattern the single-LP :func:`simplex_tpu.analysis.reoptimize` serves
+    interactively. With ``mesh``, scenarios shard across chips (pure DP).
+
+    Entry dual feasibility is checked once on the host (shared basis).
+    Statuses are per-scenario (INFEASIBLE scenarios don't poison the
+    batch). No f64 polish — z comes from the device solve; use the
+    single-LP path for audited final numbers.
+    """
+    from simplex_tpu.core.dual import _entry_dual_feasibility
+
+    A = jnp.asarray(A)
+    bs_new = jnp.asarray(bs_new)
+    c = jnp.asarray(c)
+    m, n = A.shape
+    if bs_new.ndim != 2 or bs_new.shape[1] != m:
+        raise ValueError(f"bs_new must be (B, {m}), got {bs_new.shape}")
+    basis0 = np.asarray(getattr(prev, "basis", prev), np.int32)
+    at_upper0 = getattr(prev, "at_upper", None)
+    tol = 10 * options.resolve_eps()
+    min_e = _entry_dual_feasibility(
+        A, c, basis0, at_upper0 if u is not None else None, u, options
+    )
+    if min_e < -tol:
+        raise ValueError(
+            f"entry basis is not dual-feasible (min signed reduced cost "
+            f"{min_e:.3g} < {-tol:.3g}); reoptimize_batched requires the "
+            "basis of a prior OPTIMAL solve of the same (A, c)"
+        )
+    if mesh is not None:
+        P = jax.sharding.PartitionSpec
+
+        bs_new = jax.device_put(
+            bs_new, jax.sharding.NamedSharding(mesh, P(batch_axis, None))
+        )
+    import dataclasses as _dc
+
+    exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
+    max_iter = options.resolve_max_iter(m, n)
+    u_arr = None
+    at_up_arr = None
+    if u is not None:
+        u_arr = jnp.asarray(u, options.dtype)
+        at_up_arr = (
+            jnp.zeros(n, bool)
+            if at_upper0 is None
+            else jnp.asarray(at_upper0, bool)
+        )
+    z, x_b, basis, status, iters, _feas = jax.device_get(
+        _reopt_batch_jit(
+            A, bs_new, c, jnp.asarray(basis0), exec_options, max_iter,
+            u_arr, at_up_arr,
+        )
     )
     return BatchSolveResult(
         z=np.asarray(z),

@@ -70,3 +70,38 @@ def test_batched_refactor_path():
         assert res.status[i] == SolveStatus.OPTIMAL
         ref = solve_scipy(As[i], bs[i], cs[i])
         assert relative_gap(float(res.z[i]), ref.z) < 1e-5
+
+
+def test_batched_native_bounds():
+    """Shared box bounds across the batch (the scenario pattern): every
+    instance must match its own single-LP bounded solve."""
+    import numpy as np
+
+    from simplex_tpu import SimplexOptions, SolveStatus, solve
+    from simplex_tpu.batch.vmapped import solve_batched
+
+    rng = np.random.default_rng(23)
+    B, m, k = 4, 6, 14
+    u = np.concatenate(
+        [rng.uniform(0.3, 1.0, k), np.full(m, np.inf)]
+    ).astype(np.float32)
+    As, bs, cs = [], [], []
+    for i in range(B):
+        A0 = rng.uniform(0.2, 1.5, (m, k))
+        As.append(np.hstack([A0, np.eye(m)]).astype(np.float32))
+        bs.append(
+            (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+                np.float32
+            )
+        )
+        cs.append(
+            np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(
+                np.float32
+            )
+        )
+    As, bs, cs = np.stack(As), np.stack(bs), np.stack(cs)
+    res = solve_batched(As, bs, cs, u=u)
+    for i in range(B):
+        single = solve(As[i], bs[i], cs[i], u=u)
+        assert SolveStatus(int(res.status[i])) == single.status, i
+        assert abs(float(res.z[i]) - single.z) < 1e-3 * (1 + abs(single.z)), i

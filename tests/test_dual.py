@@ -251,3 +251,44 @@ def test_bound_flip_infeasible_with_flips():
         at_upper0=cold.at_upper, options=OPTS,
     )
     assert warm.status == SolveStatus.INFEASIBLE
+
+
+def test_reoptimize_batched_serving():
+    """The serving pattern: many what-if RHS scenarios re-solved from ONE
+    prior basis inside one vmapped executable; each must match its own
+    oracle, and an infeasible scenario must not poison the batch."""
+    from simplex_tpu.batch.vmapped import reoptimize_batched
+
+    A, b, c = random_dense_lp(12, 30, seed=31)
+    cold = solve(A, b, c, options=OPTS)
+    rng = np.random.default_rng(9)
+    B = 8
+    bs2 = np.stack(
+        [
+            np.asarray(b, np.float64)
+            * (1 + 0.2 * rng.uniform(-1, 1, b.shape))
+            for _ in range(B)
+        ]
+    ).astype(np.float32)
+    res = reoptimize_batched(A, bs2, c, cold, options=OPTS)
+    for i in range(B):
+        ref = solve_scipy(A, bs2[i], c)
+        assert SolveStatus(int(res.status[i])) == ref.status, i
+        if ref.status == SolveStatus.OPTIMAL:
+            assert relative_gap(float(res.z[i]), ref.z) < 1e-4, i
+
+
+def test_reoptimize_batched_mixed_statuses():
+    # scenario 1 feasible, scenario 2 infeasible (negative RHS on an
+    # all-positive row): statuses must be per-scenario
+    A = np.array([[1.0, 1.0, 1.0]], np.float32)
+    b = np.array([5.0], np.float32)
+    c = np.array([-1.0, -2.0, 0.0], np.float32)
+    cold = solve(A, b, c, options=OPTS)
+    from simplex_tpu.batch.vmapped import reoptimize_batched
+
+    bs2 = np.array([[3.0], [-1.0]], np.float32)
+    res = reoptimize_batched(A, bs2, c, cold, options=OPTS)
+    assert SolveStatus(int(res.status[0])) == SolveStatus.OPTIMAL
+    assert SolveStatus(int(res.status[1])) == SolveStatus.INFEASIBLE
+    assert abs(float(res.z[0]) - 0.0) < 1e-5  # origin optimal for c <= 0
