@@ -118,6 +118,13 @@ def dual_pivot_step(
         ~is_basic,
         jnp.where(at_up, g < -opts.pivot_tol, g > opts.pivot_tol),
     )
+    if bounded:
+        # FIXED columns (u_j == 0, e.g. artificials pinned out of a warm
+        # general-form re-solve) place no constraint on the duals — their
+        # reduced cost may take any sign — so they are never eligible.
+        # Excluding them keeps the no-eligible => INFEASIBLE conclusion a
+        # true Farkas statement over the real columns.
+        elig = jnp.logical_and(elig, prob.u > 0)
     d_pos = jnp.maximum(jnp.where(at_up, -e, e), 0)  # clamp dual drift
     absg = jnp.abs(g)
     safe_g = jnp.where(elig, absg, 1)

@@ -47,6 +47,19 @@ class GeneralLP(NamedTuple):
     upper: Optional[np.ndarray] = None  # (k,) default +inf
 
 
+class GeneralWarmStart(NamedTuple):
+    """Opaque warm-start token for :func:`solve_general` (RHS re-solves).
+
+    Lives in the STANDARDIZED column space, so it also pins the row flips
+    the original standardization chose (they depend on sign(b), and a
+    changed b must re-standardize with the SAME flips or the slack columns
+    change sign and the stored basis stops being dual-feasible)."""
+
+    basis: np.ndarray  # (m,) standardized-space basis of the optimal point
+    at_upper: Optional[np.ndarray]  # (n_std,) or None
+    flips: np.ndarray  # (m,) +-1 row normalization of the original solve
+
+
 class GeneralSolveResult(NamedTuple):
     z: float
     x: np.ndarray  # (k,) structural variables only
@@ -56,6 +69,11 @@ class GeneralSolveResult(NamedTuple):
     # dual values for the ORIGINAL rows (maximization sense; sign-corrected
     # for rows the standardization negated). None on non-OPTIMAL exits.
     y: Optional[np.ndarray] = None
+    # warm-start token for RHS re-solves (OPTIMAL exits only): pass a
+    # GeneralLP with a new b (same A / c / row_types / bounds) to
+    # solve_general(..., warm=result.warm) and the dual simplex re-solves
+    # from this basis instead of running phase 1 + phase 2 cold.
+    warm: Optional[GeneralWarmStart] = None
 
 
 def _preprocess_bounds(lp: GeneralLP):
@@ -173,7 +191,7 @@ def _preprocess_bounds(lp: GeneralLP):
     return lp2, recover, z_const
 
 
-def _standardize(lp: GeneralLP):
+def _standardize(lp: GeneralLP, flips_override=None):
     """Equality form with slacks/surpluses and artificial columns.
 
     Returns (A_std, b_std, c_std (phase-2 costs), k_struct, n_real,
@@ -181,6 +199,11 @@ def _standardize(lp: GeneralLP):
     ``u_std`` is the native upper-bound vector over ALL standardized
     columns (structural residual uppers from ``lp.upper``; slacks and
     artificials unbounded) or None when every upper is infinite.
+
+    ``flips_override`` (warm restarts) reproduces a PREVIOUS solve's row
+    normalization instead of deriving it from sign(b): the standardized
+    column layout (slack signs, artificial rows) must match the stored
+    basis exactly, and the dual warm start doesn't need b >= 0 anyway.
     """
     A = np.asarray(lp.A, np.float64)
     b = np.asarray(lp.b, np.float64).copy()
@@ -197,7 +220,12 @@ def _standardize(lp: GeneralLP):
         t = t.upper()
         if t not in ("L", "G", "E"):
             raise ValueError(f"bad row type {t!r}")
-        if b[i] < 0:
+        do_flip = (
+            flips_override[i] < 0
+            if flips_override is not None
+            else b[i] < 0
+        )
+        if do_flip:
             A[i] *= -1
             b[i] *= -1
             t = {"L": "G", "G": "L", "E": "E"}[t]
@@ -293,12 +321,19 @@ def solve_general(
     *,
     options: SimplexOptions = DEFAULT_OPTIONS,
     phase2_artificial_cost: Optional[float] = None,
+    warm: Optional[GeneralWarmStart] = None,
 ) -> GeneralSolveResult:
     """Solve a general-form LP by two-phase simplex on the device solver.
 
     Variable bounds (``lp.lower``/``lp.upper``) are honored: the LP is first
     rewritten over x' >= 0 by :func:`_preprocess_bounds` and the solution
     mapped back, so a bound-violating point can never be reported OPTIMAL.
+
+    ``warm`` (the ``warm`` field of a prior OPTIMAL result on the same
+    A / c / row_types / bounds with a different b) skips phase 1 entirely:
+    the standardization reproduces the original row flips, and the dual
+    simplex re-solves from the stored basis — the general-form face of
+    :func:`simplex_tpu.analysis.reoptimize`.
     """
     m_orig, k_orig = np.asarray(lp.A).shape
     lp, recover, z_const = _preprocess_bounds(lp)
@@ -307,14 +342,33 @@ def solve_general(
             z=float("nan"), x=np.zeros(k_orig), status=SolveStatus.INFEASIBLE,
             iters=0, phase1_iters=0,
         )
-    A_std, b, c, k, n_real, art_cols, basis1, flips, u_std = _standardize(lp)
+    A_std, b, c, k, n_real, art_cols, basis1, flips, u_std = _standardize(
+        lp,
+        flips_override=(
+            np.asarray(warm.flips) if warm is not None else None
+        ),
+    )
     m, n = A_std.shape
     art_set = set(art_cols.tolist())
 
     p1_iters = 0
     basis = basis1
     at_upper = None  # threaded through phases when u_std is not None
-    if len(art_cols) > 0:
+    warm_first = warm is not None
+    if warm_first:
+        basis = np.asarray(warm.basis, np.int32)
+        if basis.shape != (m,) or int(basis.max(initial=0)) >= n:
+            raise ValueError(
+                "warm token does not match this instance's standardized "
+                f"shape (basis {basis.shape}, max {basis.max(initial=0)} "
+                f"vs m={m}, n={n}) — the warm path requires the same "
+                "A / c / row_types / bounds, only b may change"
+            )
+        if warm.at_upper is not None:
+            at_upper = np.asarray(warm.at_upper, bool)
+        elif u_std is not None:
+            at_upper = np.zeros(n, bool)
+    elif len(art_cols) > 0:
         # Phase 1: max -(sum of artificials)
         c1 = np.zeros(n)
         c1[art_cols] = -1.0
@@ -355,7 +409,7 @@ def solve_general(
         big = -1e4 * max(1.0, float(np.abs(c).max()))
     iters2 = 0
     art_tol = 1e-5 * max(1.0, float(np.abs(b).max()))
-    for _ in range(3):
+    for attempt in range(3):
         # recompute the pinned set from the CURRENT basis each retry: an
         # artificial ejected by a degenerate pivot and re-entering elsewhere
         # must get the escalated penalty, or escalation can never fix it
@@ -367,10 +421,43 @@ def solve_general(
             c2[art_cols] = big
             if len(pinned) > 0:
                 c2[pinned] = 0.0
-        r2 = solve(
-            A_std, b, c2, basis0=basis, u=u_std, at_upper0=at_upper,
-            options=options,
-        )
+        if warm_first and attempt == 0:
+            # RHS warm restart: the stored basis is dual-feasible for c2
+            # (it was optimal for the same costs) but primal-infeasible
+            # under the new b — exactly the dual simplex's entry contract.
+            # Nonbasic artificials are FIXED at 0 (upper bound 0): the dual
+            # loop then proves infeasibility over the REAL columns instead
+            # of parking residual on a big-M artificial. Escalation retries
+            # (below) start from ITS basis, which is primal-feasible, so
+            # they use the primal loop as usual.
+            from simplex_tpu.core.dual import solve_dual
+
+            u_warm = u_std
+            at_up_warm = at_upper
+            free_arts = [a for a in art_cols.tolist() if a not in
+                         set(np.asarray(basis).tolist())]
+            if free_arts:
+                u_warm = (
+                    np.full(n, np.inf) if u_std is None else u_std.copy()
+                )
+                u_warm[np.asarray(free_arts)] = 0.0
+                if at_up_warm is None:
+                    at_up_warm = np.zeros(n, bool)
+            r2 = solve_dual(
+                A_std, b, c2, basis0=basis, u=u_warm, at_upper0=at_up_warm,
+                options=options,
+            )
+            if r2.status == SolveStatus.INFEASIBLE:
+                return GeneralSolveResult(
+                    z=float("nan"), x=np.zeros(k_orig),
+                    status=SolveStatus.INFEASIBLE, iters=r2.iters,
+                    phase1_iters=0,
+                )
+        else:
+            r2 = solve(
+                A_std, b, c2, basis0=basis, u=u_std, at_upper0=at_upper,
+                options=options,
+            )
         iters2 += r2.iters
         # an artificial re-entering at a nonzero value means the penalty was
         # too small for this problem's duals: the "solution" would violate
@@ -398,9 +485,18 @@ def solve_general(
     # flipped back for rows the b>=0 normalization negated. Column
     # transforms (shift/reflect/split) do not change row duals.
     y = None
+    warm_out = None
     if status == SolveStatus.OPTIMAL and r2.y is not None:
         y = np.asarray(r2.y[: len(flips)], np.float64) * flips
         y = y[:m_orig]
+    if status == SolveStatus.OPTIMAL:
+        warm_out = GeneralWarmStart(
+            basis=np.asarray(r2.basis, np.int32),
+            at_upper=(
+                None if r2.at_upper is None else np.asarray(r2.at_upper, bool)
+            ),
+            flips=np.asarray(flips),
+        )
     return GeneralSolveResult(
         z=z,
         x=x,
@@ -408,4 +504,5 @@ def solve_general(
         iters=p1_iters + iters2,
         phase1_iters=p1_iters,
         y=y,
+        warm=warm_out,
     )

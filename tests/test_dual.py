@@ -292,3 +292,66 @@ def test_reoptimize_batched_mixed_statuses():
     assert SolveStatus(int(res.status[0])) == SolveStatus.OPTIMAL
     assert SolveStatus(int(res.status[1])) == SolveStatus.INFEASIBLE
     assert abs(float(res.z[0]) - 0.0) < 1e-5  # origin optimal for c <= 0
+
+
+def test_solve_general_warm_restart():
+    """General-form (MPS-class) warm restarts: the warm token skips
+    phase 1 entirely and the dual loop re-solves the standardized system
+    from the stored basis; matches HiGHS on the perturbed instance."""
+    from simplex_tpu.core.twophase import solve_general
+    from simplex_tpu.oracle.generator import multiperiod_production_lp
+    from simplex_tpu.oracle.reference import solve_scipy_general
+
+    lp = multiperiod_production_lp(4, 3, seed=5)  # E rows + L rows + bounds
+    cold = solve_general(lp, options=OPTS)
+    assert cold.status == SolveStatus.OPTIMAL
+    assert cold.warm is not None
+    rng = np.random.default_rng(41)
+    b2 = lp.b * (1 + 0.1 * rng.uniform(-1, 1, lp.b.shape))
+    lp2 = lp._replace(b=b2)
+    ref = solve_scipy_general(lp2)
+    assert ref.status == SolveStatus.OPTIMAL
+    cold2 = solve_general(lp2, options=OPTS)
+    warm2 = solve_general(lp2, options=OPTS, warm=cold.warm)
+    assert warm2.status == SolveStatus.OPTIMAL
+    assert relative_gap(warm2.z, ref.z) < 1e-4
+    assert warm2.phase1_iters == 0
+    # the whole point: no phase-1 work and fewer total pivots
+    assert warm2.iters < cold2.iters, (warm2.iters, cold2.iters)
+
+
+def test_solve_general_warm_restart_sign_flip():
+    """A b that crosses zero changes which rows the COLD standardization
+    would flip; the warm token pins the original flips so the stored basis
+    stays valid."""
+    from simplex_tpu.core.twophase import GeneralLP, solve_general
+    from simplex_tpu.oracle.reference import solve_scipy_general
+
+    A = np.array([[1.0, 1.0], [1.0, -2.0]])
+    b = np.array([4.0, 1.0])
+    c = np.array([-1.0, -2.0])
+    lp = GeneralLP(A=A, b=b, c=c, row_types=["L", "L"])
+    cold = solve_general(lp, options=OPTS)
+    assert cold.status == SolveStatus.OPTIMAL
+    lp2 = lp._replace(b=np.array([4.0, -1.0]))  # row 2's sign flips
+    ref = solve_scipy_general(lp2)
+    warm = solve_general(lp2, options=OPTS, warm=cold.warm)
+    assert warm.status == ref.status == SolveStatus.OPTIMAL
+    assert relative_gap(warm.z, ref.z) < 1e-5
+
+
+def test_solve_general_warm_infeasible():
+    from simplex_tpu.core.twophase import GeneralLP, solve_general
+
+    A = np.array([[1.0, 1.0]])
+    lp = GeneralLP(
+        A=A, b=np.array([2.0]), c=np.array([-1.0, -1.0]),
+        row_types=["E"], upper=np.array([1.5, 1.5]),
+        lower=np.zeros(2),
+    )
+    cold = solve_general(lp, options=OPTS)
+    assert cold.status == SolveStatus.OPTIMAL
+    warm = solve_general(
+        lp._replace(b=np.array([4.0])), options=OPTS, warm=cold.warm
+    )  # x1+x2 = 4 impossible with u = 1.5 each
+    assert warm.status == SolveStatus.INFEASIBLE
