@@ -228,12 +228,39 @@ def cmd_analyze(args) -> int:
 
     loaded, c0, maximize = _load(args.input, args.mps)
     if isinstance(loaded, GeneralLP):
-        print(
-            "error: analyze requires a canonical-form input (general MPS "
-            "routes report duals via solve_general's y field)",
-            file=sys.stderr,
-        )
-        return 1
+        # general route: duals from solve_general; RHS/cost RANGES need the
+        # canonical basis machinery and are not derived here, but warm
+        # re-solves work through the GeneralWarmStart token
+        from simplex_tpu.core.twophase import solve_general
+
+        res = solve_general(loaded, options=_options(args))
+        if res.status != SolveStatus.OPTIMAL:
+            print(res.status.describe())
+            return 2
+        sgn = 1.0 if maximize else -1.0
+        print(f"Optimum: {sgn * res.z + c0:g}  ({res.iters} pivots)")
+        print("\nrow  dual y_i  (general route: ranging not available)")
+        for i, yi in enumerate(res.y):
+            print(f"{i:>3}  {sgn * yi:>10.6g}")
+        if args.reoptimize:
+            db = np.zeros(len(loaded.b), np.float64)
+            try:
+                for part in args.reoptimize.split(","):
+                    i_s, d_s = part.split("=")
+                    db[int(i_s)] = float(d_s)
+            except (ValueError, IndexError) as exc:
+                print(f"error: bad --reoptimize spec: {exc}", file=sys.stderr)
+                return 1
+            lp2 = loaded._replace(b=np.asarray(loaded.b, np.float64) + db)
+            warm = solve_general(lp2, options=_options(args), warm=res.warm)
+            if warm.status != SolveStatus.OPTIMAL:
+                print(f"\nre-solve: {warm.status.describe()}")
+                return 2
+            print(
+                f"\nre-solve optimum: {sgn * warm.z + c0:g}  "
+                f"({warm.iters} warm pivots, 0 phase-1, vs {res.iters} cold)"
+            )
+        return 0
     A, b, c, basis0 = loaded
     res = solve(A, b, c, basis0=basis0, options=_options(args))
     if res.status != SolveStatus.OPTIMAL:

@@ -118,3 +118,12 @@ def test_analyze_reoptimize():
     assert r.returncode == 0, r.stderr
     assert "re-solve optimum: 6" in r.stdout
     assert "warm pivots" in r.stdout
+
+
+def test_analyze_general_mps_with_reoptimize():
+    mps = os.path.join(os.path.dirname(__file__), "data", "prod_bounded.mps")
+    r = run_cli("analyze", mps, "--cpu", "--reoptimize", "0=+0.5")
+    assert r.returncode == 0, r.stderr
+    assert "dual y_i" in r.stdout
+    assert "re-solve optimum" in r.stdout
+    assert "0 phase-1" in r.stdout
