@@ -60,7 +60,7 @@ def main() -> None:
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     ap.add_argument(
         "--mode", default="single",
-        choices=["single", "batch", "full", "parity", "pdhg", "general"],
+        choices=["single", "batch", "full", "parity", "pdhg", "general", "reopt"],
         help="single = one large LP, fixed pivot budget (the headline); "
              "batch = vmap-batched independent small LPs; full = solve one "
              "large LP to OPTIMAL and report time-to-optimal (with the "
@@ -114,6 +114,9 @@ def main() -> None:
         return
     if args.mode == "general":
         bench_general(args)
+        return
+    if args.mode == "reopt":
+        bench_reopt(args)
         return
 
     m, n, k = args.m, args.n, args.pivots
@@ -487,6 +490,77 @@ def _bench_pdhg_sparse(args) -> None:
     }
     if gap is not None:
         record["obj_rel_gap_vs_highs"] = float(f"{gap:.3e}")
+    print(json.dumps(record))
+
+
+def bench_reopt(args) -> None:
+    """Serving throughput: what-if RHS scenarios warm re-solved per second.
+
+    One --m x --n LP is solved cold once; then --batch perturbed RHS
+    vectors re-solve from its basis via the vmapped dual+primal warm loop
+    (batch.vmapped.reoptimize_batched). The metric is scenarios/sec over
+    the timed warm call; a sample of scenario objectives is oracle-checked
+    unless --no-oracle."""
+    import jax
+
+    from simplex_tpu.batch.vmapped import reoptimize_batched
+    from simplex_tpu.config import SimplexOptions
+    from simplex_tpu.core.solver import solve
+    from simplex_tpu.oracle.generator import random_dense_lp
+
+    m, n, B = args.m, args.n, args.batch
+    log(f"devices: {jax.devices()}")
+    log(f"cold solve of the base LP {m}x{n}...")
+    A, b, c = random_dense_lp(m, n, seed=0, dtype=np.float32)
+    opts = SimplexOptions(refactor_every=256)
+    cold = solve(A, b, c, options=opts)
+    log(f"cold: status={cold.status.name} iters={cold.iters}")
+    rng = np.random.default_rng(1)
+    bs2 = (
+        np.asarray(b, np.float64)[None, :]
+        * (1 + 0.05 * rng.uniform(-1, 1, (B, m)))
+    ).astype(np.float32)
+    log(f"warm re-solving {B} scenarios (compile + warmup)...")
+    t0 = time.time()
+    res = reoptimize_batched(A, bs2, c, cold, options=opts)
+    log(f"warmup: {time.time()-t0:.1f}s")
+    # timed run on a fresh perturbation set (tunnel memoizes identical calls)
+    bs3 = (
+        np.asarray(b, np.float64)[None, :]
+        * (1 + 0.05 * rng.uniform(-1, 1, (B, m)))
+    ).astype(np.float32)
+    t0 = time.time()
+    res = reoptimize_batched(A, bs3, c, cold, options=opts)
+    dt = time.time() - t0
+    sps = B / dt if dt > 0 else float("nan")
+    n_opt = int((res.status == 1).sum())
+    log(
+        f"{B} scenarios in {dt:.2f}s -> {sps:.0f} scenarios/s "
+        f"({n_opt} OPTIMAL, max pivots {int(res.iters.max())}, "
+        f"mean {float(res.iters.mean()):.1f})"
+    )
+    gap = None
+    if not args.no_oracle:
+        from simplex_tpu.oracle.reference import relative_gap, solve_scipy
+
+        worst = 0.0
+        for i in range(0, B, max(1, B // 8))[:8] if B >= 8 else range(B):
+            ref = solve_scipy(A, bs3[i], c)
+            if ref.z is not None:
+                worst = max(worst, relative_gap(float(res.z[i]), ref.z))
+        gap = worst
+        log(f"worst sampled objective rel_gap vs HiGHS: {gap:.3e}")
+    record = {
+        "metric": f"warm_rhs_scenarios_per_sec_{m}x{n}_batch{B}_fp32",
+        "value": round(sps, 1),
+        "unit": "scenarios/sec",
+        # baseline: the reference re-solves every scenario cold from
+        # scratch, one process per LP — no warm path exists there at all
+        "vs_baseline": None,
+        "mean_pivots": round(float(res.iters.mean()), 1),
+    }
+    if gap is not None:
+        record["worst_sampled_rel_gap_vs_highs"] = float(f"{gap:.3e}")
     print(json.dumps(record))
 
 
