@@ -97,6 +97,67 @@ def _setup_local(A_loc, b, c_loc, axis_name):
     return As, dr, dc, bs, cs, eta / w0, eta * w0, b_scale, c_scale
 
 
+def _setup_local_sp(tiles, rows, cols, b, c_loc, axis_name, m, n_loc):
+    """Distributed Ruiz + power iteration over a BLOCK-SPARSE column shard.
+
+    Mirrors :func:`_setup_local` with every pass over stored tiles only;
+    returns the SCALED tiles (rows/cols are re-supplied to the chunk)."""
+    from simplex_tpu import sparse as bsp
+
+    dtype = jnp.float32
+    ones_m = jnp.ones(m, dtype)
+    ones_n = jnp.ones(n_loc, dtype)
+
+    def mk(t):
+        return bsp.BlockSparse(t, rows, cols, (m, n_loc))
+
+    def ruiz(_, carry):
+        t, dr, dc = carry
+        Mc = mk(t)
+        mr = jax.lax.pmax(bsp.row_absmax(Mc), axis_name)
+        r = jnp.sqrt(jnp.where(mr > 0, mr, 1))
+        Mc = bsp.scale(Mc, 1 / r, ones_n)
+        dr = dr * r
+        mc = bsp.col_absmax(Mc)
+        c = jnp.sqrt(jnp.where(mc > 0, mc, 1))
+        Mc = bsp.scale(Mc, ones_m, 1 / c)
+        dc = dc * c
+        return Mc.tiles, dr, dc
+
+    tiles_s, dr, dc = jax.lax.fori_loop(
+        0, 10, ruiz, (tiles.astype(dtype), ones_m, ones_n)
+    )
+    Ms = mk(tiles_s)
+    bs = b.astype(dtype) / dr
+    cs = (-c_loc.astype(dtype)) / dc  # minimization form
+
+    def matvec(x_loc):
+        return jax.lax.psum(bsp.matvec(Ms, x_loc), axis_name)
+
+    def power(_, v_loc):
+        w = matvec(v_loc)
+        v = bsp.rmatvec(Ms, w)
+        nv = jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis_name))
+        return v / jnp.maximum(nv, 1e-30)
+
+    col0 = jax.lax.axis_index(axis_name).astype(dtype) * n_loc
+    v0 = col0 + jnp.arange(1, n_loc + 1, dtype=dtype)
+    nv0 = jnp.sqrt(jax.lax.psum(jnp.sum(v0 * v0), axis_name))
+    v0 = v0 / nv0
+    v = jax.lax.fori_loop(0, 30, power, v0)
+    nrm = jnp.maximum(
+        jnp.linalg.norm(matvec(v)),
+        jax.lax.pmax(bsp.absmax(Ms), axis_name),
+    )
+
+    cs_norm = jnp.sqrt(jax.lax.psum(jnp.sum(cs * cs), axis_name))
+    w0 = jnp.sqrt((cs_norm + 1e-6) / (jnp.linalg.norm(bs) + 1e-6))
+    eta = jnp.asarray(0.9, dtype) / jnp.maximum(nrm, 1e-30)
+    b_scale = 1 + jnp.max(jnp.abs(b.astype(dtype)))
+    c_scale = 1 + jax.lax.pmax(jnp.max(jnp.abs(c_loc.astype(dtype))), axis_name)
+    return tiles_s, dr, dc, bs, cs, eta / w0, eta * w0, b_scale, c_scale
+
+
 def _chunk_local(
     As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us, state, max_iter,
     tol, check_every, windows, axis_name,
@@ -107,9 +168,6 @@ def _chunk_local(
     where unbounded): the projection clips to [0, us], finite-u columns
     move from the dual residual into the dual objective (see fo.pdhg._kkt).
     """
-    dtype = As.dtype
-    BETA = jnp.asarray(0.2, dtype)
-    finite_u = jnp.isfinite(us)
 
     def matvec(x_loc):
         return jax.lax.psum(
@@ -118,6 +176,42 @@ def _chunk_local(
 
     def rmatvec(y):
         return jnp.matmul(y, As, precision=_EXACT)
+
+    return _chunk_core(
+        matvec, rmatvec, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us,
+        state, max_iter, tol, check_every, windows, axis_name,
+    )
+
+
+def _chunk_local_sp(
+    tiles, rows, cols, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us,
+    state, max_iter, tol, check_every, windows, axis_name, m, n_loc,
+):
+    """Block-sparse variant: the shard's tiles (scaled by the setup) stand
+    in for the dense A_loc; matvec/rmatvec run over stored tiles only."""
+    from simplex_tpu import sparse as bsp
+
+    Ms = bsp.BlockSparse(tiles, rows, cols, (m, n_loc))
+
+    def matvec(x_loc):
+        return jax.lax.psum(bsp.matvec(Ms, x_loc), axis_name)
+
+    def rmatvec(y):
+        return bsp.rmatvec(Ms, y)
+
+    return _chunk_core(
+        matvec, rmatvec, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us,
+        state, max_iter, tol, check_every, windows, axis_name,
+    )
+
+
+def _chunk_core(
+    matvec, rmatvec, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us,
+    state, max_iter, tol, check_every, windows, axis_name,
+):
+    dtype = bs.dtype
+    BETA = jnp.asarray(0.2, dtype)
+    finite_u = jnp.isfinite(us)
 
     def kkt(x_loc, y):
         rp = jnp.max(jnp.abs(dr * (matvec(x_loc) - bs))) / b_scale
@@ -232,6 +326,49 @@ def _build_fns(mesh, axis_name, tol, check_every, windows):
     return setup, chunk
 
 
+@functools.lru_cache(maxsize=16)
+def _build_fns_sp(mesh, axis_name, tol, check_every, windows, m, n_loc):
+    """Cached jitted setup + chunk for the BLOCK-SPARSE layout: each
+    shard's (T, br, bc) tile slab shards along its leading axis."""
+    xs = P(axis_name)
+    rep = P()
+    ts = P(axis_name, None, None)  # (D*T, br, bc) -> (T, br, bc) per shard
+
+    setup = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                _setup_local_sp, axis_name=axis_name, m=m, n_loc=n_loc
+            ),
+            mesh=mesh,
+            in_specs=(ts, xs, xs, P(None), xs),
+            out_specs=(ts, rep, xs, rep, xs, rep, rep, rep, rep),
+            check_vma=False,
+        )
+    )
+    state_specs = (xs, rep, rep, rep, rep, xs, rep, rep, rep, rep, rep)
+    chunk = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                _chunk_local_sp,
+                tol=tol,
+                check_every=check_every,
+                windows=windows,
+                axis_name=axis_name,
+                m=m,
+                n_loc=n_loc,
+            ),
+            mesh=mesh,
+            in_specs=(
+                ts, xs, xs, rep, xs, rep, xs, rep, rep, rep, rep,
+                xs, state_specs, rep,
+            ),
+            out_specs=state_specs,
+            check_vma=False,
+        )
+    )
+    return setup, chunk
+
+
 def solve_pdhg_sharded(
     A,
     b,
@@ -248,8 +385,17 @@ def solve_pdhg_sharded(
 
     ``u`` (optional (n,), +inf = unbounded) adds native box bounds exactly
     as in :func:`simplex_tpu.fo.pdhg.solve_pdhg` — the bound vector shards
-    with the columns, so bounds cost no extra collectives."""
-    A = jnp.asarray(A)
+    with the columns, so bounds cost no extra collectives.
+
+    ``A`` may be a :class:`simplex_tpu.sparse.BlockSparse`: its tiles are
+    partitioned by column range across the mesh (``sparse.shard_columns``)
+    and every pass runs over stored tiles only — per-chip memory becomes
+    the shard's TILES, the layout for huge sparse instances."""
+    from simplex_tpu import sparse as bsp
+
+    is_sparse = isinstance(A, bsp.BlockSparse)
+    if not is_sparse:
+        A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
@@ -260,13 +406,36 @@ def solve_pdhg_sharded(
     if u is not None and np.any(u_np < 0):
         raise ValueError("negative upper bound (shift lowers to 0 first)")
 
-    # chunk budget sized like fo.pdhg: ~1e13 streamed bytes per device call
-    iters_per_call = int(min(max(1e13 / (8 * m * n / D), check_every), 65536))
-    windows = max(1, iters_per_call // check_every)
-    setup, chunk = _build_fns(
-        mesh, axis_name, float(tol), int(check_every), int(windows)
-    )
-    As, dr, dc, bs, cs, tau, sigma, b_scale, c_scale = setup(A, b, c)
+    if is_sparse:
+        t_st, r_st, c_st, n_loc = bsp.shard_columns(A, D)
+        Dn, T, br, bc = t_st.shape
+        tiles_flat = t_st.reshape(Dn * T, br, bc)
+        rows_flat = r_st.reshape(-1)
+        cols_flat = c_st.reshape(-1)
+        # per-chip bytes per iteration = the shard's stored tiles
+        iters_per_call = int(
+            min(max(1e13 / (8 * T * br * bc), check_every), 65536)
+        )
+        windows = max(1, iters_per_call // check_every)
+        setup, chunk = _build_fns_sp(
+            mesh, axis_name, float(tol), int(check_every), int(windows),
+            int(m), int(n_loc),
+        )
+        tiles_s, dr, dc, bs, cs, tau, sigma, b_scale, c_scale = setup(
+            tiles_flat, rows_flat, cols_flat, b, c
+        )
+        A_args = (tiles_s, rows_flat, cols_flat)
+    else:
+        # chunk budget sized like fo.pdhg: ~1e13 streamed bytes per call
+        iters_per_call = int(
+            min(max(1e13 / (8 * m * n / D), check_every), 65536)
+        )
+        windows = max(1, iters_per_call // check_every)
+        setup, chunk = _build_fns(
+            mesh, axis_name, float(tol), int(check_every), int(windows)
+        )
+        As, dr, dc, bs, cs, tau, sigma, b_scale, c_scale = setup(A, b, c)
+        A_args = (As,)
     # scaled bounds: x = xs / dc => xs <= u * dc (inherits dc's sharding)
     us = jnp.asarray(u_np, jnp.float32) * dc
 
@@ -279,7 +448,7 @@ def solve_pdhg_sharded(
     )
     while True:
         state = chunk(
-            As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us, state,
+            *A_args, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us, state,
             jnp.int32(max_iter),
         )
         it = int(state[4])

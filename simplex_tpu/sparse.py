@@ -223,3 +223,48 @@ def scale(M: BlockSparse, r, c) -> BlockSparse:
     ct = cp.reshape(gc, bc)[M.cols]  # (T, bc)
     tiles = M.tiles * rt[:, :, None].astype(M.dtype) * ct[:, None, :].astype(M.dtype)
     return BlockSparse(tiles, M.rows, M.cols, M.shape)
+
+
+def shard_columns(M: BlockSparse, n_shards: int):
+    """Partition a BlockSparse by COLUMN range into ``n_shards`` equal
+    shards for ``shard_map`` (the distributed PDHG layout).
+
+    Returns ``(tiles, rows, cols, n_loc)`` where ``tiles`` is
+    (D, T_max, br, bc) — each shard's tile list padded with zero tiles to
+    the max count (static shapes across shards) — ``rows``/``cols`` are
+    (D, T_max) int32 with ``cols`` LOCAL to the shard, and ``n_loc`` the
+    logical columns per shard. Tiles must not straddle shard boundaries:
+    n must divide by n_shards and the shard width by the tile width.
+    """
+    m, n = M.shape
+    br, bc = M.block_shape
+    if n % n_shards != 0:
+        raise ValueError(f"n={n} not divisible by {n_shards} shards")
+    n_loc = n // n_shards
+    if n_loc % bc != 0:
+        raise ValueError(
+            f"shard width {n_loc} not divisible by tile width {bc}; "
+            "rebuild with a block_shape whose bc divides n/D"
+        )
+    tps = n_loc // bc  # column tiles per shard
+    cols = np.asarray(M.cols)
+    rows = np.asarray(M.rows)
+    tiles = np.asarray(M.tiles)
+    shard_of = cols // tps
+    T_max = max(1, int(np.bincount(shard_of, minlength=n_shards).max()))
+    gr = -(-m // br)
+    out_t = np.zeros((n_shards, T_max, br, bc), tiles.dtype)
+    out_r = np.zeros((n_shards, T_max), np.int32)
+    out_c = np.zeros((n_shards, T_max), np.int32)
+    for d in range(n_shards):
+        sel = shard_of == d
+        k = int(sel.sum())
+        out_t[d, :k] = tiles[sel]
+        out_r[d, :k] = rows[sel]
+        out_c[d, :k] = cols[sel] - d * tps
+    return (
+        jnp.asarray(out_t),
+        jnp.asarray(out_r),
+        jnp.asarray(out_c),
+        n_loc,
+    )
