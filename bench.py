@@ -440,7 +440,8 @@ def _bench_pdhg_sparse(args) -> None:
     P = 32
     T = max(2, args.m // (P + 1))
     lp = multiperiod_production_lp(T, P, seed=0)
-    A, b, c, u = to_equality_form(lp)
+    eq = to_equality_form(lp)
+    A, b, c, u = eq.A, eq.b, eq.c, eq.u
     A = A.astype(np.float32)
     b, c, u = b.astype(np.float32), c.astype(np.float32), u.astype(np.float32)
     M = bsp.from_dense(A, block_shape=(128, 128))

@@ -55,7 +55,8 @@ def main() -> None:
 
     # --- sparse + bounded first-order mode on a netlib-class instance ---
     lp = multiperiod_production_lp(16, 8, seed=1)  # 144 rows, 384 bounded
-    A_eq, b_eq, c_eq, u_eq = to_equality_form(lp)
+    eq = to_equality_form(lp)
+    A_eq, b_eq, c_eq, u_eq = eq.A, eq.b, eq.c, eq.u
     M = bsp.from_dense(A_eq.astype(np.float32), block_shape=(64, 64))
     print(
         f"\nmultiperiod {A_eq.shape[0]}x{A_eq.shape[1]}: "

@@ -119,29 +119,22 @@ def cmd_solve(args) -> int:
                 from simplex_tpu.io.canonical import to_equality_form
 
                 try:
-                    A_eq, b_eq, c_eq, u_eq = to_equality_form(loaded)
-                except NotImplementedError as exc:
+                    eq = to_equality_form(loaded)
+                except ValueError as exc:
                     print(f"error: {exc}", file=sys.stderr)
                     return 1
-                k = loaded.A.shape[1]
-                lower = (
-                    np.zeros(k)
-                    if loaded.lower is None
-                    else np.asarray(loaded.lower, np.float64)
-                )
                 res = solve_pdhg(
-                    A_eq.astype(np.float32),
-                    b_eq.astype(np.float32),
-                    c_eq.astype(np.float32),
-                    u=u_eq.astype(np.float32),
+                    eq.A.astype(np.float32),
+                    eq.b.astype(np.float32),
+                    eq.c.astype(np.float32),
+                    u=eq.u.astype(np.float32),
                     tol=args.pdhg_tol,
                 )
-                # undo the lower-bound shift: x = x_shift + lower, and the
-                # objective picks the constant c.lower back up
-                x_struct = res.x[:k] + lower
+                # map back to the caller's variables (undo shift/reflect/
+                # split) and restore the objective constant
                 res = res._replace(
-                    z=res.z + float(np.asarray(loaded.c, np.float64) @ lower),
-                    x=x_struct,
+                    z=res.z + eq.z_const,
+                    x=eq.recover(res.x[: eq.k_transformed]),
                 )
             else:
                 res = solve_general(loaded, options=_options(args))

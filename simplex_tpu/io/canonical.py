@@ -90,45 +90,55 @@ def pad_rows(
     return A2, b2, c2, basis0
 
 
-def to_equality_form(lp) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """GeneralLP -> (A, b, c, u) in box-bounded equality form:
+class EqualityForm(NamedTuple):
+    """Box-bounded equality form of a GeneralLP (the first-order entry
+    format):  max c.x  s.t.  A x = b,  0 <= x <= u.
 
-        max c.x  s.t.  A x = b,  0 <= x <= u   (u_j = +inf when unbounded)
+    ``recover`` maps the k2 TRANSFORMED structural variables (the first k2
+    columns of A, before the slack block) back to the caller's original
+    variables; ``z_const`` satisfies  z_original = z_transformed + z_const
+    (nonzero when lower bounds were shifted / reflected / substituted)."""
 
-    L rows gain a +slack column, G rows a -surplus column (both unbounded
-    above), E rows gain nothing. Nonzero variable LOWER bounds are shifted
-    to 0 (b absorbs A @ lower; the caller's objective picks up the constant
-    c . lower — returned z values are in SHIFTED units, add c.lower back).
+    A: np.ndarray
+    b: np.ndarray
+    c: np.ndarray
+    u: np.ndarray
+    k_transformed: int  # structural (pre-slack) columns of A
+    recover: object  # callable (k_transformed,) -> original (k,)
+    z_const: float
+
+
+def to_equality_form(lp) -> EqualityForm:
+    """GeneralLP -> box-bounded equality form (see :class:`EqualityForm`).
+
+    Handles the FULL bound vocabulary by the same shift / reflect / split
+    rewriting as the two-phase route (``twophase._preprocess_bounds``):
+    shifted lowers, finite uppers (kept as native box bounds), free-below
+    columns (reflected), fully free columns (split into x+ - x-), and
+    fixed columns (substituted out). L rows then gain a +slack column,
+    G rows a -surplus column (both unbounded above), E rows nothing.
     This is the entry format of the first-order mode (``solve_pdhg`` with
-    ``u=``), which needs no feasible basis and no artificials — unlike the
-    simplex route, where twophase.py owns the standardization.
+    ``u=``), which needs no feasible basis and no artificials.
 
-    Raises on lower == -inf columns (free variables need a split the
-    first-order mode does not use yet).
+    Raises ``ValueError`` on a trivially infeasible bound pair (lo > up).
     """
-    A = np.asarray(lp.A, np.float64)
-    b = np.asarray(lp.b, np.float64).copy()
-    c = np.asarray(lp.c, np.float64)
-    m, k = A.shape
-    lower = (
-        np.zeros(k)
-        if getattr(lp, "lower", None) is None
-        else np.asarray(lp.lower, np.float64)
-    )
+    from simplex_tpu.core.twophase import GeneralLP, _preprocess_bounds
+
+    if not isinstance(lp, GeneralLP):
+        lp = GeneralLP(*lp)
+    lp2, recover, z_const = _preprocess_bounds(lp)
+    if lp2 is None:
+        raise ValueError("infeasible bounds: some lower exceeds its upper")
+    A = np.asarray(lp2.A, np.float64)
+    b = np.asarray(lp2.b, np.float64)
+    c = np.asarray(lp2.c, np.float64)
+    m, k2 = A.shape
     upper = (
-        np.full(k, np.inf)
-        if getattr(lp, "upper", None) is None
-        else np.asarray(lp.upper, np.float64)
+        np.full(k2, np.inf)
+        if lp2.upper is None
+        else np.asarray(lp2.upper, np.float64)
     )
-    if np.any(~np.isfinite(lower)):
-        raise NotImplementedError(
-            "free (lower == -inf) variables are not supported by "
-            "to_equality_form; split them or use the two-phase route"
-        )
-    if np.any(lower != 0):
-        b = b - A @ lower
-        upper = upper - lower  # shifted bounds; z is in shifted units
-    types = [t.upper() for t in lp.row_types]
+    types = [t.upper() for t in lp2.row_types]
     aug = [i for i, t in enumerate(types) if t in ("L", "G")]
     S = np.zeros((m, len(aug)))
     for j, i in enumerate(aug):
@@ -136,4 +146,7 @@ def to_equality_form(lp) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray
     A_eq = np.concatenate([A, S], axis=1)
     c_eq = np.concatenate([c, np.zeros(len(aug))])
     u_eq = np.concatenate([upper, np.full(len(aug), np.inf)])
-    return A_eq, b, c_eq, u_eq
+    return EqualityForm(
+        A=A_eq, b=b, c=c_eq, u=u_eq, k_transformed=k2, recover=recover,
+        z_const=float(z_const),
+    )

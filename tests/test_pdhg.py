@@ -288,3 +288,38 @@ def test_pdhg_sharded_native_bounds():
     assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
     assert relative_gap(res.z, single.z) < 1e-3
     assert np.all(res.x <= np.asarray(u, np.float64) + 1e-4)
+
+
+def test_pdhg_general_route_free_variables():
+    """to_equality_form handles the full bound vocabulary (free columns
+    split, free-below reflected, fixed substituted): a general LP with a
+    FREE variable routes through the first-order mode and matches HiGHS."""
+    from simplex_tpu.core.twophase import GeneralLP
+    from simplex_tpu.io.canonical import to_equality_form
+    from simplex_tpu.oracle.reference import solve_scipy_general
+
+    # max 2 x0 + x1, x0 free, 0 <= x1 <= 2;  x0 + x1 <= 3; x0 >= -1 via row
+    # (distinct costs: a unique vertex optimum, so x is comparable — a
+    # first-order method returns face interiors when optima tie)
+    lp = GeneralLP(
+        A=np.array([[1.0, 1.0], [1.0, 0.0]]),
+        b=np.array([3.0, -1.0]),
+        c=np.array([2.0, 1.0]),
+        row_types=["L", "G"],
+        lower=np.array([-np.inf, 0.0]),
+        upper=np.array([np.inf, 2.0]),
+    )
+    ref = solve_scipy_general(lp)
+    assert ref.status == SolveStatus.OPTIMAL
+    eq = to_equality_form(lp)
+    res = solve_pdhg(
+        eq.A.astype(np.float32), eq.b.astype(np.float32),
+        eq.c.astype(np.float32), u=eq.u.astype(np.float32), tol=1e-6,
+        max_iter=400_000,
+    )
+    assert res.status == SolveStatus.OPTIMAL, (res.status, res.iters)
+    z = res.z + eq.z_const
+    assert relative_gap(z, ref.z) < 1e-3
+    x = eq.recover(res.x[: eq.k_transformed])
+    assert x.shape == (2,)
+    np.testing.assert_allclose(x, ref.x, atol=2e-2)
