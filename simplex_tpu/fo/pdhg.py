@@ -419,6 +419,40 @@ def _cert_metrics(A, b, cmin, xhat, yhat, u):
     return viol_p, obj_p, viol_d, obj_d
 
 
+def _polish_primal_ray(A, d, fixed, iters: int = 8):
+    """Clean a candidate recession direction in f64: alternate projections
+    onto null(A) (least-squares via the normal equations) and onto the
+    recession cone (d >= 0, zero on finite-u columns).
+
+    A divergent fp32 iterate carries O(1e-4) relative noise — often above
+    ``cert_tol`` — while the TRUE ray it approximates is exact; a few
+    alternating projections recover it. Dense host path only (skipped for
+    big/sparse A: the candidates are then used as-is).
+    """
+    if isinstance(A, bsp.BlockSparse):
+        m, n = A.shape
+        if m * n > (1 << 24):
+            return d
+        A64 = np.asarray(A.to_dense(), np.float64)
+    else:
+        A64 = np.asarray(A, np.float64)
+        if A64.size > (1 << 24):
+            return d
+    G = A64 @ A64.T + 1e-12 * np.eye(A64.shape[0])
+    for _ in range(iters):
+        try:
+            w = np.linalg.solve(G, A64 @ d)
+        except np.linalg.LinAlgError:
+            return d
+        d = d - A64.T @ w
+        d = np.where(fixed, 0.0, np.maximum(d, 0.0))
+        nd = float(np.max(np.abs(d)))
+        if nd <= 0:
+            return d
+        d = d / nd
+    return d
+
+
 def _certify(A, b, cmin, x, y, xr, yr, b_scale, c_scale, cert_tol, u):
     """Exit-time infeasibility detection from the divergent iterate ray.
 
@@ -462,18 +496,21 @@ def _certify(A, b, cmin, x, y, xr, yr, b_scale, c_scale, cert_tol, u):
         )
         if obj_d > 1e-8 * b_sc and viol_d <= cert_tol * obj_d:
             return SolveStatus.INFEASIBLE, None, ray
+    fixed = ~free
     for cand in (dx, np.where(free, np.maximum(x, 0), 0)):
-        ray, ok = unit(cand)
+        raw, ok = unit(cand)
         if not ok:
             continue
-        viol_p, obj_p, _vd, _od = map(
-            float,
-            _cert_metrics(
-                A, b, cmin, ray, jnp.zeros_like(jnp.asarray(y)), u_dev
-            ),
-        )
-        if -obj_p > 1e-8 * c_sc and viol_p <= cert_tol * (-obj_p):
-            return SolveStatus.UNBOUNDED, ray, None
+        for ray in (raw, _polish_primal_ray(A, raw, fixed)):
+            viol_p, obj_p, _vd, _od = map(
+                float,
+                _cert_metrics(
+                    A, b, cmin, jnp.asarray(ray), jnp.zeros_like(jnp.asarray(y)),
+                    u_dev,
+                ),
+            )
+            if -obj_p > 1e-8 * c_sc and viol_p <= cert_tol * (-obj_p):
+                return SolveStatus.UNBOUNDED, ray, None
     return None, None, None
 
 

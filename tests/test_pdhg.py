@@ -323,3 +323,35 @@ def test_pdhg_general_route_free_variables():
     x = eq.recover(res.x[: eq.k_transformed])
     assert x.shape == (2,)
     np.testing.assert_allclose(x, ref.x, atol=2e-2)
+
+
+def test_pdhg_unbounded_free_variable_mps_certified():
+    """Regression: a divergent fp32 iterate carries ~1e-4 ray noise, above
+    cert_tol — the f64 alternating-projection polish (null(A) ∩ cone) must
+    recover the exact ray and certify UNBOUNDED (was SINGULAR)."""
+    import os
+
+    from simplex_tpu.core.twophase import GeneralLP
+    from simplex_tpu.io.canonical import to_equality_form
+    from simplex_tpu.io.mps import read_mps
+
+    prob = read_mps(
+        os.path.join(os.path.dirname(__file__), "data", "freevar_mi.mps")
+    )
+    c = prob.c if prob.maximize else -prob.c
+    lp = GeneralLP(
+        A=prob.A, b=prob.b, c=c, row_types=prob.row_types,
+        lower=prob.lower, upper=prob.upper,
+    )
+    eq = to_equality_form(lp)
+    res = solve_pdhg(
+        eq.A.astype(np.float32), eq.b.astype(np.float32),
+        eq.c.astype(np.float32), u=eq.u.astype(np.float32),
+        tol=1e-6, max_iter=60_000,
+    )
+    assert res.status == SolveStatus.UNBOUNDED, (res.status, res.iters)
+    d = res.ray_primal
+    A64 = np.asarray(eq.A, np.float64)
+    cd = float(-np.asarray(-eq.c, np.float64) @ d)  # c.d in max sense
+    assert cd > 0
+    assert np.max(np.abs(A64 @ d)) <= 1e-5 * cd
