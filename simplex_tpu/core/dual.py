@@ -396,21 +396,43 @@ def _warm_jit(
 
 
 def _entry_dual_feasibility(A, c, basis_arr, at_upper0, u, opts) -> float:
-    """min signed reduced cost over nonbasic columns for the entry basis
-    (exact f64 on host; one O(mn) pass). >= -tol means dual-feasible."""
-    A64 = np.asarray(A, np.float64)
-    c64 = np.asarray(c, np.float64)
+    """min signed reduced cost over nonbasic columns for the entry basis.
+    >= -tol means dual-feasible.
+
+    Exact f64 on the host up to m=2048; beyond that the O(m^3) single-core
+    solve would dominate a warm restart's latency, so the check runs on
+    device in fp32 (Newton-Schulz inverse — the solver's own refactorize
+    machinery; the caller's tolerance is fp32-scaled anyway)."""
     basis_np = np.asarray(basis_arr, np.int64)
-    try:
-        y = np.linalg.solve(A64[:, basis_np].T, c64[basis_np])
-    except np.linalg.LinAlgError:
-        return -np.inf  # singular entry basis: let the caller reject
-    e = y @ A64 - c64
+    m = len(basis_np)
+    if m <= 2048:
+        A64 = np.asarray(A, np.float64)
+        c64 = np.asarray(c, np.float64)
+        try:
+            y = np.linalg.solve(A64[:, basis_np].T, c64[basis_np])
+        except np.linalg.LinAlgError:
+            return -np.inf  # singular entry basis: let the caller reject
+        e = y @ A64 - c64
+        if at_upper0 is not None:
+            e = np.where(np.asarray(at_upper0, bool), -e, e)
+        nonbasic = np.ones(A64.shape[1], bool)
+        nonbasic[basis_np] = False
+        return float(np.min(e[nonbasic])) if nonbasic.any() else 0.0
+    from simplex_tpu.core.linalg import inverse_newton
+
+    Aj = jnp.asarray(A, jnp.float32)
+    B = jnp.take(Aj, jnp.asarray(basis_np, jnp.int32), axis=1)
+    B_inv, resid = inverse_newton(B)
+    if not np.isfinite(float(resid)) or float(resid) > 1e-2:
+        return -np.inf
+    cj = jnp.asarray(c, jnp.float32)
+    y = jnp.matmul(jnp.take(cj, jnp.asarray(basis_np, jnp.int32)), B_inv,
+                   precision=_EXACT)
+    e = jnp.matmul(y, Aj, precision=_EXACT) - cj
     if at_upper0 is not None:
-        e = np.where(np.asarray(at_upper0, bool), -e, e)
-    nonbasic = np.ones(A64.shape[1], bool)
-    nonbasic[basis_np] = False
-    return float(np.min(e[nonbasic])) if nonbasic.any() else 0.0
+        e = jnp.where(jnp.asarray(at_upper0, bool), -e, e)
+    e = e.at[jnp.asarray(basis_np, jnp.int32)].set(jnp.inf)
+    return float(jnp.min(e))
 
 
 def solve_dual(
