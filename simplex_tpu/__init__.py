@@ -57,6 +57,10 @@ def __getattr__(name):
         from simplex_tpu.fo import solve_pdhg
 
         return solve_pdhg
+    if name == "crossover":
+        from simplex_tpu.fo.crossover import crossover
+
+        return crossover
     if name == "ranging":
         from simplex_tpu.analysis import ranging
 
@@ -88,6 +92,7 @@ __version__ = "0.2.0"
 __all__ = [
     "BlockSparse",
     "DEFAULT_OPTIONS",
+    "crossover",
     "GeneralLP",
     "read_mps",
     "Problem",

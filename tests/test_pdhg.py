@@ -355,3 +355,58 @@ def test_pdhg_unbounded_free_variable_mps_certified():
     cd = float(-np.asarray(-eq.c, np.float64) @ d)  # c.d in max sense
     assert cd > 0
     assert np.max(np.abs(A64 @ d)) <= 1e-5 * cd
+
+
+def test_crossover_purifies_to_vertex():
+    """PDHG at moderate tolerance + crossover = exact vertex at simplex
+    parity, in far fewer pivots than a cold simplex solve."""
+    from simplex_tpu.fo.crossover import crossover
+
+    A, b, c = random_dense_lp(32, 80, seed=2)
+    ref = solve_scipy(A, b, c)
+    fo = solve_pdhg(A, b, c, tol=1e-5)
+    assert fo.status == SolveStatus.OPTIMAL
+    from simplex_tpu import SimplexOptions
+    from simplex_tpu.core.solver import solve
+
+    opts = SimplexOptions(refactor_every=64)
+    cold = solve(A, b, c, options=opts)
+    res = crossover(A, b, c, fo, options=opts)
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-6  # vertex-exact after polish
+    assert res.feas_err < 1e-4
+    # the crossover's cleanup should be much shorter than the cold solve
+    assert res.iters <= max(4, cold.iters // 2), (res.iters, cold.iters)
+
+
+def test_crossover_bounded():
+    from scipy.optimize import linprog
+
+    from simplex_tpu.fo.crossover import crossover
+
+    rng = np.random.default_rng(33)
+    m, k = 10, 24
+    A0 = rng.uniform(0.2, 1.5, (m, k))
+    A = np.hstack([A0, np.eye(m)]).astype(np.float32)
+    b = (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+        np.float32
+    )
+    c = np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(
+        np.float32
+    )
+    u = np.concatenate(
+        [rng.uniform(0.3, 1.0, k), np.full(m, np.inf)]
+    ).astype(np.float32)
+    r = linprog(
+        -np.asarray(c, np.float64), A_eq=np.asarray(A, np.float64),
+        b_eq=np.asarray(b, np.float64),
+        bounds=[(0, float(ui) if np.isfinite(ui) else None) for ui in u],
+        method="highs",
+    )
+    assert r.status == 0
+    fo = solve_pdhg(A, b, c, u=u, tol=1e-5, max_iter=600_000)
+    assert fo.status == SolveStatus.OPTIMAL
+    res = crossover(A, b, c, fo, u=u)
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, -r.fun) < 1e-5
+    assert res.feas_err < 1e-4
