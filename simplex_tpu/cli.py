@@ -130,11 +130,25 @@ def cmd_solve(args) -> int:
                     u=eq.u.astype(np.float32),
                     tol=args.pdhg_tol,
                 )
+                from simplex_tpu.status import SolveStatus as _SS
+
+                if args.crossover and res.status == _SS.OPTIMAL:
+                    from simplex_tpu.fo.crossover import crossover
+
+                    vert = crossover(
+                        eq.A.astype(np.float32), eq.b.astype(np.float32),
+                        eq.c.astype(np.float32), res,
+                        u=eq.u.astype(np.float32), options=_options(args),
+                    )
+                    res = res._replace(
+                        z=vert.z, x=vert.x, status=vert.status,
+                        iters=res.iters + vert.iters,
+                    )
                 # map back to the caller's variables (undo shift/reflect/
                 # split) and restore the objective constant
                 res = res._replace(
                     z=res.z + eq.z_const,
-                    x=eq.recover(res.x[: eq.k_transformed]),
+                    x=eq.recover(np.asarray(res.x)[: eq.k_transformed]),
                 )
             else:
                 res = solve_general(loaded, options=_options(args))
@@ -143,6 +157,14 @@ def cmd_solve(args) -> int:
 
             A, b, c, _basis0 = loaded
             res = solve_pdhg(A, b, c, tol=args.pdhg_tol)
+            if args.crossover and res.status == SolveStatus.OPTIMAL:
+                from simplex_tpu.fo.crossover import crossover
+
+                vert = crossover(A, b, c, res, options=_options(args))
+                res = res._replace(
+                    z=vert.z, x=vert.x, status=vert.status,
+                    iters=res.iters + vert.iters,
+                )
         else:
             A, b, c, basis0 = loaded
             res = solve(A, b, c, basis0=basis0, options=_options(args))
@@ -383,6 +405,11 @@ def main(argv=None) -> int:
     ps.add_argument(
         "--pdhg-tol", type=float, default=1e-4,
         help="relative KKT tolerance for --algo pdhg",
+    )
+    ps.add_argument(
+        "--crossover", action="store_true",
+        help="with --algo pdhg: purify the first-order point to an exact "
+        "vertex (basis identification + short warm simplex cleanup)",
     )
     common(ps)
     ps.set_defaults(fn=cmd_solve)

@@ -127,3 +127,12 @@ def test_analyze_general_mps_with_reoptimize():
     assert "dual y_i" in r.stdout
     assert "re-solve optimum" in r.stdout
     assert "0 phase-1" in r.stdout
+
+
+def test_solve_pdhg_crossover_exact():
+    """--crossover purifies the first-order answer to the exact vertex."""
+    mps = os.path.join(os.path.dirname(__file__), "data", "prod_bounded.mps")
+    r = run_cli("solve", mps, "--cpu", "--algo", "pdhg", "--crossover")
+    assert r.returncode == 0, r.stderr
+    line = [l for l in r.stdout.splitlines() if "Optimum found" in l][0]
+    assert abs(float(line.split(":")[1]) - 15.25) < 1e-6, line
