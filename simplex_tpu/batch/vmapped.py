@@ -39,6 +39,11 @@ class BatchSolveResult(NamedTuple):
     basis: np.ndarray  # (B, m)
     status: np.ndarray  # (B,) int32
     iters: np.ndarray  # (B,) int32
+    # worst primal lower-bound violation per instance (fp32, device-side):
+    # the batch paths run NO f64 polish, so this is the feasibility audit
+    # (None from solve_batched for backward shape-compat; filled by
+    # reoptimize_batched)
+    feas_err: Optional[np.ndarray] = None
 
     def statuses(self):
         return [SolveStatus(int(s)) for s in self.status]
@@ -217,7 +222,7 @@ def reoptimize_batched(
             if at_upper0 is None
             else jnp.asarray(at_upper0, bool)
         )
-    z, x_b, basis, status, iters, _feas = jax.device_get(
+    z, x_b, basis, status, iters, feas = jax.device_get(
         _reopt_batch_jit(
             A, bs_new, c, jnp.asarray(basis0), exec_options, max_iter,
             u_arr, at_up_arr,
@@ -229,4 +234,5 @@ def reoptimize_batched(
         basis=np.asarray(basis),
         status=np.asarray(status),
         iters=np.asarray(iters),
+        feas_err=np.asarray(feas),
     )

@@ -166,51 +166,49 @@ def bench_ops(m: int, n: int, k: int = 32, backend: str = "xla") -> Dict[str, di
     # on a structured instance: ~10% tile density here) ---
     from simplex_tpu import sparse as bsp
 
-    A_sp_host = np.asarray(A)
     mask = rng.uniform(size=(max(1, m // 128), max(1, n // 128))) < 0.10
     if not mask.any():
         mask[0, 0] = True
-    if True:
-        A_sp_host = A_sp_host.copy()
-        keep = np.kron(mask, np.ones((128, 128), bool))[:m, :n]
-        A_sp_host[~keep] = 0.0
-        M = bsp.from_dense(A_sp_host, block_shape=(128, 128))
-        x0 = jax.device_put(jnp.asarray(rng.standard_normal(n), jnp.float32))
-        stored = M.n_tiles * 128 * 128 * 4
+    A_sp_host = np.asarray(A).copy()
+    keep = np.kron(mask, np.ones((128, 128), bool))[:m, :n]
+    A_sp_host[~keep] = 0.0
+    M = bsp.from_dense(A_sp_host, block_shape=(128, 128))
+    x0 = jax.device_put(jnp.asarray(rng.standard_normal(n), jnp.float32))
+    stored = M.n_tiles * 128 * 128 * 4
 
-        @jax.jit
-        def sp_mv_loop(tiles, rows, cols, x):
-            Ms = bsp.BlockSparse(tiles, rows, cols, (m, n))
+    @jax.jit
+    def sp_mv_loop(tiles, rows, cols, x):
+        Ms = bsp.BlockSparse(tiles, rows, cols, (m, n))
 
-            def step(xc, _):
-                yv = bsp.matvec(Ms, xc)
-                return xc + jnp.pad(yv, (0, n - m)) * 1e-20, None
+        def step(xc, _):
+            yv = bsp.matvec(Ms, xc)
+            return xc + jnp.pad(yv, (0, n - m)) * 1e-20, None
 
-            xc, _ = jax.lax.scan(step, x, None, length=k)
-            return xc
+        xc, _ = jax.lax.scan(step, x, None, length=k)
+        return xc
 
-        record(
-            f"bsp_matvec_density{M.tile_density():.2f}",
-            _timed(sp_mv_loop, M.tiles, M.rows, M.cols, x0),
-            stored,
-        )
+    record(
+        f"bsp_matvec_density{M.tile_density():.2f}",
+        _timed(sp_mv_loop, M.tiles, M.rows, M.cols, x0),
+        stored,
+    )
 
-        @jax.jit
-        def sp_rmv_loop(tiles, rows, cols, y):
-            Ms = bsp.BlockSparse(tiles, rows, cols, (m, n))
+    @jax.jit
+    def sp_rmv_loop(tiles, rows, cols, y):
+        Ms = bsp.BlockSparse(tiles, rows, cols, (m, n))
 
-            def step(yc, _):
-                xv = bsp.rmatvec(Ms, yc)
-                return yc + xv[:m] * 1e-20, None
+        def step(yc, _):
+            xv = bsp.rmatvec(Ms, yc)
+            return yc + xv[:m] * 1e-20, None
 
-            yc, _ = jax.lax.scan(step, y, None, length=k)
-            return yc
+        yc, _ = jax.lax.scan(step, y, None, length=k)
+        return yc
 
-        record(
-            f"bsp_rmatvec_density{M.tile_density():.2f}",
-            _timed(sp_rmv_loop, M.tiles, M.rows, M.cols, y0),
-            stored,
-        )
+    record(
+        f"bsp_rmatvec_density{M.tile_density():.2f}",
+        _timed(sp_rmv_loop, M.tiles, M.rows, M.cols, y0),
+        stored,
+    )
 
     return results
 

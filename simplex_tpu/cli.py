@@ -57,6 +57,19 @@ def _load(path: str, use_mps: bool):
     return (A, b, c, None), 0.0, True
 
 
+def _parse_reopt_spec(spec: str, m: int):
+    """'i=delta[,i=delta...]' -> (m,) delta vector, or None on a bad spec."""
+    db = np.zeros(m, np.float64)
+    try:
+        for part in spec.split(","):
+            i_s, d_s = part.split("=")
+            db[int(i_s)] = float(d_s)
+    except (ValueError, IndexError) as exc:
+        print(f"error: bad --reoptimize spec: {exc}", file=sys.stderr)
+        return None
+    return db
+
+
 def _resolve_flag_defaults(args) -> None:
     """Resolve the None-sentinel tuning flags in place.
 
@@ -258,13 +271,8 @@ def cmd_analyze(args) -> int:
         for i, yi in enumerate(res.y):
             print(f"{i:>3}  {sgn * yi:>10.6g}")
         if args.reoptimize:
-            db = np.zeros(len(loaded.b), np.float64)
-            try:
-                for part in args.reoptimize.split(","):
-                    i_s, d_s = part.split("=")
-                    db[int(i_s)] = float(d_s)
-            except (ValueError, IndexError) as exc:
-                print(f"error: bad --reoptimize spec: {exc}", file=sys.stderr)
+            db = _parse_reopt_spec(args.reoptimize, len(loaded.b))
+            if db is None:
                 return 1
             lp2 = loaded._replace(b=np.asarray(loaded.b, np.float64) + db)
             warm = solve_general(lp2, options=_options(args), warm=res.warm)
@@ -301,13 +309,8 @@ def cmd_analyze(args) -> int:
     if args.reoptimize:
         from simplex_tpu.analysis import reoptimize
 
-        db = np.zeros(len(b), np.float64)
-        try:
-            for part in args.reoptimize.split(","):
-                i_s, d_s = part.split("=")
-                db[int(i_s)] = float(d_s)
-        except (ValueError, IndexError) as exc:
-            print(f"error: bad --reoptimize spec: {exc}", file=sys.stderr)
+        db = _parse_reopt_spec(args.reoptimize, len(b))
+        if db is None:
             return 1
         b2 = (np.asarray(b, np.float64) + db).astype(np.asarray(b).dtype)
         inside = np.all((db >= rng.b_lo - 1e-9) & (db <= rng.b_hi + 1e-9))

@@ -384,6 +384,16 @@ def _warm_jit(
         # phase switch; the primal loop then certifies true optimality (it
         # re-prices everything — usually one pass and out)
         s = refactorize(prob, s, backend, opts.pricing, opts.update_defer > 0)
+        if opts.pricing == "steepest":
+            # the dual loop pivots WITHOUT maintaining the steepest-edge
+            # norms (it never reads them), so the entry-basis gammas are
+            # stale here; recompute exactly for the primal cleanup — one
+            # (m, m) x (m, n) GEMM at the phase switch
+            T = jnp.matmul(
+                s.B_inv, prob.A.astype(dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            s = s._replace(gamma=1 + jnp.sum(T * T, axis=0))
         s = s._replace(status=jnp.int32(SolveStatus.RUNNING))
         return solve_state(prob, s, opts, max_iter, backend)
 
@@ -405,6 +415,13 @@ def _entry_dual_feasibility(A, c, basis_arr, at_upper0, u, opts) -> float:
     machinery; the caller's tolerance is fp32-scaled anyway)."""
     basis_np = np.asarray(basis_arr, np.int64)
     m = len(basis_np)
+    # FIXED (u == 0) columns are never dual-eligible in dual_pivot_step
+    # (their reduced cost is unconstrained) — exclude them here too, or a
+    # warm re-solve with pinned-at-0 artificials whose stored duals came
+    # from an ESCALATED big-M penalty would be rejected spuriously
+    fixed_np = None
+    if u is not None:
+        fixed_np = np.asarray(u, np.float64) <= 0
     if m <= 2048:
         A64 = np.asarray(A, np.float64)
         c64 = np.asarray(c, np.float64)
@@ -417,6 +434,8 @@ def _entry_dual_feasibility(A, c, basis_arr, at_upper0, u, opts) -> float:
             e = np.where(np.asarray(at_upper0, bool), -e, e)
         nonbasic = np.ones(A64.shape[1], bool)
         nonbasic[basis_np] = False
+        if fixed_np is not None:
+            nonbasic &= ~fixed_np
         return float(np.min(e[nonbasic])) if nonbasic.any() else 0.0
     from simplex_tpu.core.linalg import inverse_newton
 
@@ -432,6 +451,8 @@ def _entry_dual_feasibility(A, c, basis_arr, at_upper0, u, opts) -> float:
     if at_upper0 is not None:
         e = jnp.where(jnp.asarray(at_upper0, bool), -e, e)
     e = e.at[jnp.asarray(basis_np, jnp.int32)].set(jnp.inf)
+    if fixed_np is not None:
+        e = jnp.where(jnp.asarray(fixed_np), jnp.inf, e)
     return float(jnp.min(e))
 
 
@@ -491,6 +512,20 @@ def solve_dual(
         if not np.any(np.isfinite(u_np)):
             bounded = False
             u_np = None
+    # the same combination guards solve() applies (the primal cleanup loop
+    # runs inside the same executable)
+    if bounded and options.pricing in ("devex", "steepest"):
+        raise NotImplementedError(
+            f"pricing='{options.pricing}' is not supported with native "
+            "bounds yet; use dantzig (full/shadow/segmented)"
+        )
+    if options.pricing == "steepest" and (
+        options.update_defer > 0 or options.multi_price > 0
+    ):
+        raise NotImplementedError(
+            "pricing='steepest' maintains exact norms against the eager "
+            "B_inv; it composes with neither update_defer nor multi_price"
+        )
     if check_entry:
         tol = 10 * options.resolve_eps()
         min_e = _entry_dual_feasibility(

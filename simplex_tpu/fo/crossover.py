@@ -35,7 +35,7 @@ from simplex_tpu.config import DEFAULT_OPTIONS, SimplexOptions
 from simplex_tpu.core.solver import SolveResult, solve
 
 
-def identify_basis(A, x, u=None, at_upper=None):
+def identify_basis(A, x, u=None):
     """Pick m independent columns, preferring the first-order support.
 
     Column weights: activity x_j measured INTO the box — a column parked

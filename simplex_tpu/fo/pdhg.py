@@ -497,20 +497,28 @@ def _certify(A, b, cmin, x, y, xr, yr, b_scale, c_scale, cert_tol, u):
         if obj_d > 1e-8 * b_sc and viol_d <= cert_tol * obj_d:
             return SolveStatus.INFEASIBLE, None, ray
     fixed = ~free
+
+    def _passes(ray):
+        viol_p, obj_p, _vd, _od = map(
+            float,
+            _cert_metrics(
+                A, b, cmin, jnp.asarray(ray), jnp.zeros_like(jnp.asarray(y)),
+                u_dev,
+            ),
+        )
+        return -obj_p > 1e-8 * c_sc and viol_p <= cert_tol * (-obj_p)
+
     for cand in (dx, np.where(free, np.maximum(x, 0), 0)):
         raw, ok = unit(cand)
         if not ok:
             continue
-        for ray in (raw, _polish_primal_ray(A, raw, fixed)):
-            viol_p, obj_p, _vd, _od = map(
-                float,
-                _cert_metrics(
-                    A, b, cmin, jnp.asarray(ray), jnp.zeros_like(jnp.asarray(y)),
-                    u_dev,
-                ),
-            )
-            if -obj_p > 1e-8 * c_sc and viol_p <= cert_tol * (-obj_p):
-                return SolveStatus.UNBOUNDED, ray, None
+        if _passes(raw):
+            return SolveStatus.UNBOUNDED, raw, None
+        # only when the raw candidate misses: the f64 projection polish is
+        # an O(m^2 n) host pass — lazy by design
+        polished = _polish_primal_ray(A, raw, fixed)
+        if polished is not raw and _passes(polished):
+            return SolveStatus.UNBOUNDED, polished, None
     return None, None, None
 
 

@@ -159,7 +159,7 @@ def _setup_local_sp(tiles, rows, cols, b, c_loc, axis_name, m, n_loc):
 
 
 def _chunk_local(
-    As, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us, state, max_iter,
+    As, bs, cs, dr, dc, b_scale, c_scale, us, state, max_iter,
     tol, check_every, windows, axis_name,
 ):
     """Advance the sharded PDHG state by at most ``windows`` check windows.
@@ -178,13 +178,13 @@ def _chunk_local(
         return jnp.matmul(y, As, precision=_EXACT)
 
     return _chunk_core(
-        matvec, rmatvec, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us,
+        matvec, rmatvec, bs, cs, dr, dc, b_scale, c_scale, us,
         state, max_iter, tol, check_every, windows, axis_name,
     )
 
 
 def _chunk_local_sp(
-    tiles, rows, cols, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us,
+    tiles, rows, cols, bs, cs, dr, dc, b_scale, c_scale, us,
     state, max_iter, tol, check_every, windows, axis_name, m, n_loc,
 ):
     """Block-sparse variant: the shard's tiles (scaled by the setup) stand
@@ -200,17 +200,29 @@ def _chunk_local_sp(
         return bsp.rmatvec(Ms, y)
 
     return _chunk_core(
-        matvec, rmatvec, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us,
+        matvec, rmatvec, bs, cs, dr, dc, b_scale, c_scale, us,
         state, max_iter, tol, check_every, windows, axis_name,
     )
 
 
 def _chunk_core(
-    matvec, rmatvec, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us,
+    matvec, rmatvec, bs, cs, dr, dc, b_scale, c_scale, us,
     state, max_iter, tol, check_every, windows, axis_name,
 ):
+    """Shared window loop for the dense and block-sparse layouts.
+
+    Runs the SAME scheme as the single-chip fo.pdhg._pdhg_chunk: restart
+    on PDLP's sufficient decay (0.2x) or necessary-decay-plus-rise
+    (artificial) criteria, restart-to-average, and the smoothed adaptive
+    primal weight applied at restart epochs (tau/sigma are loop-carried;
+    the movement norms need one extra scalar psum per RESTART, not per
+    iteration). State layout:
+      (x, y, cnt, lre, it, sx, rp, rd, gp, stall, sy, tau, sigma, xr, yr)
+    with x/sx/xr column-sharded and everything else replicated.
+    """
     dtype = bs.dtype
-    BETA = jnp.asarray(0.2, dtype)
+    BETA_SUF = jnp.asarray(0.2, dtype)
+    BETA_NEC = jnp.asarray(0.8, dtype)
     finite_u = jnp.isfinite(us)
 
     def kkt(x_loc, y):
@@ -231,11 +243,14 @@ def _chunk_core(
         gap = jnp.abs(pobj - dobj) / (1 + jnp.abs(pobj) + jnp.abs(dobj))
         return rp, rd, gap
 
-    def inner(carry, _):
-        x, y, sx, sy = carry
-        x1 = jnp.minimum(jnp.maximum(x - tau * (cs - rmatvec(y)), 0), us)
-        y1 = y + sigma * (bs - matvec(2 * x1 - x))
-        return (x1, y1, sx + x1, sy + y1), None
+    def make_inner(tau, sigma):
+        def inner(carry, _):
+            x, y, sx, sy = carry
+            x1 = jnp.minimum(jnp.maximum(x - tau * (cs - rmatvec(y)), 0), us)
+            y1 = y + sigma * (bs - matvec(2 * x1 - x))
+            return (x1, y1, sx + x1, sy + y1), None
+
+        return inner
 
     def cond(carry):
         s, wc = carry
@@ -250,12 +265,12 @@ def _chunk_core(
 
     def body(carry):
         s, wc = carry
-        x, y, cnt, lre, it, sx, rp0, rd0, gp0, stall, sy = (
-            s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7], s[8], s[9], s[10]
-        )
-        # unpack order note: state tuple layout documented in solve loop
+        (
+            x, y, cnt, lre, it, sx, rp0, rd0, gp0, stall, sy, tau, sigma,
+            xr, yr,
+        ) = s
         (x1, y1, sx1, sy1), _ = jax.lax.scan(
-            inner, (x, y, sx, sy), None, length=check_every
+            make_inner(tau, sigma), (x, y, sx, sy), None, length=check_every
         )
         cnt1 = cnt + check_every
         xa, ya = sx1 / cnt1, sy1 / cnt1
@@ -264,7 +279,14 @@ def _chunk_core(
         err_c = jnp.maximum(jnp.maximum(rp_c, rd_c), gp_c)
         err_a = jnp.maximum(jnp.maximum(rp_a, rd_a), gp_a)
         err = jnp.minimum(err_c, err_a)
-        restart = jnp.logical_or(err <= BETA * lre, err < tol)
+        err_prev = jnp.maximum(jnp.maximum(rp0, rd0), gp0)
+        restart = jnp.logical_or(
+            jnp.logical_or(
+                err <= BETA_SUF * lre,
+                jnp.logical_and(err <= BETA_NEC * lre, err > err_prev),
+            ),
+            err < tol,
+        )
         avg_better = err_a < err_c
         adopt = jnp.logical_and(restart, avg_better)
         x2 = jnp.where(adopt, xa, x1)
@@ -273,13 +295,28 @@ def _chunk_core(
         sy2 = jnp.where(restart, jnp.zeros_like(sy1), sy1)
         cnt2 = jnp.where(restart, 0, cnt1)
         lre2 = jnp.where(restart, err, lre)
+        # smoothed adaptive primal weight at restart epochs (see fo.pdhg):
+        # dxn needs a psum (x sharded); dyn is local (y replicated)
+        dxn = jnp.sqrt(
+            jax.lax.psum(jnp.sum((x2 - xr) * (x2 - xr)), axis_name)
+        )
+        dyn = jnp.linalg.norm(y2 - yr)
+        w_old = jnp.sqrt(sigma / tau)
+        eta = jnp.sqrt(sigma * tau)
+        valid = jnp.logical_and(dxn > 1e-12, dyn > 1e-12)
+        w_new = jnp.where(valid, jnp.sqrt((dyn / dxn) * w_old), w_old)
+        w_new = jnp.clip(w_new, 1e-4, 1e4)
+        tau2 = jnp.where(restart, eta / w_new, tau)
+        sigma2 = jnp.where(restart, eta * w_new, sigma)
+        xr2 = jnp.where(restart, x2, xr)
+        yr2 = jnp.where(restart, y2, yr)
         rp = jnp.where(adopt, rp_a, rp_c)
         rd = jnp.where(adopt, rd_a, rd_c)
         gp = jnp.where(adopt, gp_a, gp_c)
-        err_prev = jnp.maximum(jnp.maximum(rp0, rd0), gp0)
         stall = jnp.where(err < err_prev * (1 - 1e-4), 0, stall + 1)
         s2 = (
-            x2, y2, cnt2, lre2, it + check_every, sx2, rp, rd, gp, stall, sy2
+            x2, y2, cnt2, lre2, it + check_every, sx2, rp, rd, gp, stall,
+            sy2, tau2, sigma2, xr2, yr2,
         )
         return s2, wc + 1
 
@@ -304,7 +341,10 @@ def _build_fns(mesh, axis_name, tol, check_every, windows):
             check_vma=False,
         )
     )
-    state_specs = (xs, rep, rep, rep, rep, xs, rep, rep, rep, rep, rep)
+    state_specs = (
+        xs, rep, rep, rep, rep, xs, rep, rep, rep, rep, rep, rep, rep,
+        xs, rep,
+    )
     chunk = jax.jit(
         jax.shard_map(
             functools.partial(
@@ -316,7 +356,7 @@ def _build_fns(mesh, axis_name, tol, check_every, windows):
             ),
             mesh=mesh,
             in_specs=(
-                P(None, axis_name), rep, xs, rep, xs, rep, rep, rep, rep,
+                P(None, axis_name), rep, xs, rep, xs, rep, rep,
                 xs, state_specs, rep,
             ),
             out_specs=state_specs,
@@ -345,7 +385,10 @@ def _build_fns_sp(mesh, axis_name, tol, check_every, windows, m, n_loc):
             check_vma=False,
         )
     )
-    state_specs = (xs, rep, rep, rep, rep, xs, rep, rep, rep, rep, rep)
+    state_specs = (
+        xs, rep, rep, rep, rep, xs, rep, rep, rep, rep, rep, rep, rep,
+        xs, rep,
+    )
     chunk = jax.jit(
         jax.shard_map(
             functools.partial(
@@ -359,7 +402,7 @@ def _build_fns_sp(mesh, axis_name, tol, check_every, windows, m, n_loc):
             ),
             mesh=mesh,
             in_specs=(
-                ts, xs, xs, rep, xs, rep, xs, rep, rep, rep, rep,
+                ts, xs, xs, rep, xs, rep, xs, rep, rep,
                 xs, state_specs, rep,
             ),
             out_specs=state_specs,
@@ -441,14 +484,16 @@ def solve_pdhg_sharded(
 
     dt = jnp.float32
     inf = jnp.asarray(jnp.inf, dt)
-    # state layout: (x, y, cnt, lre, it, sx, rp, rd, gp, stall, sy)
+    # state layout: (x, y, cnt, lre, it, sx, rp, rd, gp, stall, sy,
+    #                tau, sigma, xr, yr) — see _chunk_core
     state = (
         jnp.zeros(n, dt), jnp.zeros(m, dt), jnp.int32(0), inf, jnp.int32(0),
         jnp.zeros(n, dt), inf, inf, inf, jnp.int32(0), jnp.zeros(m, dt),
+        tau, sigma, jnp.zeros(n, dt), jnp.zeros(m, dt),
     )
     while True:
         state = chunk(
-            *A_args, bs, cs, dr, dc, tau, sigma, b_scale, c_scale, us, state,
+            *A_args, bs, cs, dr, dc, b_scale, c_scale, us, state,
             jnp.int32(max_iter),
         )
         it = int(state[4])
@@ -461,12 +506,30 @@ def solve_pdhg_sharded(
     y = np.asarray(jax.device_get(state[1] / dr), np.float64)
     rp_f, rd_f, gp_f = rp, rd, gp
     ok = max(rp_f, rd_f, gp_f) < tol
+    ray_p = ray_d = None
     if ok:
         status = SolveStatus.OPTIMAL
-    elif stall >= 64:
-        status = SolveStatus.SINGULAR
     else:
-        status = SolveStatus.MAX_ITER
+        # same exit-time infeasibility detection as the single-chip path:
+        # the certificates are small host vectors; the metric GEMVs run on
+        # the full A (dense array or BlockSparse)
+        from simplex_tpu.fo.pdhg import _certify
+
+        cmin = np.asarray(-np.asarray(c), np.float64)
+        xr = np.asarray(jax.device_get(state[13] / dc), np.float64)
+        yr = np.asarray(jax.device_get(state[14] / dr), np.float64)
+        cert, ray_p, ray_d = _certify(
+            A, jnp.asarray(b), jnp.asarray(cmin, jnp.float32), x, y, xr, yr,
+            1 + float(np.abs(np.asarray(b)).max()),
+            1 + float(np.abs(cmin).max()),
+            1e-5, u_np,
+        )
+        if cert is not None:
+            status = cert
+        elif stall >= 64:
+            status = SolveStatus.SINGULAR
+        else:
+            status = SolveStatus.MAX_ITER
     z = float(np.asarray(c, np.float64) @ x)
     return PDHGResult(
         z=z,
@@ -477,4 +540,6 @@ def solve_pdhg_sharded(
         primal_res=rp_f,
         dual_res=rd_f,
         gap=gp_f,
+        ray_primal=ray_p,
+        ray_dual=ray_d,
     )

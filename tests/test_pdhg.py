@@ -410,3 +410,20 @@ def test_crossover_bounded():
     assert res.status == SolveStatus.OPTIMAL
     assert relative_gap(res.z, -r.fun) < 1e-5
     assert res.feas_err < 1e-4
+
+
+def test_pdhg_sharded_infeasible_certificate():
+    """Sharded parity for round-3 exits: an infeasible instance certifies
+    INFEASIBLE (not SINGULAR) through the same divergent-ray test."""
+    import jax
+
+    from simplex_tpu.dist.mesh import make_mesh
+    from simplex_tpu.fo.sharded import solve_pdhg_sharded
+
+    A = np.array([[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]], np.float32)
+    b = np.array([-1.0], np.float32)
+    c = np.ones(8, np.float32)
+    mesh = make_mesh(devices=jax.devices()[:8])
+    res = solve_pdhg_sharded(A, b, c, mesh, tol=1e-6, max_iter=100_000)
+    assert res.status == SolveStatus.INFEASIBLE, (res.status, res.iters)
+    assert res.ray_dual is not None and float(b @ res.ray_dual) > 0
