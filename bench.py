@@ -60,7 +60,10 @@ def main() -> None:
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     ap.add_argument(
         "--mode", default="single",
-        choices=["single", "batch", "full", "parity", "pdhg", "general", "reopt"],
+        choices=[
+            "single", "batch", "full", "parity", "pdhg", "general", "reopt",
+            "sparse",
+        ],
         help="single = one large LP, fixed pivot budget (the headline); "
              "batch = vmap-batched independent small LPs; full = solve one "
              "large LP to OPTIMAL and report time-to-optimal (with the "
@@ -117,6 +120,9 @@ def main() -> None:
         return
     if args.mode == "reopt":
         bench_reopt(args)
+        return
+    if args.mode == "sparse":
+        bench_sparse(args)
         return
 
     m, n, k = args.m, args.n, args.pivots
@@ -491,6 +497,104 @@ def _bench_pdhg_sparse(args) -> None:
     }
     if gap is not None:
         record["obj_rel_gap_vs_highs"] = float(f"{gap:.3e}")
+    print(json.dumps(record))
+
+
+def bench_sparse(args) -> None:
+    """Fully sparse SIMPLEX core vs the dense core on one instance.
+
+    The instance is [A0 | I] with A0's nonzeros clustered at the 128x128
+    tile level (~10% tile density — the structured-instance pattern), so
+    the sparse storage is stored-tiles + the m^2 inverse while the dense
+    solve streams the whole m x n A every pricing pass. Both solves run
+    IDENTICAL options (full dantzig; segmentation off — unsupported on
+    tiles) to isolate the storage effect.
+    """
+    import jax
+
+    from simplex_tpu import SimplexOptions, solve
+    from simplex_tpu import sparse as bsp
+
+    m, n = args.m, args.n
+    k = n - m
+    if k <= 0:
+        raise SystemExit("--mode sparse needs n > m ([A0 | I] layout)")
+    rng = np.random.default_rng(0)
+    gr, gc = -(-m // 128), -(-k // 128)
+    mask = rng.uniform(size=(gr, gc)) < 0.10
+    if not mask.any():
+        mask[0, 0] = True
+    A0 = rng.uniform(0.2, 1.5, (m, k)).astype(np.float32)
+    keep = np.kron(mask, np.ones((128, 128), bool))[:m, :k]
+    A0[~keep] = 0.0
+    A = np.hstack([A0, np.eye(m, dtype=np.float32)])
+    b = (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+        np.float32
+    )
+    c = np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(
+        np.float32
+    )
+    # a column whose tiles were all masked away is zero: a positive cost
+    # there would make the LP unbounded, so profit only supported columns
+    c[:k] *= (A0 != 0).any(axis=0)
+    M = bsp.from_dense(A, block_shape=(128, 128))
+    dens = M.tile_density()
+    log(f"devices: {jax.devices()}")
+    log(
+        f"[A0|I] {m}x{n}: {M.n_tiles} stored tiles (tile density {dens:.3f};"
+        f" dense A = {m*n*4/2**20:.0f} MiB, tiles = "
+        f"{M.n_tiles*128*128*4/2**20:.0f} MiB)"
+    )
+    opts = SimplexOptions(
+        max_iter=args.pivots,
+        pricing_dtype=args.pricing_dtype,
+        update_defer=args.update_defer,
+        partial_pricing=0,
+    )
+    import dataclasses as _dc
+
+    warm_opts = _dc.replace(opts, max_iter=2)
+
+    def timed(A_in, label):
+        log(f"{label}: warmup (compile)...")
+        solve(A_in, b, c, options=warm_opts)
+        log(f"{label}: timed solve...")
+        t0 = time.time()
+        res = solve(A_in, b, c, options=opts)
+        dt = time.time() - t0
+        pps = res.iters / dt if dt > 0 else float("nan")
+        log(
+            f"{label}: {res.status.name} iters={res.iters} in {dt:.1f}s -> "
+            f"{pps:.0f} pivots/s (z={res.z:.6g}, feas_err={res.feas_err:.1e})"
+        )
+        return res, dt, pps
+
+    res_d, dt_d, pps_d = timed(A, "dense")
+    res_s, dt_s, pps_s = timed(M, "sparse")
+    gap = None
+    if not args.no_oracle and res_s.status.name == "OPTIMAL":
+        from simplex_tpu.oracle.reference import relative_gap, solve_scipy
+
+        log("oracle: scipy/HiGHS f64 on the host...")
+        ref = solve_scipy(A, b, c)
+        if ref.z is not None:
+            gap = relative_gap(res_s.z, ref.z)
+            log(f"sparse-vs-oracle rel_gap={gap:.3e}")
+        else:
+            log(f"oracle did not reach OPTIMAL ({ref.status}); gap skipped")
+    record = {
+        "metric": f"sparse_simplex_pivots_per_sec_{m}x{n}_fp32",
+        "value": round(pps_s, 1),
+        "unit": "pivots/sec",
+        # baseline = the dense core on the SAME instance and options
+        "vs_baseline": round(pps_s / pps_d, 3) if pps_d else None,
+        "dense_pivots_per_sec": round(pps_d, 1),
+        "tile_density": round(float(dens), 4),
+        "iters": {"sparse": res_s.iters, "dense": res_d.iters},
+        "status": {"sparse": res_s.status.name, "dense": res_d.status.name},
+    }
+    if gap is not None:
+        record["obj_rel_gap_vs_oracle"] = float(f"{gap:.3e}")
     print(json.dumps(record))
 
 

@@ -139,11 +139,6 @@ def solve_batched(
         u_np = np.asarray(u, np.float64)
         if np.any(u_np < 0):
             raise ValueError("negative upper bound (shift lowers to 0 first)")
-        if options.pricing in ("devex", "steepest"):
-            raise NotImplementedError(
-                f"pricing='{options.pricing}' is not supported with native "
-                "bounds yet; use dantzig"
-            )
         u_arr = jnp.asarray(u_np, options.dtype)
     z, x_b, basis, status, iters = jax.device_get(
         _solve_batch_jit(As, bs, cs, options, max_iter, u_arr)

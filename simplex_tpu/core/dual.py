@@ -489,7 +489,14 @@ def solve_dual(
     (the old basis stays primal-feasible when only c moved).
     """
     from simplex_tpu.core.solver import finalize_result
+    from simplex_tpu import sparse as _bsp
 
+    if isinstance(A, _bsp.BlockSparse):
+        raise NotImplementedError(
+            "solve_dual needs dense A (its btran row extraction and entry "
+            "check are dense passes); convert via .to_dense() or use the "
+            "primal solve(), which takes sparse A directly"
+        )
     A_host = A if isinstance(A, np.ndarray) else None
     A = jnp.asarray(A)
     b = jnp.asarray(b)
@@ -514,11 +521,6 @@ def solve_dual(
             u_np = None
     # the same combination guards solve() applies (the primal cleanup loop
     # runs inside the same executable)
-    if bounded and options.pricing in ("devex", "steepest"):
-        raise NotImplementedError(
-            f"pricing='{options.pricing}' is not supported with native "
-            "bounds yet; use dantzig (full/shadow/segmented)"
-        )
     if options.pricing == "steepest" and (
         options.update_defer > 0 or options.multi_price > 0
     ):

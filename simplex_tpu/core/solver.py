@@ -186,6 +186,28 @@ def _solve_jit(
     return solve_state(prob, state0, opts, max_iter)
 
 
+def _host_basis_cols(A, basis_np):
+    """HOST A[:, basis] for the f64 polish, for every A flavor solve takes.
+
+    numpy (or device-dense) -> plain column slice; scipy.sparse -> a sparse
+    column slice (row-chunk matvecs below work on csr directly, so the m x m
+    dense cast never happens); BlockSparse -> assembly from the stored tiles
+    (the only host pull a fully-sparse solve makes is the tiles themselves).
+    """
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(A, _bsp.BlockSparse):
+        return _bsp.gather_columns_host(A, basis_np)
+    try:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            return A.tocsc()[:, basis_np].tocsr()
+    except ImportError:  # pragma: no cover - scipy is a baked-in dep
+        pass
+    return np.asarray(A)[:, basis_np]
+
+
 def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
     """f64 x_b for the final basis by iterative refinement: O(m^2)/pass.
 
@@ -209,8 +231,7 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
     Returns (x64, ok); ok=False (stalled residual: conditioning too high
     for the fp32 preconditioner) sends the caller to the LU fallback.
     """
-    A_np = np.asarray(A)
-    AB = A_np[:, basis_np]
+    AB = _host_basis_cols(A, basis_np)
     if isinstance(B_inv, jax.Array):
         dtype = B_inv.dtype
 
@@ -285,11 +306,43 @@ def solve(
     # keep a host reference to A when the caller passed one: the polish
     # needs A's basis columns on the host, and re-pulling a device A over
     # the tunneled runtime costs tens of seconds at 8k (measured)
+    from simplex_tpu import sparse as _bsp
+
     A_host = A if isinstance(A, np.ndarray) else None
-    A = jnp.asarray(A)
+    is_sparse = isinstance(A, _bsp.BlockSparse)
+    if not is_sparse:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            # scipy input: tile to BlockSparse for the device (occupied
+            # tiles only — the dense A is never materialized anywhere) and
+            # keep the scipy matrix as the host reference for the polish
+            A_host = A.tocsc()
+            A = _bsp.from_scipy(A_host, dtype=options.dtype)
+            is_sparse = True
+    if not is_sparse:
+        A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
+    if is_sparse:
+        # fully sparse solve path: pricing/ftran/refactorization all read
+        # the stored tiles only (kernels.xla dispatches per op). The
+        # unsupported combinations below all slice dense column ranges or
+        # maintain dense incremental structures.
+        if options.backend != "xla":
+            raise NotImplementedError("sparse A requires backend='xla'")
+        if options.pricing in ("devex", "steepest"):
+            raise NotImplementedError(
+                f"pricing='{options.pricing}' is not wired for sparse A "
+                "yet; use dantzig (full pricing or multi_price)"
+            )
+        if options.partial_pricing > 1:
+            raise NotImplementedError(
+                "segmented pricing slices dense column ranges; sparse "
+                "pricing already reads stored tiles only — use the "
+                "default full pass (or multi_price)"
+            )
     if m > n:
         raise ValueError(f"m > n ({m} > {n}): not a canonical-form LP")
     if b.shape != (m,) or c.shape != (n,):
@@ -302,11 +355,6 @@ def solve(
             raise ValueError(f"u shape {u_np.shape} != ({n},)")
         if np.any(u_np < 0):
             raise ValueError("negative upper bound (shift lowers to 0 first)")
-        if options.pricing in ("devex", "steepest"):
-            raise NotImplementedError(
-                f"pricing='{options.pricing}' is not supported with native "
-                "bounds yet; use dantzig (full/shadow/segmented)"
-            )
         if not np.any(np.isfinite(u_np)):
             bounded = False  # all-inf bounds: classic path, zero overhead
             u_np = None
@@ -318,7 +366,7 @@ def solve(
             "B_inv; it composes with neither update_defer nor multi_price"
         )
     A_price = None
-    if options.pricing_sparse and options.pricing == "dantzig":
+    if options.pricing_sparse and options.pricing == "dantzig" and not is_sparse:
         if options.partial_pricing > 1:
             raise NotImplementedError(
                 "pricing_sparse needs the full-shadow pass; segmented "
@@ -415,10 +463,14 @@ def finalize_result(
         up_cols = np.where(at_upper_np)[0]
         c64 = np.asarray(c, np.float64)
         if len(up_cols):
-            A_b = A_host if A_host is not None else np.asarray(A)
-            b_eff = np.asarray(b, np.float64) - np.asarray(
-                A_b[:, up_cols], np.float64
-            ) @ u_np[up_cols]
+            A_b = A_host if A_host is not None else A
+            cols = _host_basis_cols(A_b, up_cols)
+            Axu = (
+                np.asarray(cols @ u_np[up_cols], np.float64)
+                if not isinstance(cols, np.ndarray)
+                else cols.astype(np.float64) @ u_np[up_cols]
+            )
+            b_eff = np.asarray(b, np.float64) - Axu
             z_fixed = float(c64[up_cols] @ u_np[up_cols])
         ub_basic = u_np[basis_np]
 
@@ -437,7 +489,17 @@ def finalize_result(
         # the objective of the true basic solution (A_B x_b = b_eff), and
         # any genuine violation is surfaced as feas_err rather than silently
         # zeroed into an A x != b 'solution'.
-        A_pol = A_host if A_host is not None else np.asarray(A)
+        # sparse flavors (BlockSparse / scipy) pass through untouched —
+        # _host_basis_cols assembles only the basis columns; a dense DEVICE
+        # array is pulled whole here (legacy single-pull behavior)
+        from simplex_tpu import sparse as _bsp
+
+        if A_host is not None:
+            A_pol = A_host
+        elif isinstance(A, _bsp.BlockSparse):
+            A_pol = A
+        else:
+            A_pol = np.asarray(A)
         x_b64, ok = _polish_refine(A_pol, b_eff, basis_np, x_b_np, B_inv)
         if not ok:
             from simplex_tpu.logging import get_logger
@@ -447,10 +509,12 @@ def finalize_result(
                 "falling back to O(m^3) LU"
             )
             # pathological conditioning: the O(m^3) LU is the exact fallback
+            AB = _host_basis_cols(A_pol, basis_np)
+            if not isinstance(AB, np.ndarray):
+                AB = AB.toarray()  # scipy.sparse column slice
             try:
                 x_b64 = np.linalg.solve(
-                    np.asarray(A_pol, np.float64)[:, basis_np],
-                    np.asarray(b_eff, np.float64),
+                    np.asarray(AB, np.float64), np.asarray(b_eff, np.float64)
                 )
                 ok = True
             except np.linalg.LinAlgError:

@@ -207,7 +207,9 @@ def initial_state(
     """
     m, n = prob.A.shape
     basis0 = jnp.asarray(basis0, jnp.int32)
-    B = jnp.take(prob.A, basis0, axis=1).astype(dtype)
+    from simplex_tpu.kernels import xla as _xk
+
+    B = _xk.gather_basis_matrix(prob.A, basis0).astype(dtype)
     eye = jnp.eye(m, dtype=dtype)
     # For the identity slack basis, solve() reduces to I (exact). XLA folds
     # this at runtime only if B happens to be I; cost is one O(m^3) solve at
@@ -218,7 +220,7 @@ def initial_state(
     b_eff = prob.b.astype(dtype)
     if prob.u is not None:
         x_N = nonbasic_upper_values(prob, at_upper, dtype)
-        b_eff = b_eff - prob.A.astype(dtype) @ x_N
+        b_eff = b_eff - _xk.matvec(prob.A, x_N)
     x_b = B_inv @ b_eff
     y = c_b @ B_inv
     zero = jnp.int32(0)
@@ -267,8 +269,10 @@ def initial_state_slack(
     at_upper = _at_upper_extras(prob, at_upper0)
     x_b = prob.b.astype(dtype)
     if prob.u is not None:
+        from simplex_tpu.kernels import xla as _xk
+
         x_N = nonbasic_upper_values(prob, at_upper, dtype)
-        x_b = x_b - prob.A.astype(dtype) @ x_N
+        x_b = x_b - _xk.matvec(prob.A, x_N)
     return SolverState(
         B_inv=jnp.eye(m, dtype=dtype),
         x_b=x_b,

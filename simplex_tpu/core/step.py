@@ -144,7 +144,7 @@ def _multi_pricing(
             s_sh = mask_s(signed_full(e_sh))
             _v, idxs1 = jax.lax.top_k(-s_sh, K)
             idxs1 = idxs1.astype(jnp.int32)
-            A_c1 = jnp.take(prob.A, idxs1, axis=1).astype(dtype)
+            A_c1 = _xk.gather_columns(prob.A, idxs1).astype(dtype)
             e1 = (
                 jnp.matmul(state.y, A_c1, precision=_EXACT)
                 - jnp.take(prob.c, idxs1).astype(dtype)
@@ -157,7 +157,7 @@ def _multi_pricing(
                 lambda _: (idxs1, e1, valid1, jnp.asarray(-jnp.inf, dtype)),
                 None,
             )
-        A_cols = jnp.take(prob.A, idxs, axis=1).astype(dtype)  # (m, K)
+        A_cols = _xk.gather_columns(prob.A, idxs).astype(dtype)  # (m, K)
         Alpha = jnp.matmul(state.B_inv, A_cols)  # ONE m^2 read for K pivots
         if opts.update_defer > 0:
             Alpha = Alpha + jnp.matmul(
@@ -196,11 +196,6 @@ def pivot_step(
     eps_f = opts.resolve_eps()
     eps = jnp.asarray(eps_f, dtype)
     bounded = prob.u is not None
-    if bounded and opts.pricing in ("devex", "steepest"):
-        raise NotImplementedError(
-            f"pricing='{opts.pricing}' is not wired for the native bounded-"
-            "variable rule (use dantzig); solve() should have rejected this"
-        )
 
     use_bland = jnp.logical_and(
         opts.bland_after > 0, state.degen >= opts.bland_after
@@ -225,6 +220,39 @@ def pivot_step(
     if multi:
         p, min_e, alpha_pre, cand_mid, j_star = _multi_pricing(
             prob, state, opts, eps, use_bland, dtype, bounded
+        )
+    elif bounded and opts.pricing in ("devex", "steepest"):
+        # Incremental devex / exact steepest-edge under the bounded rule.
+        # The maintained quantities are bound-agnostic: e_j = y.A_j - c_j
+        # never carries the sign (it flips at SELECTION only), and both
+        # weight recurrences depend on basis geometry alone — a bound-flip
+        # pivot changes neither the basis nor y, and the post-pivot block
+        # below already gates every incremental update on do_pivot. So the
+        # only bounded-specific op is the signed selection + its exact
+        # staleness recheck (same structure as the unbounded branch).
+        at_up_dx = state.at_upper
+        p1, min_s1 = backend.devex_choose_bounded(
+            state.e, state.gamma, at_up_dx, eps_f, use_bland
+        )
+        A_p1 = backend.gather_column(prob.A, p1).astype(dtype)
+        c_p1 = backend.gather_cost(prob.c, p1).astype(dtype)
+        e_p1 = _dot(state.y, A_p1) - c_p1
+        s_p1 = jnp.where(at_up_dx[p1], -e_p1, e_p1)
+        already_basic = jnp.any(state.basis == p1)
+        stale = jnp.logical_or(
+            jnp.logical_or(
+                jnp.logical_or(min_s1 >= -eps, s_p1 >= -eps), already_basic
+            ),
+            use_bland,
+        )
+        p, min_e = jax.lax.cond(
+            stale,
+            lambda _: backend.choose_entering_bounded(
+                state.y, prob.A, prob.c, at_up_dx, state.basis,
+                jnp.int32(0), eps_f, use_bland,
+            ),
+            lambda _: (p1, s_p1),
+            None,
         )
     elif bounded:
         # Bounded-variable rule: the improvement criterion is the SIGNED
@@ -712,9 +740,10 @@ def _effective_rhs(prob: Problem, state: SolverState, dtype) -> jnp.ndarray:
     if prob.u is None:
         return b
     from simplex_tpu.core.state import nonbasic_upper_values
+    from simplex_tpu.kernels import xla as _xk
 
     x_N = nonbasic_upper_values(prob, state.at_upper, dtype)
-    return b - jnp.matmul(prob.A.astype(dtype), x_N, precision=_EXACT)
+    return b - _xk.matvec(prob.A, x_N)
 
 
 def refactorize(

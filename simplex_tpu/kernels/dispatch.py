@@ -28,6 +28,7 @@ def _xla_backend() -> types.SimpleNamespace:
         choose_entering=_xla.choose_entering,
         mask_basic=_xla.mask_basic,
         devex_choose=_xla.devex_choose,
+        devex_choose_bounded=_xla.devex_choose_bounded,
         pricing_update=_xla.pricing_update,
         gather_column=_xla.gather_column,
         gather_cost=_xla.gather_cost,
@@ -50,6 +51,7 @@ def _pallas_backend() -> types.SimpleNamespace:
         choose_entering=_pl.choose_entering,
         mask_basic=_xla.mask_basic,
         devex_choose=_xla.devex_choose,
+        devex_choose_bounded=_xla.devex_choose_bounded,
         pricing_update=_xla.pricing_update,
         gather_column=_xla.gather_column,
         gather_cost=_xla.gather_cost,

@@ -89,8 +89,37 @@ def mask_basic(c: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_column(A: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """A[:, p] via dynamic slice (stays on device under jit)."""
+    """A[:, p] via dynamic slice (stays on device under jit).
+
+    ``A`` may be a :class:`simplex_tpu.sparse.BlockSparse` (the fully sparse
+    solve path, where dense A never materializes on device): the gather then
+    dynamic-slices one in-tile column out of every stored tile and
+    segment-sums — stored-bytes/bc traffic instead of O(m)."""
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(A, _bsp.BlockSparse):
+        return _bsp.gather_column(A, p)
     return jax.lax.dynamic_index_in_dim(A, p, axis=1, keepdims=False)
+
+
+def gather_columns(A, idx) -> jnp.ndarray:
+    """A[:, idx] with a static-length index vector (multiple-pricing refill)."""
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(A, _bsp.BlockSparse):
+        return _bsp.gather_columns(A, idx)
+    return jnp.take(A, idx, axis=1)
+
+
+def matvec(A, x) -> jnp.ndarray:
+    """A @ x at exact precision, dense or BlockSparse (effective-rhs path)."""
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(A, _bsp.BlockSparse):
+        return _bsp.matvec(A, x.astype(A.dtype)).astype(x.dtype)
+    return jnp.matmul(
+        A.astype(x.dtype), x, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def devex_choose(
@@ -108,6 +137,32 @@ def devex_choose(
     p_bland = jnp.argmax(neg)
     p = jnp.where(use_bland, p_bland, p_devex)
     return p.astype(jnp.int32), jnp.min(e)
+
+
+def devex_choose_bounded(
+    e: jnp.ndarray,
+    gamma: jnp.ndarray,
+    at_upper: jnp.ndarray,
+    eps: float,
+    use_bland: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`devex_choose` under the bounded-variable rule.
+
+    Eligibility flips sign for nonbasic-at-upper columns (they improve by
+    DEcreasing): ``s_j = at_upper ? -e_j : e_j``, eligible when
+    ``s_j < -eps``. The score ``e^2/gamma`` is sign-free, so the weights
+    themselves need no bound awareness — only the eligibility mask and the
+    returned termination value ``min s`` do. Basic columns are not masked
+    (their maintained e is ~0); a drifted basic pick is caught by the
+    caller's exact staleness recheck, exactly as in the unbounded rule.
+    """
+    s = jnp.where(at_upper, -e, e)
+    neg = s < -eps
+    score = jnp.where(neg, (e * e) / gamma, -jnp.inf)
+    p_devex = jnp.argmax(score)
+    p_bland = jnp.argmax(neg)
+    p = jnp.where(use_bland, p_bland, p_devex)
+    return p.astype(jnp.int32), jnp.min(s)
 
 
 def choose_entering_bounded(
@@ -236,6 +291,10 @@ def pricing_update(A: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
     default f32 matmul is single-pass bf16, and that noise compounds into
     divergent pivot choices (observed at 8k x 16k on v5e). HIGHEST costs only
     extra MXU passes over the same HBM bytes; the pass stays HBM-bound."""
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(A, _bsp.BlockSparse):
+        return _bsp.rmatvec(A, rho.astype(A.dtype)).astype(rho.dtype)
     return jnp.matmul(rho, A.astype(rho.dtype), precision=jax.lax.Precision.HIGHEST)
 
 
@@ -246,6 +305,10 @@ def gather_cost(c: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
 
 def gather_basis_matrix(A: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
     """A[:, basis] — the true basis matrix, used by refactorization."""
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(A, _bsp.BlockSparse):
+        return _bsp.gather_columns(A, basis)
     return jnp.take(A, basis, axis=1)
 
 

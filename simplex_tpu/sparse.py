@@ -192,6 +192,74 @@ def rmatvec(M: BlockSparse, y) -> jnp.ndarray:
     return x.reshape(-1)[: M.shape[1]]
 
 
+def gather_column(M: BlockSparse, j) -> jnp.ndarray:
+    """``M[:, j]`` as a dense (m,) vector, with ``j`` a traced scalar.
+
+    The simplex core's ftran gathers one column per pivot (the reference's
+    ``d_A + p * m`` pointer arithmetic, ``src/v4_cub_reduction.cu:307-308``).
+    Here: dynamic-slice the j-th in-tile column out of every stored tile
+    ((T, br) read — stored bytes / bc, not O(mn)), mask to the tiles whose
+    tile-column matches, and segment-sum by tile-row. Tiles never overlap
+    (unique (row, col) pairs by construction), so the sum is exact."""
+    br, bc = M.block_shape
+    gr, _ = M.grid
+    j = jnp.asarray(j, jnp.int32)
+    jb = j // bc
+    colt = jax.lax.dynamic_index_in_dim(
+        M.tiles, j % bc, axis=2, keepdims=False
+    )  # (T, br)
+    contrib = jnp.where((M.cols == jb)[:, None], colt, 0)
+    y = jax.ops.segment_sum(contrib, M.rows, num_segments=gr)  # (gr, br)
+    return y.reshape(-1)[: M.shape[0]]
+
+
+def gather_columns(M: BlockSparse, idx, chunk: int = 256) -> jnp.ndarray:
+    """``M[:, idx]`` as a dense (m, k) matrix (k = len(idx), static).
+
+    Used by refactorization (the true basis matrix ``A[:, basis]``) and the
+    multiple-pricing refill. vmapping :func:`gather_column` materializes a
+    (k, T, br) gather intermediate, so columns are produced in ``chunk``-wide
+    batches under ``lax.map`` — peak extra memory T*br*chunk floats instead
+    of T*br*k."""
+    idx = jnp.asarray(idx, jnp.int32)
+    k = idx.shape[0]
+    gcol = jax.vmap(lambda j: gather_column(M, j), out_axes=1)
+    if k <= chunk:
+        return gcol(idx)
+    nch = -(-k // chunk)
+    pad = nch * chunk - k
+    idx_p = jnp.pad(idx, (0, pad)).reshape(nch, chunk)
+    out = jax.lax.map(gcol, idx_p)  # (nch, m, chunk)
+    return out.transpose(1, 0, 2).reshape(M.shape[0], nch * chunk)[:, :k]
+
+
+def gather_columns_host(M: BlockSparse, idx) -> np.ndarray:
+    """Host-side ``M[:, idx]`` as a dense f64 (m, k) numpy array.
+
+    The f64 polish needs the basis columns on the HOST (core/solver.py
+    ``_polish_refine``); for a sparse solve the cheap pull is the stored
+    tiles (the whole point of the format), not a dense device A that never
+    existed. One tiles pull, then pure numpy assembly."""
+    tiles = np.asarray(M.tiles, np.float64)
+    rows = np.asarray(M.rows)
+    cols = np.asarray(M.cols)
+    br, bc = M.block_shape
+    m = M.shape[0]
+    idx = np.asarray(idx, np.int64)
+    out = np.zeros((m, len(idx)), np.float64)
+    order = np.argsort(cols, kind="stable")
+    sorted_cols = cols[order]
+    for k, j in enumerate(idx):
+        jb, jo = j // bc, j % bc
+        lo = np.searchsorted(sorted_cols, jb)
+        hi = np.searchsorted(sorted_cols, jb, side="right")
+        for t in order[lo:hi]:
+            r0 = rows[t] * br
+            seg = tiles[t, : min(br, m - r0), jo]
+            out[r0 : r0 + len(seg), k] += seg
+    return out
+
+
 def row_absmax(M: BlockSparse) -> jnp.ndarray:
     """max_j |M_ij| per logical row (padding rows excluded by slicing)."""
     gr, _ = M.grid

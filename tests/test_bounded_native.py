@@ -188,13 +188,16 @@ def test_flagship_configs_bounded(cfg):
     check(A, b, c, u, options=SimplexOptions(dtype=np.float32, **cfg))
 
 
-def test_devex_rejected_with_bounds():
+def test_devex_accepted_with_bounds():
+    # round-3: the dantzig-only restriction is lifted (devex_choose_bounded;
+    # see tests/test_bounded_pricing.py for the full parity/exactness suite)
     A = np.array([[1.0, 1.0]])
     b = np.array([1.0])
     c = np.array([1.0, 0.0])
     u = np.array([2.0, np.inf])
-    with pytest.raises(NotImplementedError):
-        solve(A, b, c, u=u, options=SimplexOptions(pricing="devex"))
+    res = solve(A, b, c, u=u, options=SimplexOptions(pricing="devex"))
+    assert res.status == SolveStatus.OPTIMAL
+    assert abs(res.z - 1.0) < 1e-6
 
 
 def test_all_inf_u_is_classic_path():

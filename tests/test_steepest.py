@@ -102,11 +102,12 @@ def test_steepest_rejects_unsupported_combos():
             A, b, c,
             options=SimplexOptions(pricing="steepest", multi_price=4),
         )
-    with pytest.raises(NotImplementedError):
-        solve(
-            A, b, c, u=np.full(10, 2.0),
-            options=SimplexOptions(pricing="steepest"),
-        )
+    # native bounds compose since round 3 (tests/test_bounded_pricing.py)
+    res = solve(
+        A, b, c, u=np.full(10, 2.0),
+        options=SimplexOptions(pricing="steepest"),
+    )
+    assert res.status == SolveStatus.OPTIMAL
 
 
 def test_steepest_rejected_by_sharded_modes():
