@@ -329,6 +329,15 @@ def bench_general(args) -> None:
     log(f"devices: {jax.devices()}")
     log(f"generating multiperiod T={T} P={P}: {m} rows, {3*T*P} bounded cols")
     lp = multiperiod_production_lp(T, P, seed=0)
+    sparse = getattr(args, "sparse", False)
+    if sparse:
+        # route the SAME instance through the sparse pipeline: scipy csc
+        # standardization -> BlockSparse device solve (dense A never built)
+        import scipy.sparse as sps
+
+        lp = lp._replace(A=sps.csc_matrix(np.asarray(lp.A)))
+        # segmented pricing slices dense columns — unsupported on tiles
+        args.partial_pricing = 0
     opts = SimplexOptions(
         backend=args.backend,
         pricing_dtype=args.pricing_dtype,
@@ -355,14 +364,17 @@ def bench_general(args) -> None:
 
     log("oracle: HiGHS f64 on the same instance (host)...")
     t1 = time.time()
-    ref = solve_scipy_general(lp)
+    ref = solve_scipy_general(
+        lp if not sparse else lp._replace(A=np.asarray(lp.A.todense()))
+    )
     oracle_dt = time.time() - t1
     log(f"oracle: {ref.status.name} z={ref.z} in {oracle_dt:.1f}s")
     gap = relative_gap(res.z, ref.z) if ref.z is not None else None
     if gap is not None:
         log(f"rel_gap={gap:.3e} ({'OK' if gap < 1e-6 else 'FAIL'} @ 1e-6 gate)")
+    tag = "_sparse" if sparse else ""
     print(json.dumps({
-        "metric": f"seconds_to_optimal_general_{m}rows_T{T}P{P}_fp32",
+        "metric": f"seconds_to_optimal_general_{m}rows_T{T}P{P}{tag}_fp32",
         "value": round(dt, 2),
         "unit": "seconds",
         # the reference has no general-form route at all (canonical-form

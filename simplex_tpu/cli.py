@@ -21,22 +21,29 @@ import sys
 import numpy as np
 
 
-def _load(path: str, use_mps: bool):
+def _load(path: str, use_mps: bool, sparse: bool = False):
     """Returns ``(loaded, c0, maximize)`` where ``loaded`` is either
     ``(A, b, c, basis0)`` in canonical form or a :class:`GeneralLP` (routed
     to the two-phase solver when the MPS instance has >= / = rows or
     non-default bounds). The solver always maximizes; ``c0``/``maximize``
-    let the caller report the objective in the instance's own sense."""
+    let the caller report the objective in the instance's own sense.
+
+    ``sparse=True`` (MPS only) keeps A a scipy.sparse matrix end-to-end:
+    the reader builds csc from the COLUMNS triplets, the two-phase
+    standardization stays sparse, and the core solver tiles to a
+    BlockSparse — dense A never materializes (always the general route;
+    the canonical-form shortcut slices dense arrays)."""
     if use_mps or path.endswith(".mps"):
         from simplex_tpu.core.twophase import GeneralLP
         from simplex_tpu.io.mps import mps_to_canonical, read_mps
 
-        prob = read_mps(path)
+        prob = read_mps(path, sparse=sparse)
         default_bounds = not (
             np.any(prob.lower != 0) or np.any(np.isfinite(prob.upper))
         )
         if (
-            default_bounds
+            not sparse
+            and default_bounds
             and all(t == "L" for t in prob.row_types)
             and np.all(prob.b >= 0)
         ):
@@ -117,9 +124,12 @@ def cmd_solve(args) -> int:
     from simplex_tpu.core.twophase import GeneralLP, solve_general
 
     timer = PhaseTimer()
+    if args.sparse and not (args.mps or args.input.endswith(".mps")):
+        print("error: --sparse requires an MPS input (--mps)", file=sys.stderr)
+        return 1
     with timer.phase("Read file"):
         try:
-            loaded, c0, maximize = _load(args.input, args.mps)
+            loaded, c0, maximize = _load(args.input, args.mps, args.sparse)
         except (OSError, ValueError, NotImplementedError) as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 1
@@ -413,6 +423,12 @@ def main(argv=None) -> int:
         "--crossover", action="store_true",
         help="with --algo pdhg: purify the first-order point to an exact "
         "vertex (basis identification + short warm simplex cleanup)",
+    )
+    ps.add_argument(
+        "--sparse", action="store_true",
+        help="MPS inputs: keep A scipy.sparse end-to-end (sparse "
+        "standardization + BlockSparse device solve; dense A never "
+        "materializes). Always routes through the general pipeline.",
     )
     common(ps)
     ps.set_defaults(fn=cmd_solve)

@@ -105,11 +105,19 @@ def dual_pivot_step(
 
     # ---- btran row + exact reduced costs in ONE (2, m) x (m, n) GEMM ----
     binv_r = jax.lax.dynamic_index_in_dim(state.B_inv, r, axis=0, keepdims=False)
-    YW = jnp.matmul(
-        jnp.stack([state.y, binv_r]), prob.A.astype(dtype), precision=_EXACT
-    )
-    e = YW[0] - prob.c.astype(dtype)
-    w = YW[1]
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(prob.A, _bsp.BlockSparse):
+        # sparse A: two stored-tile passes instead of one fused dense GEMM
+        # (same exact f32 accumulation; traffic = 2x tiles, not 2x dense)
+        e = _bsp.rmatvec(prob.A, state.y).astype(dtype) - prob.c.astype(dtype)
+        w = _bsp.rmatvec(prob.A, binv_r).astype(dtype)
+    else:
+        YW = jnp.matmul(
+            jnp.stack([state.y, binv_r]), prob.A.astype(dtype), precision=_EXACT
+        )
+        e = YW[0] - prob.c.astype(dtype)
+        w = YW[1]
 
     # ---- dual ratio test over nonbasic columns ----
     is_basic = jnp.zeros((n,), bool).at[state.basis].set(True)
@@ -207,9 +215,9 @@ def dual_pivot_step(
         ).astype(dtype)
 
         def _apply_flips(xb):
-            return xb - state.B_inv @ jnp.matmul(
-                prob.A.astype(dtype), dxN, precision=_EXACT
-            )
+            from simplex_tpu.kernels import xla as _xk
+
+            return xb - state.B_inv @ _xk.matvec(prob.A, dxN)
 
         x_b_base = jax.lax.cond(
             jnp.any(flip_mask), _apply_flips, lambda xb: xb, state.x_b
@@ -422,32 +430,54 @@ def _entry_dual_feasibility(A, c, basis_arr, at_upper0, u, opts) -> float:
     fixed_np = None
     if u is not None:
         fixed_np = np.asarray(u, np.float64) <= 0
-    if m <= 2048:
-        A64 = np.asarray(A, np.float64)
+    from simplex_tpu import sparse as _bsp
+
+    sp_host = False
+    try:
+        import scipy.sparse as _sps
+
+        sp_host = _sps.issparse(A)
+    except ImportError:  # pragma: no cover - scipy is a baked-in dep
+        pass
+    # BlockSparse always routes to the device branch (assembling dense A
+    # from tiles on the host would defeat the format; the fp32 device check
+    # matches the caller's fp32-scaled tolerance)
+    if m <= 2048 and not isinstance(A, _bsp.BlockSparse):
         c64 = np.asarray(c, np.float64)
+        if sp_host:
+            B64 = np.asarray(A[:, basis_np].todense(), np.float64)
+        else:
+            B64 = np.asarray(A, np.float64)[:, basis_np]
         try:
-            y = np.linalg.solve(A64[:, basis_np].T, c64[basis_np])
+            y = np.linalg.solve(B64.T, c64[basis_np])
         except np.linalg.LinAlgError:
             return -np.inf  # singular entry basis: let the caller reject
-        e = y @ A64 - c64
+        # vec @ scipy.sparse returns a dense ndarray; same expression both ways
+        e = np.asarray(y @ A).ravel() - c64
         if at_upper0 is not None:
             e = np.where(np.asarray(at_upper0, bool), -e, e)
-        nonbasic = np.ones(A64.shape[1], bool)
+        nonbasic = np.ones(A.shape[1], bool)
         nonbasic[basis_np] = False
         if fixed_np is not None:
             nonbasic &= ~fixed_np
         return float(np.min(e[nonbasic])) if nonbasic.any() else 0.0
     from simplex_tpu.core.linalg import inverse_newton
+    from simplex_tpu.kernels import xla as _xk
 
-    Aj = jnp.asarray(A, jnp.float32)
-    B = jnp.take(Aj, jnp.asarray(basis_np, jnp.int32), axis=1)
+    if isinstance(A, _bsp.BlockSparse):
+        Aj = A.astype(jnp.float32)
+    elif sp_host:
+        Aj = _bsp.from_scipy(A, dtype=jnp.float32)
+    else:
+        Aj = jnp.asarray(A, jnp.float32)
+    B = _xk.gather_basis_matrix(Aj, jnp.asarray(basis_np, jnp.int32))
     B_inv, resid = inverse_newton(B)
     if not np.isfinite(float(resid)) or float(resid) > 1e-2:
         return -np.inf
     cj = jnp.asarray(c, jnp.float32)
     y = jnp.matmul(jnp.take(cj, jnp.asarray(basis_np, jnp.int32)), B_inv,
                    precision=_EXACT)
-    e = jnp.matmul(y, Aj, precision=_EXACT) - cj
+    e = _xk.reduced_costs(y, Aj, cj)
     if at_upper0 is not None:
         e = jnp.where(jnp.asarray(at_upper0, bool), -e, e)
     e = e.at[jnp.asarray(basis_np, jnp.int32)].set(jnp.inf)
@@ -491,17 +521,38 @@ def solve_dual(
     from simplex_tpu.core.solver import finalize_result
     from simplex_tpu import sparse as _bsp
 
-    if isinstance(A, _bsp.BlockSparse):
-        raise NotImplementedError(
-            "solve_dual needs dense A (its btran row extraction and entry "
-            "check are dense passes); convert via .to_dense() or use the "
-            "primal solve(), which takes sparse A directly"
-        )
     A_host = A if isinstance(A, np.ndarray) else None
-    A = jnp.asarray(A)
+    is_sparse = isinstance(A, _bsp.BlockSparse)
+    if not is_sparse:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            # scipy input, as in solve(): tile for the device, keep scipy
+            # as the host reference (polish + entry check)
+            A_host = A.tocsc()
+            A = _bsp.from_scipy(A_host, dtype=options.dtype)
+            is_sparse = True
+    if not is_sparse:
+        A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
+    if is_sparse:
+        # the dual loop reads A through rmatvec / column gathers only; the
+        # same combination guards as the sparse primal path apply
+        if options.backend != "xla":
+            raise NotImplementedError("sparse A requires backend='xla'")
+        if options.pricing in ("devex", "steepest"):
+            raise NotImplementedError(
+                f"pricing='{options.pricing}' is not wired for sparse A "
+                "yet; use dantzig (the primal cleanup loop runs in the "
+                "same executable)"
+            )
+        if options.partial_pricing > 1:
+            raise NotImplementedError(
+                "segmented pricing slices dense column ranges; use the "
+                "default full pass with sparse A"
+            )
     if m > n:
         raise ValueError(f"m > n ({m} > {n}): not a canonical-form LP")
     slack = basis0 is None

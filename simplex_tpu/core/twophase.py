@@ -14,6 +14,12 @@ module closes that gap the standard way:
 
 Both phases run the same jitted device solver; the between-phase bookkeeping
 is O(m^2) host numpy.
+
+``lp.A`` may be a scipy.sparse matrix (round 3): the standardization then
+stays sparse end-to-end — column transforms and the slack/artificial blocks
+build a csc ``A_std`` which the core solver tiles to a BlockSparse — so a
+netlib-class instance read with ``read_mps(..., sparse=True)`` never
+materializes dense A anywhere in the pipeline.
 """
 
 from __future__ import annotations
@@ -28,6 +34,27 @@ from simplex_tpu.logging import fields, get_logger
 from simplex_tpu.status import SolveStatus
 
 _log = get_logger("twophase")
+
+
+def _issparse(A) -> bool:
+    try:
+        import scipy.sparse as sps
+
+        return sps.issparse(A)
+    except ImportError:  # pragma: no cover - scipy is a baked-in dep
+        return False
+
+
+def _shape(A):
+    """(m, k) for dense array-likes and scipy.sparse alike."""
+    return A.shape if _issparse(A) else np.asarray(A).shape
+
+
+def _colv(A, j) -> np.ndarray:
+    """A[:, j] as a DENSE f64 vector, dense or sparse."""
+    if _issparse(A):
+        return np.asarray(A[:, [int(j)]].todense(), np.float64).ravel()
+    return np.asarray(A[:, j], np.float64)
 
 
 class GeneralLP(NamedTuple):
@@ -103,14 +130,43 @@ def _preprocess_bounds(lp: GeneralLP):
     ``z_const`` satisfies ``c.x == c2.x' + z_const``; or
     ``(None, None, None)`` when some lo > up (trivially infeasible).
     """
-    m, k = np.asarray(lp.A).shape
+    sparse = _issparse(lp.A)
+    if sparse:
+        import scipy.sparse as sps
+
+        A = lp.A.tocsc().astype(np.float64)
+        m, k = A.shape
+
+        def _dense_col(j):
+            return np.asarray(A[:, [j]].todense()).ravel()
+
+        def _col(j):
+            return A[:, [j]]
+
+        def _stack(cs):
+            return sps.hstack(cs, format="csc") if cs else sps.csc_matrix(
+                (m, 0), dtype=np.float64
+            )
+
+    else:
+        A = np.asarray(lp.A, np.float64)
+        m, k = A.shape
+
+        def _dense_col(j):
+            return A[:, j]
+
+        def _col(j):
+            return A[:, j]
+
+        def _stack(cs):
+            return np.stack(cs, axis=1) if cs else np.zeros((m, 0))
+
     lower = (
         np.zeros(k) if lp.lower is None else np.asarray(lp.lower, np.float64)
     )
     upper = (
         np.full(k, np.inf) if lp.upper is None else np.asarray(lp.upper, np.float64)
     )
-    A = np.asarray(lp.A, np.float64)
     b = np.asarray(lp.b, np.float64).copy()
     c = np.asarray(lp.c, np.float64)
 
@@ -122,7 +178,7 @@ def _preprocess_bounds(lp: GeneralLP):
         lp2 = GeneralLP(A=A, b=b, c=c, row_types=list(lp.row_types))
         return lp2, (lambda x: x), 0.0
 
-    cols: List[np.ndarray] = []
+    cols: List = []
     costs: List[float] = []
     ubs: List[float] = []  # residual native upper per new column (+inf = none)
     ops = []  # per original var: ('shift',i,lo) | ('reflect',i,up) | ('split',i,j) | ('fixed',v)
@@ -131,43 +187,42 @@ def _preprocess_bounds(lp: GeneralLP):
         lo, up = lower[j], upper[j]
         if np.isfinite(lo) and np.isfinite(up) and up - lo <= 1e-12:
             # fixed variable: substitute out
-            b -= A[:, j] * lo
+            if lo != 0.0:
+                b -= _dense_col(j) * lo
             z_const += c[j] * lo
             ops.append(("fixed", lo))
         elif np.isfinite(lo):
             if lo != 0.0:
-                b -= A[:, j] * lo
+                b -= _dense_col(j) * lo
                 z_const += c[j] * lo
             idx = len(cols)
-            cols.append(A[:, j])
+            cols.append(_col(j))
             costs.append(c[j])
             ubs.append(up - lo if np.isfinite(up) else np.inf)
             ops.append(("shift", idx, lo))
         elif np.isfinite(up):
             # free below, bounded above: reflect  x = up - x'
-            b -= A[:, j] * up
+            b -= _dense_col(j) * up
             z_const += c[j] * up
             idx = len(cols)
-            cols.append(-A[:, j])
+            cols.append(-_col(j))
             costs.append(-c[j])
             ubs.append(np.inf)
             ops.append(("reflect", idx, up))
         else:
             # free: split  x = x+ - x-
             i1 = len(cols)
-            cols.append(A[:, j])
+            cols.append(_col(j))
             costs.append(c[j])
             ubs.append(np.inf)
             i2 = len(cols)
-            cols.append(-A[:, j])
+            cols.append(-_col(j))
             costs.append(-c[j])
             ubs.append(np.inf)
             ops.append(("split", i1, i2))
 
     k2 = len(cols)
-    A2 = (
-        np.stack(cols, axis=1) if k2 else np.zeros((m, 0))
-    )
+    A2 = _stack(cols)
     c2 = np.asarray(costs)
     types2 = list(lp.row_types)
     u2 = np.asarray(ubs) if ubs else np.full(k2, np.inf)
@@ -205,7 +260,13 @@ def _standardize(lp: GeneralLP, flips_override=None):
     column layout (slack signs, artificial rows) must match the stored
     basis exactly, and the dual warm start doesn't need b >= 0 anyway.
     """
-    A = np.asarray(lp.A, np.float64)
+    sparse = _issparse(lp.A)
+    if sparse:
+        import scipy.sparse as sps
+
+        A = lp.A.tocsc().astype(np.float64)
+    else:
+        A = np.asarray(lp.A, np.float64).copy()
     b = np.asarray(lp.b, np.float64).copy()
     c = np.asarray(lp.c, np.float64)
     m, k = A.shape
@@ -215,7 +276,6 @@ def _standardize(lp: GeneralLP, flips_override=None):
     # flip rows so b >= 0 (L <-> G under negation)
     types = []
     flips = np.ones(m)
-    A = A.copy()
     for i, t in enumerate(lp.row_types):
         t = t.upper()
         if t not in ("L", "G", "E"):
@@ -226,11 +286,16 @@ def _standardize(lp: GeneralLP, flips_override=None):
             else b[i] < 0
         )
         if do_flip:
-            A[i] *= -1
+            if not sparse:
+                A[i] *= -1
             b[i] *= -1
             t = {"L": "G", "G": "L", "E": "E"}[t]
             flips[i] = -1.0
         types.append(t)
+    if sparse and np.any(flips < 0):
+        # one diagonal scale instead of per-row in-place edits (csc rows
+        # are not writable slices)
+        A = sps.diags(flips).tocsr() @ A
 
     slack_cols = []  # (row, sign)
     for i, t in enumerate(types):
@@ -238,20 +303,43 @@ def _standardize(lp: GeneralLP, flips_override=None):
             slack_cols.append((i, 1.0))
         elif t == "G":
             slack_cols.append((i, -1.0))
-    S = np.zeros((m, len(slack_cols)))
     basis_from_slack = {}
     for j, (i, sgn) in enumerate(slack_cols):
-        S[i, j] = sgn
         if sgn > 0:
             basis_from_slack[i] = k + j  # +1 slack can start basic
 
     # artificials for rows with no +1 slack
     art_rows = [i for i in range(m) if i not in basis_from_slack]
-    R = np.zeros((m, len(art_rows)))
-    for j, i in enumerate(art_rows):
-        R[i, j] = 1.0
 
-    A_std = np.concatenate([A, S, R], axis=1)
+    if sparse:
+        S = sps.coo_matrix(
+            (
+                [sgn for (_, sgn) in slack_cols],
+                (
+                    [i for (i, _) in slack_cols],
+                    list(range(len(slack_cols))),
+                ),
+            ),
+            shape=(m, len(slack_cols)),
+            dtype=np.float64,
+        )
+        R = sps.coo_matrix(
+            (
+                np.ones(len(art_rows)),
+                (art_rows, list(range(len(art_rows)))),
+            ),
+            shape=(m, len(art_rows)),
+            dtype=np.float64,
+        )
+        A_std = sps.hstack([A, S, R], format="csc")
+    else:
+        S = np.zeros((m, len(slack_cols)))
+        for j, (i, sgn) in enumerate(slack_cols):
+            S[i, j] = sgn
+        R = np.zeros((m, len(art_rows)))
+        for j, i in enumerate(art_rows):
+            R[i, j] = 1.0
+        A_std = np.concatenate([A, S, R], axis=1)
     n_real = k + S.shape[1]
     art_cols = np.arange(n_real, n_real + len(art_rows), dtype=np.int32)
     basis1 = np.empty(m, np.int32)
@@ -292,14 +380,22 @@ def _drive_out_artificials(A_std, basis, art_set, tol=1e-7, at_upper=None):
     art_rows = [r for r in range(m) if basis[r] in art_set]
     if not art_rows:
         return basis
+    sparse = _issparse(A_std)
     blocked = np.zeros(n, bool)  # basic or artificial columns
     blocked[list(art_set)] = True
     blocked[basis] = True
     if at_upper is not None:
         blocked |= np.asarray(at_upper, bool)
-    B_inv = np.linalg.inv(A_std[:, basis])
+    B = (
+        np.asarray(A_std[:, basis].todense())
+        if sparse
+        else A_std[:, basis]
+    )
+    B_inv = np.linalg.inv(B)
     for r in art_rows:
+        # vec @ sparse returns a dense (n,) ndarray; same expression either way
         row = np.abs(B_inv[r] @ A_std)
+        row = np.asarray(row).ravel()
         row[blocked] = 0.0
         j = int(np.argmax(row))
         if row[j] <= tol:
@@ -309,7 +405,7 @@ def _drive_out_artificials(A_std, basis, art_set, tol=1e-7, at_upper=None):
         basis[r] = j
         # product-form update: B_inv <- E B_inv with E's r-th column the eta
         # vector of the entering column (same math as the device pivot)
-        alpha = B_inv @ A_std[:, j]
+        alpha = B_inv @ _colv(A_std, j)
         u = -alpha / alpha[r]
         u[r] = 1.0 / alpha[r] - 1.0
         B_inv = B_inv + np.outer(u, B_inv[r])
@@ -335,7 +431,7 @@ def solve_general(
     simplex re-solves from the stored basis — the general-form face of
     :func:`simplex_tpu.analysis.reoptimize`.
     """
-    m_orig, k_orig = np.asarray(lp.A).shape
+    m_orig, k_orig = _shape(lp.A)
     lp, recover, z_const = _preprocess_bounds(lp)
     if lp is None:  # some lower bound exceeds its upper bound
         return GeneralSolveResult(

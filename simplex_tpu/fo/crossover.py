@@ -46,6 +46,13 @@ def identify_basis(A, x, u=None):
     """
     from scipy.linalg import qr
 
+    import scipy.sparse as sps
+
+    if sps.issparse(A):
+        # the pivoted QR below is inherently dense; a sparse caller pays
+        # one m x n densification HERE only (the cleanup solve afterwards
+        # goes back through the sparse core)
+        A = A.toarray()
     A = np.asarray(A, np.float64)
     m, n = A.shape
     x = np.asarray(x, np.float64)
@@ -91,8 +98,10 @@ def crossover(
     """
     x = np.asarray(fo_result.x, np.float64)
     basis0, at_upper0 = identify_basis(A, x, u=u)
+    # A passes through untouched: solve() takes scipy.sparse / BlockSparse
+    # natively (the cleanup then runs on the sparse core)
     return solve(
-        np.asarray(A),
+        A,
         b,
         c,
         u=u,

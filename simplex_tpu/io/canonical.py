@@ -129,7 +129,15 @@ def to_equality_form(lp) -> EqualityForm:
     lp2, recover, z_const = _preprocess_bounds(lp)
     if lp2 is None:
         raise ValueError("infeasible bounds: some lower exceeds its upper")
-    A = np.asarray(lp2.A, np.float64)
+    from simplex_tpu.core.twophase import _issparse
+
+    sparse = _issparse(lp2.A)
+    if sparse:
+        import scipy.sparse as sps
+
+        A = lp2.A.tocsc().astype(np.float64)
+    else:
+        A = np.asarray(lp2.A, np.float64)
     b = np.asarray(lp2.b, np.float64)
     c = np.asarray(lp2.c, np.float64)
     m, k2 = A.shape
@@ -140,10 +148,21 @@ def to_equality_form(lp) -> EqualityForm:
     )
     types = [t.upper() for t in lp2.row_types]
     aug = [i for i, t in enumerate(types) if t in ("L", "G")]
-    S = np.zeros((m, len(aug)))
-    for j, i in enumerate(aug):
-        S[i, j] = 1.0 if types[i] == "L" else -1.0
-    A_eq = np.concatenate([A, S], axis=1)
+    if sparse:
+        S = sps.coo_matrix(
+            (
+                [1.0 if types[i] == "L" else -1.0 for i in aug],
+                (aug, list(range(len(aug)))),
+            ),
+            shape=(m, len(aug)),
+            dtype=np.float64,
+        )
+        A_eq = sps.hstack([A, S], format="csc")
+    else:
+        S = np.zeros((m, len(aug)))
+        for j, i in enumerate(aug):
+            S[i, j] = 1.0 if types[i] == "L" else -1.0
+        A_eq = np.concatenate([A, S], axis=1)
     c_eq = np.concatenate([c, np.zeros(len(aug))])
     u_eq = np.concatenate([upper, np.full(len(aug), np.inf)])
     return EqualityForm(

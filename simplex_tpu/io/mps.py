@@ -40,7 +40,13 @@ class MPSProblem:
     c0: float = 0.0
 
 
-def read_mps(path: str | os.PathLike) -> MPSProblem:
+def read_mps(path: str | os.PathLike, sparse: bool = False) -> MPSProblem:
+    """Parse an MPS file. ``sparse=True`` stores ``A`` as a scipy.sparse
+    csc matrix built straight from the COLUMNS triplets — the dense (m, k)
+    array never materializes (netlib-class instances are >99% sparse; the
+    round-2 review flagged the unconditional densification here). The
+    whole downstream pipeline accepts it: ``solve_general`` standardizes
+    sparsely and the core solver tiles it to a BlockSparse."""
     with open(path, "r") as f:
         lines = f.readlines()
 
@@ -152,16 +158,32 @@ def read_mps(path: str | os.PathLike) -> MPSProblem:
         raise ValueError("MPS file has no objective (N) row")
 
     m, k = len(row_order), len(col_order)
-    A = np.zeros((m, k))
     c = np.zeros(k)
     row_pos = {rn: idx for idx, rn in enumerate(row_order)}
+    if sparse:
+        ii: List[int] = []
+        jj: List[int] = []
+        vv: List[float] = []
+    else:
+        A = np.zeros((m, k))
     for jcol, cn in enumerate(col_order):
         for rn, val in col_entries[cn].items():
             if rn == obj_row:
                 c[jcol] = val
             elif rn in row_pos:
-                A[row_pos[rn], jcol] = val
+                if sparse:
+                    ii.append(row_pos[rn])
+                    jj.append(jcol)
+                    vv.append(val)
+                else:
+                    A[row_pos[rn], jcol] = val
             # entries for ignored free rows are dropped
+    if sparse:
+        import scipy.sparse as sps
+
+        A = sps.coo_matrix(
+            (vv, (ii, jj)), shape=(m, k), dtype=np.float64
+        ).tocsc()
     b = np.array([rhs.get(rn, 0.0) for rn in row_order])
     types = [row_types[rn] for rn in row_order]
     names = list(row_order)
@@ -188,9 +210,18 @@ def read_mps(path: str | os.PathLike) -> MPSProblem:
             b[i] = hi
             extra_rows.append((rn + "__rlo", "G", lo, i))
     if extra_rows:
-        A = np.concatenate(
-            [A, np.stack([A[src] for (_, _, _, src) in extra_rows])], axis=0
-        )
+        if sparse:
+            import scipy.sparse as sps
+
+            A = sps.vstack(
+                [A] + [A[src] for (_, _, _, src) in extra_rows],
+                format="csc",
+            )
+        else:
+            A = np.concatenate(
+                [A, np.stack([A[src] for (_, _, _, src) in extra_rows])],
+                axis=0,
+            )
         b = np.concatenate([b, [v for (_, _, v, _) in extra_rows]])
         types += [t for (_, t, _, _) in extra_rows]
         names += [nm for (nm, _, _, _) in extra_rows]

@@ -145,10 +145,14 @@ def test_solve_sparse_guards():
         )
 
 
-def test_solve_dual_rejects_sparse():
+def test_solve_dual_sparse_guards():
+    """solve_dual accepts sparse A (tests/test_sparse_general.py proves the
+    warm path); the unsupported knob combinations reject clearly."""
     from simplex_tpu.core.dual import solve_dual
 
     A, b, c = _sparse_canonical(8, 20, density=0.3, seed=28)
     M = bsp.from_dense(A, block_shape=(8, 8))
-    with pytest.raises(NotImplementedError, match="dense"):
-        solve_dual(M, b, c)
+    with pytest.raises(NotImplementedError, match="backend"):
+        solve_dual(M, b, c, options=SimplexOptions(backend="pallas"))
+    with pytest.raises(NotImplementedError, match="devex"):
+        solve_dual(M, b, c, options=SimplexOptions(pricing="devex"))

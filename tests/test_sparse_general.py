@@ -1,0 +1,182 @@
+"""Sparse general pipeline: MPS -> scipy.sparse -> two-phase -> BlockSparse.
+
+Round-3 follow-through on the fully sparse core: `read_mps(sparse=True)`
+never builds dense A, `solve_general` standardizes in csc (column
+transforms, row flips, slack/artificial blocks), and the device solve runs
+on tiles — so the answer must be IDENTICAL (same status, objective, duals)
+to the dense route on every fixture, including the tricky bound vocabulary
+(shift/reflect/split/fixed), RANGES row expansion, and infeasible exits.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from simplex_tpu.core.twophase import GeneralLP, solve_general
+from simplex_tpu.io.mps import read_mps
+from simplex_tpu.oracle.reference import relative_gap, solve_scipy_general
+from simplex_tpu.status import SolveStatus
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+FIXTURES = [
+    "transport2x3.mps",
+    "multiperiod16x8.mps",
+    "prod_bounded.mps",
+    "blend_ranges.mps",
+    "freevar_mi.mps",
+]
+
+
+@pytest.mark.parametrize("fname", FIXTURES)
+def test_read_mps_sparse_equals_dense(fname):
+    d = read_mps(os.path.join(DATA, fname))
+    s = read_mps(os.path.join(DATA, fname), sparse=True)
+    assert sps.issparse(s.A)
+    np.testing.assert_allclose(np.asarray(s.A.todense()), d.A, atol=0)
+    np.testing.assert_allclose(s.b, d.b, atol=0)
+    np.testing.assert_allclose(s.c, d.c, atol=0)
+    np.testing.assert_allclose(s.lower, d.lower, atol=0)
+    np.testing.assert_allclose(s.upper, d.upper, atol=0)
+    assert s.row_types == d.row_types and s.col_names == d.col_names
+    assert s.c0 == d.c0
+
+
+def _general_pair(prob):
+    """(dense GeneralLP, sparse GeneralLP) for one MPSProblem-like fixture."""
+    c = prob.c if prob.maximize else -prob.c
+    mk = lambda A: GeneralLP(
+        A=A, b=prob.b, c=c, row_types=prob.row_types,
+        lower=prob.lower, upper=prob.upper,
+    )
+    A_d = prob.A if not sps.issparse(prob.A) else np.asarray(prob.A.todense())
+    return mk(A_d), mk(sps.csc_matrix(A_d))
+
+
+@pytest.mark.parametrize("fname", FIXTURES)
+def test_solve_general_sparse_matches_dense(fname):
+    prob = read_mps(os.path.join(DATA, fname), sparse=True)
+    lp_d, lp_s = _general_pair(prob)
+    rd = solve_general(lp_d)
+    rs = solve_general(lp_s)
+    assert rs.status == rd.status
+    if rd.status == SolveStatus.OPTIMAL:
+        assert relative_gap(rs.z, rd.z) < 1e-6, (rs.z, rd.z)
+        np.testing.assert_allclose(rs.y, rd.y, rtol=1e-4, atol=1e-6)
+        ref = solve_scipy_general(lp_d)
+        assert relative_gap(rs.z, ref.z) < 1e-5
+
+
+def test_sparse_general_structured_instance():
+    """A netlib-class structured instance (transportation) routed sparse,
+    at a size where the sparsity is real (tile density < 1)."""
+    from simplex_tpu.oracle.generator import transportation_lp
+
+    lp = transportation_lp(16, 12, seed=3, balanced=False)
+    lp_s = lp._replace(A=sps.csc_matrix(np.asarray(lp.A)))
+    ref = solve_scipy_general(lp)
+    rs = solve_general(lp_s)
+    assert rs.status == SolveStatus.OPTIMAL
+    assert relative_gap(rs.z, ref.z) < 1e-5
+
+
+def test_sparse_general_infeasible():
+    A = sps.csc_matrix(np.array([[1.0, 1.0], [1.0, 1.0]]))
+    lp = GeneralLP(
+        A=A, b=np.array([1.0, 3.0]), c=np.array([1.0, 1.0]),
+        row_types=["E", "E"],
+    )
+    assert solve_general(lp).status == SolveStatus.INFEASIBLE
+
+
+def test_cli_sparse_matches_dense():
+    """`solve --sparse` on a bounded MPS returns the dense route's optimum."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(*extra):
+        return subprocess.run(
+            [
+                sys.executable, "-m", "simplex_tpu.cli", "solve",
+                os.path.join(DATA, "prod_bounded.mps"), "--cpu", *extra,
+            ],
+            capture_output=True, text=True, cwd=repo, timeout=600,
+        )
+
+    rs, rd = run("--sparse"), run()
+    assert rs.returncode == rd.returncode == 0, rs.stderr
+    line = next(l for l in rd.stdout.splitlines() if "Optimum" in l)
+    assert line in rs.stdout
+    # --sparse without an MPS input is a clear error, not a crash
+    bad = subprocess.run(
+        [
+            sys.executable, "-m", "simplex_tpu.cli", "solve",
+            os.path.join(DATA, "sample.txt"), "--cpu", "--sparse",
+        ],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert bad.returncode == 1 and "MPS" in bad.stderr
+
+
+def test_crossover_sparse_instance():
+    """crossover() on a scipy A: dense QR for basis identification only,
+    then the sparse-core cleanup — vertex-exact answer at oracle parity."""
+    from simplex_tpu.fo.crossover import crossover
+    from simplex_tpu.fo.pdhg import solve_pdhg
+    from simplex_tpu.io.canonical import to_equality_form
+
+    prob = read_mps(os.path.join(DATA, "multiperiod16x8.mps"), sparse=True)
+    _, lp_s = _general_pair(prob)
+    eq = to_equality_form(lp_s)
+    assert sps.issparse(eq.A)
+    A32 = eq.A.astype(np.float32)
+    fo = solve_pdhg(A32, eq.b.astype(np.float32), eq.c.astype(np.float32),
+                    u=eq.u.astype(np.float32), tol=1e-4)
+    assert fo.status == SolveStatus.OPTIMAL
+    vert = crossover(A32, eq.b.astype(np.float32), eq.c.astype(np.float32),
+                     fo, u=eq.u.astype(np.float32))
+    assert vert.status == SolveStatus.OPTIMAL
+    ref = solve_scipy_general(_general_pair(prob)[0])
+    assert relative_gap(vert.z + eq.z_const, ref.z) < 1e-5
+    assert vert.feas_err < 1e-4
+
+
+def test_sparse_general_warm_restart():
+    """RHS warm re-solves run fully sparse too: the dual loop's btran row
+    is a tile rmatvec. Same answer as the dense warm route and a cold
+    sparse re-solve."""
+    prob = read_mps(os.path.join(DATA, "multiperiod16x8.mps"), sparse=True)
+    lp_d, lp_s = _general_pair(prob)
+    rs = solve_general(lp_s)
+    assert rs.status == SolveStatus.OPTIMAL and rs.warm is not None
+    b2 = np.asarray(prob.b, np.float64) * 1.04
+    lp_d2, lp_s2 = lp_d._replace(b=b2), lp_s._replace(b=b2)
+    warm_s = solve_general(lp_s2, warm=rs.warm)
+    cold_d = solve_general(lp_d2)
+    assert warm_s.status == cold_d.status == SolveStatus.OPTIMAL
+    assert relative_gap(warm_s.z, cold_d.z) < 1e-5
+    ref = solve_scipy_general(lp_d2)
+    assert relative_gap(warm_s.z, ref.z) < 1e-5
+
+
+def test_solve_dual_sparse_direct():
+    """solve_dual takes scipy A directly: perturbed-RHS re-solve from the
+    optimal basis matches the cold sparse solve."""
+    from simplex_tpu import solve
+    from simplex_tpu.core.dual import solve_dual
+
+    from tests.test_sparse import _sparse_canonical
+
+    A, b, c = _sparse_canonical(16, 40, density=0.25, seed=31)
+    A_sp = sps.csr_matrix(A)
+    cold = solve(A_sp, b, c)
+    assert cold.status == SolveStatus.OPTIMAL
+    b2 = (np.asarray(b, np.float64) * 1.05).astype(np.float32)
+    warm = solve_dual(A_sp, b2, c, basis0=cold.basis)
+    cold2 = solve(A, b2, c)
+    assert warm.status == cold2.status == SolveStatus.OPTIMAL
+    assert relative_gap(warm.z, cold2.z) < 1e-5
+    assert warm.feas_err < 1e-5
