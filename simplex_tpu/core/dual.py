@@ -397,11 +397,21 @@ def _warm_jit(
             # norms (it never reads them), so the entry-basis gammas are
             # stale here; recompute exactly for the primal cleanup — one
             # (m, m) x (m, n) GEMM at the phase switch
-            T = jnp.matmul(
-                s.B_inv, prob.A.astype(dtype),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            s = s._replace(gamma=1 + jnp.sum(T * T, axis=0))
+            from simplex_tpu import sparse as _bsp2
+            from simplex_tpu.core.state import _steepest_gamma_sparse
+
+            if isinstance(prob.A, _bsp2.BlockSparse):
+                s = s._replace(
+                    gamma=_steepest_gamma_sparse(
+                        s.B_inv, prob.A.astype(dtype), dtype
+                    )
+                )
+            else:
+                T = jnp.matmul(
+                    s.B_inv, prob.A.astype(dtype),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                s = s._replace(gamma=1 + jnp.sum(T * T, axis=0))
         s = s._replace(status=jnp.int32(SolveStatus.RUNNING))
         return solve_state(prob, s, opts, max_iter, backend)
 
@@ -542,12 +552,6 @@ def solve_dual(
         # same combination guards as the sparse primal path apply
         if options.backend != "xla":
             raise NotImplementedError("sparse A requires backend='xla'")
-        if options.pricing in ("devex", "steepest"):
-            raise NotImplementedError(
-                f"pricing='{options.pricing}' is not wired for sparse A "
-                "yet; use dantzig (the primal cleanup loop runs in the "
-                "same executable)"
-            )
         if options.partial_pricing > 1:
             raise NotImplementedError(
                 "segmented pricing slices dense column ranges; use the "

@@ -332,11 +332,6 @@ def solve(
         # maintain dense incremental structures.
         if options.backend != "xla":
             raise NotImplementedError("sparse A requires backend='xla'")
-        if options.pricing in ("devex", "steepest"):
-            raise NotImplementedError(
-                f"pricing='{options.pricing}' is not wired for sparse A "
-                "yet; use dantzig (full pricing or multi_price)"
-            )
         if options.partial_pricing > 1:
             raise NotImplementedError(
                 "segmented pricing slices dense column ranges; sparse "

@@ -132,7 +132,19 @@ def _pricing_extras(
     norms are just the column norms of A)."""
     if pricing not in ("devex", "steepest"):
         return jnp.zeros((1,), dtype), jnp.ones((1,), dtype)
+    from simplex_tpu import sparse as _bsp
+
     A = prob.A.astype(dtype)
+    if isinstance(A, _bsp.BlockSparse):
+        e = (_bsp.rmatvec(A, y) - prob.c).astype(dtype)
+        if pricing == "steepest":
+            if B_inv is None:
+                gamma = (1 + _bsp.col_sumsq(A)).astype(dtype)
+            else:
+                gamma = _steepest_gamma_sparse(B_inv, A, dtype)
+        else:
+            gamma = jnp.ones(A.shape[1], dtype)
+        return e, gamma
     e = (y @ A - prob.c.astype(dtype)).astype(dtype)
     if pricing == "steepest":
         T = A if B_inv is None else jnp.matmul(
@@ -142,6 +154,26 @@ def _pricing_extras(
     else:
         gamma = jnp.ones(prob.A.shape[1], dtype)
     return e, gamma
+
+
+def _steepest_gamma_sparse(B_inv, A, dtype, chunk: int = 512):
+    """Exact steepest-edge init gamma_j = 1 + ||B_inv A_j||^2 for a
+    BlockSparse A: column chunks are gathered dense and pushed through one
+    (m, m) x (m, chunk) GEMM each — O(m^2 n) FLOPs like the dense init,
+    with peak extra memory m*chunk instead of the full dense (m, n) T."""
+    from simplex_tpu import sparse as _bsp
+
+    m, n = A.shape
+    nch = -(-n // chunk)
+    idx = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, nch * chunk - n))
+
+    def one(ids):
+        cols = _bsp.gather_columns(A, ids).astype(dtype)  # (m, chunk)
+        T = jnp.matmul(B_inv, cols, precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(T * T, axis=0)
+
+    out = jax.lax.map(one, idx.reshape(nch, chunk))
+    return (1 + out.reshape(-1)[:n]).astype(dtype)
 
 
 def _defer_extras(m: int, dtype, update_defer: int):

@@ -801,10 +801,10 @@ def refactorize(
         npend=jnp.int32(0),
     )
     if pricing in ("devex", "steepest"):
-        e = (
-            jnp.matmul(y, prob.A.astype(dtype), precision=_EXACT)
-            - prob.c.astype(dtype)
-        )
+        from simplex_tpu.kernels import xla as _xk
+
+        # pricing_update = the exact rmatvec (HIGHEST dense / tile passes)
+        e = _xk.pricing_update(prob.A.astype(dtype), y) - prob.c.astype(dtype)
         # devex: standard restart (reference weights reset to 1). Steepest:
         # KEEP gamma — the true norms depend only on the BASIS, which
         # refactorization does not change; recomputing them exactly would

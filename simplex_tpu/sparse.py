@@ -280,6 +280,16 @@ def absmax(M: BlockSparse) -> jnp.ndarray:
     return jnp.max(jnp.abs(M.tiles))
 
 
+def col_sumsq(M: BlockSparse) -> jnp.ndarray:
+    """sum_i M_ij^2 per logical column (steepest-edge init at the identity
+    slack basis: gamma_j = 1 + ||A_j||^2). Accumulates in f32+."""
+    _, gc = M.grid
+    t = M.tiles.astype(_acc(M.dtype))
+    per_tile = jnp.sum(t * t, axis=1)  # (T, bc)
+    out = jax.ops.segment_sum(per_tile, M.cols, num_segments=gc)
+    return out.reshape(-1)[: M.shape[1]]
+
+
 def scale(M: BlockSparse, r, c) -> BlockSparse:
     """Elementwise  diag(r) @ M @ diag(c)  (r logical (m,), c logical (n,));
     padding rows/cols scale by 1."""

@@ -136,13 +136,73 @@ def test_solve_sparse_guards():
     M = bsp.from_dense(A, block_shape=(8, 8))
     with pytest.raises(NotImplementedError, match="backend"):
         solve(M, b, c, options=SimplexOptions(backend="pallas"))
-    with pytest.raises(NotImplementedError, match="devex"):
-        solve(M, b, c, options=SimplexOptions(pricing="devex"))
     with pytest.raises(NotImplementedError, match="segmented|partial"):
         solve(
             M, b, c,
             options=SimplexOptions(partial_pricing=4, partial_min_segment=1),
         )
+
+
+@pytest.mark.parametrize("pricing", ["devex", "steepest"])
+def test_solve_sparse_weighted_pricing(pricing):
+    """devex / exact steepest-edge run on tiles too: the incremental
+    pricing pass (pricing_update) and the init/refactorize reduced-cost
+    recomputes are tile rmatvecs; steepest init at a general basis gathers
+    column chunks for the (m, m) x (m, chunk) norm GEMMs."""
+    A, b, c = _sparse_canonical(24, 60, density=0.2, seed=29)
+    M = bsp.from_dense(A, block_shape=(16, 16))
+    res = solve(
+        M, b, c, options=SimplexOptions(pricing=pricing, refactor_every=16)
+    )
+    ref = _check_against_oracle(A, b, c, res)
+    # general (non-slack) starting basis exercises the sparse steepest init
+    res2 = solve(M, b, c, basis0=ref_basis(res), options=SimplexOptions(
+        pricing=pricing))
+    assert res2.status == SolveStatus.OPTIMAL
+    assert relative_gap(res2.z, res.z) < 1e-6
+
+
+def ref_basis(res):
+    return res.basis
+
+
+def test_sparse_steepest_gamma_exact_per_pivot():
+    """Sparse steepest maintains the same EXACT Goldfarb-Reid norms as the
+    dense path: pinned against from-scratch f64 recomputation per pivot."""
+    import jax.numpy as jnp
+
+    from simplex_tpu.core.state import Problem, initial_state_slack
+    from simplex_tpu.core.step import pivot_step
+    from simplex_tpu.kernels.dispatch import get_backend
+
+    rng = np.random.default_rng(30)
+    m, kk = 10, 24
+    A0 = rng.uniform(0.2, 1.5, (m, kk))
+    A0[rng.uniform(size=A0.shape) > 0.4] = 0.0
+    A = np.hstack([A0, np.eye(m)])
+    b = A0 @ rng.uniform(0.2, 0.8, kk) + rng.uniform(0.1, 1.0, m)
+    c = np.concatenate([rng.uniform(0.5, 2, kk), np.zeros(m)])
+    M = bsp.from_dense(A, block_shape=(8, 8), dtype=jnp.float64)
+    opts = SimplexOptions(pricing="steepest", dtype=jnp.float64)
+    prob = Problem(A=M, b=jnp.asarray(b), c=jnp.asarray(c))
+    state = initial_state_slack(prob, jnp.float64, pricing="steepest")
+    backend = get_backend("xla")
+    from simplex_tpu.status import SolveStatus as _SS
+
+    for _ in range(100):
+        state = pivot_step(prob, state, opts, backend)
+        if int(state.status) != int(_SS.RUNNING):
+            break
+        basis = np.asarray(state.basis)
+        T = np.linalg.solve(A[:, basis], A)
+        gamma_ref = 1 + np.sum(T * T, axis=0)
+        nonbasic = np.ones(A.shape[1], bool)
+        nonbasic[basis] = False
+        np.testing.assert_allclose(
+            np.asarray(state.gamma)[nonbasic], gamma_ref[nonbasic], rtol=1e-8
+        )
+    assert int(state.iters) >= 3
+    assert int(state.status) == int(_SS.OPTIMAL)
 
 
 def test_solve_dual_sparse_guards():
@@ -154,5 +214,20 @@ def test_solve_dual_sparse_guards():
     M = bsp.from_dense(A, block_shape=(8, 8))
     with pytest.raises(NotImplementedError, match="backend"):
         solve_dual(M, b, c, options=SimplexOptions(backend="pallas"))
-    with pytest.raises(NotImplementedError, match="devex"):
-        solve_dual(M, b, c, options=SimplexOptions(pricing="devex"))
+
+
+def test_solve_dual_sparse_devex_warm():
+    """Sparse dual warm restart with devex cleanup pricing (the phase
+    switch recomputes e via the tile rmatvec inside refactorize)."""
+    from simplex_tpu.core.dual import solve_dual
+
+    A, b, c = _sparse_canonical(12, 30, density=0.3, seed=33)
+    M = bsp.from_dense(A, block_shape=(8, 8))
+    opts = SimplexOptions(pricing="devex")
+    cold = solve(M, b, c, options=opts)
+    assert cold.status == SolveStatus.OPTIMAL
+    b2 = (np.asarray(b, np.float64) * 1.06).astype(np.float32)
+    warm = solve_dual(M, b2, c, basis0=cold.basis, options=opts)
+    cold2 = solve(A, b2, c)
+    assert warm.status == cold2.status == SolveStatus.OPTIMAL
+    assert relative_gap(warm.z, cold2.z) < 1e-5
