@@ -124,14 +124,13 @@ def make_collective_backend(axis_name: str, shard_width: int):
         return c_loc.at[jnp.clip(loc, 0, shard_width - 1)].add(pen)
 
     def pricing_update(A_loc, rho):
-        # shard-local, no communication; exact f32 (see kernels.xla)
-        return jnp.matmul(
-            rho, A_loc.astype(rho.dtype), precision=jax.lax.Precision.HIGHEST
-        )
+        # shard-local, no communication; exact f32 (see kernels.xla).
+        # A_loc may be the shard's BlockSparse tiles (sparse sharded mode).
+        return _xla.pricing_update(A_loc, rho)
 
     def gather_column(A_loc, p):
         mine, loc = _owned(p)
-        col = jax.lax.dynamic_index_in_dim(A_loc, loc, axis=1, keepdims=False)
+        col = _xla.gather_column(A_loc, loc)
         col = jnp.where(mine, col, jnp.zeros_like(col))
         return jax.lax.psum(col, axis_name)
 
@@ -144,7 +143,7 @@ def make_collective_backend(axis_name: str, shard_width: int):
         base = jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_width
         loc = basis - base
         mine = jnp.logical_and(loc >= 0, loc < shard_width)
-        cols = jnp.take(A_loc, jnp.clip(loc, 0, shard_width - 1), axis=1)
+        cols = _xla.gather_columns(A_loc, jnp.clip(loc, 0, shard_width - 1))
         cols = jnp.where(mine[None, :], cols, jnp.zeros_like(cols))
         return jax.lax.psum(cols, axis_name)
 
@@ -181,7 +180,8 @@ def _initial_state_sharded(
     c_b = jax.lax.psum(jnp.where(mine, vals, 0), axis_name)
     zero = jnp.int32(0)
     if pricing == "devex":
-        e = c_b @ A_loc.astype(dtype) - c_loc.astype(dtype)  # shard-local slice
+        # shard-local slice of the reduced costs (tile rmatvec when sparse)
+        e = _xla.pricing_update(A_loc.astype(dtype), c_b) - c_loc.astype(dtype)
         gamma = jnp.ones((shard_width,), dtype)
     else:
         e = jnp.zeros((1,), dtype)
@@ -243,6 +243,51 @@ def _build_sharded_fn(mesh, axis_name, shard_width, m, options):
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _build_sharded_fn_sp(mesh, axis_name, shard_width, m, options):
+    """Sparse twin of :func:`_build_sharded_fn`: the shard's columns arrive
+    as BlockSparse tiles (``sparse.shard_columns`` layout, flattened so the
+    shard dim is axis 0) and every local A op reads stored tiles only —
+    the collective structure (allreduce-argmin, owner-psum gathers) is
+    IDENTICAL, since the backend ops dispatch per A type."""
+    from simplex_tpu import sparse as _bsp
+
+    backend = make_collective_backend(axis_name, shard_width)
+    dtype = options.dtype
+
+    def shard_fn(tiles, rows, cols, b_rep, c_loc, basis_rep, max_iter):
+        A_loc = _bsp.BlockSparse(tiles, rows, cols, (m, shard_width))
+        prob = Problem(A_loc.astype(dtype), b_rep.astype(dtype), c_loc.astype(dtype))
+        prob = with_pricing_shadow(prob, options.pricing_dtype, options.pricing)
+        state0 = _initial_state_sharded(
+            A_loc, b_rep, c_loc, basis_rep, m, shard_width, axis_name, dtype,
+            options.pricing, options.update_defer,
+        )
+        final = solve_state(prob, state0, options, max_iter, backend=backend)
+        z = jnp.dot(final.c_b, final.x_b)
+        return final, z
+
+    e_spec = P(axis_name) if options.pricing == "devex" else P(None)
+    state_specs = SolverState(
+        B_inv=P(None, None), x_b=P(None), y=P(None), c_b=P(None),
+        basis=P(None), iters=P(), status=P(), degen=P(), last_refac=P(),
+        e=e_spec, gamma=e_spec,
+        U=P(None, None), R=P(None, None), npend=P(),
+    )
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P(axis_name, None, None), P(axis_name), P(axis_name),
+                P(None), P(axis_name), P(None), P(),
+            ),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+    )
+
+
 def solve_sharded(
     A,
     b,
@@ -258,11 +303,42 @@ def solve_sharded(
     n must be divisible by the mesh axis size (pad with
     :func:`simplex_tpu.io.canonical.pad_columns` first if not).
     ``basis0`` (default: trailing slack block) must satisfy A[:, basis0] = I.
+
+    ``A`` may be a :class:`simplex_tpu.sparse.BlockSparse` or scipy.sparse
+    matrix: each shard then holds only ITS columns' stored tiles
+    (``sparse.shard_columns``) and all local A reads are tile ops — the
+    distributed-sparse layout for instances whose dense column block would
+    not fit per chip. The collective structure is unchanged.
     """
-    A = jnp.asarray(A)
+    from simplex_tpu import sparse as _bsp
+
+    A_host = None
+    is_sparse = isinstance(A, _bsp.BlockSparse)
+    if not is_sparse:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            import math
+
+            A_host = A.tocsc()
+            # tile width must divide the shard width so tiles never
+            # straddle shard boundaries (sparse.shard_columns contract)
+            n_loc0 = A_host.shape[1] // max(1, mesh.shape[axis_name])
+            bc = math.gcd(max(1, n_loc0), 128)
+            A = _bsp.from_scipy(
+                A_host, block_shape=(128, bc), dtype=options.dtype
+            )
+            is_sparse = True
+    if not is_sparse:
+        A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
+    if is_sparse and options.partial_pricing > 1:
+        raise NotImplementedError(
+            "segmented pricing slices dense column ranges; use the default "
+            "full pass with sparse A"
+        )
     basis0 = (
         jnp.arange(n - m, n, dtype=jnp.int32)
         if basis0 is None
@@ -286,8 +362,17 @@ def solve_sharded(
     import dataclasses as _dc
 
     exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
-    fn = _build_sharded_fn(mesh, axis_name, shard_width, m, exec_options)
-    final, _z = fn(A, b, c, basis0, jnp.int32(max_iter))
+    if is_sparse:
+        t_st, r_st, c_st, n_loc = _bsp.shard_columns(A, n_shards)
+        D, T, br, bc = t_st.shape
+        fn = _build_sharded_fn_sp(mesh, axis_name, shard_width, m, exec_options)
+        final, _z = fn(
+            t_st.reshape(D * T, br, bc), r_st.reshape(-1), c_st.reshape(-1),
+            b, c, basis0, jnp.int32(max_iter),
+        )
+    else:
+        fn = _build_sharded_fn(mesh, axis_name, shard_width, m, exec_options)
+        final, _z = fn(A, b, c, basis0, jnp.int32(max_iter))
     # same result contract as the single-chip path (round-2 verdict weak
     # #2: this mode used to return raw fp32 z with no polish/feas_err/
     # duals): selective O(m) pulls, then the shared f64 finisher. B_inv
@@ -298,6 +383,6 @@ def solve_sharded(
         (final.x_b, final.basis, final.c_b, final.y, final.status, final.iters)
     )
     return finalize_result(
-        A, None, b, c, x_b_np, basis_np, c_b_np, y_np, status_i, iters_i,
+        A, A_host, b, c, x_b_np, basis_np, c_b_np, y_np, status_i, iters_i,
         final.B_inv, options,
     )

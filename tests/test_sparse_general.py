@@ -162,6 +162,40 @@ def test_sparse_general_warm_restart():
     assert relative_gap(warm_s.z, ref.z) < 1e-5
 
 
+@pytest.mark.parametrize("pricing", ["dantzig", "devex"])
+def test_solve_sharded_sparse(pricing):
+    """Distributed SPARSE simplex: each shard holds only its columns'
+    stored tiles; the collective structure (allreduce-argmin, owner-psum
+    gathers) is identical to the dense mode, so the answers must match the
+    dense sharded solve and the oracle."""
+    import jax
+
+    from simplex_tpu import SimplexOptions
+    from simplex_tpu.dist.mesh import make_mesh
+    from simplex_tpu.dist.sharded import solve_sharded
+    from simplex_tpu.oracle.reference import solve_scipy
+
+    from tests.test_sparse import _sparse_canonical
+    from simplex_tpu import sparse as bsp
+
+    A, b, c = _sparse_canonical(16, 48, density=0.3, seed=41)
+    A = np.ascontiguousarray(A[:, :64]) if A.shape[1] != 64 else A
+    mesh = make_mesh(devices=jax.devices()[:8])
+    opts = SimplexOptions(pricing=pricing)
+    ref = solve_scipy(A, b, c)
+    dense = solve_sharded(A, b, c, mesh, options=opts)
+    M = bsp.from_dense(A, block_shape=(8, 8))
+    res = solve_sharded(M, b, c, mesh, options=opts)
+    assert dense.status == res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+    assert relative_gap(res.z, dense.z) < 1e-6
+    assert res.feas_err < 1e-5
+    # scipy input routes the same way (and feeds the host polish)
+    res2 = solve_sharded(sps.csr_matrix(A), b, c, mesh, options=opts)
+    assert res2.status == SolveStatus.OPTIMAL
+    assert relative_gap(res2.z, ref.z) < 1e-5
+
+
 def test_solve_dual_sparse_direct():
     """solve_dual takes scipy A directly: perturbed-RHS re-solve from the
     optimal basis matches the cold sparse solve."""
