@@ -57,6 +57,12 @@ def main() -> None:
     )
     ap.add_argument("--update-defer", type=int, default=16)
     ap.add_argument("--partial-pricing", type=int, default=8)
+    ap.add_argument(
+        "--multi-price", type=int, default=0,
+        help="K-candidate multiple pricing (amortizes the per-pivot m^2 "
+        "ftran read; composes with --update-defer, supersedes "
+        "--partial-pricing when > 0)",
+    )
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     ap.add_argument(
         "--mode", default="single",
@@ -136,7 +142,8 @@ def main() -> None:
         pricing=args.pricing,
         pricing_dtype=args.pricing_dtype,
         update_defer=args.update_defer,
-        partial_pricing=args.partial_pricing,
+        partial_pricing=0 if args.multi_price > 0 else args.partial_pricing,
+        multi_price=args.multi_price,
     )
     basis0 = np.arange(n - m, n, dtype=np.int32)
 
@@ -226,7 +233,8 @@ def bench_full(args, parity_metric: bool = False) -> None:
         pricing=args.pricing,
         pricing_dtype=args.pricing_dtype,
         update_defer=args.update_defer,
-        partial_pricing=args.partial_pricing,
+        partial_pricing=0 if args.multi_price > 0 else args.partial_pricing,
+        multi_price=args.multi_price,
         refactor_every=1024,
         checkpoint_every=2048,
     )

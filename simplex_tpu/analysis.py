@@ -102,6 +102,60 @@ def _ranging_jit(A, b, c, basis, B_inv):
     return b_lo, b_hi, c_lo, c_hi, y, x
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _ranging_jit_sparse(A, b, c, basis, B_inv, chunk: int = 512):
+    """Sparse twin of :func:`_ranging_jit`: never materializes the (m, n)
+    tableau W = B_inv @ A — the cost-ranging reductions stream over
+    ``chunk``-wide column blocks (gather + one (m,m)x(m,chunk) GEMM each),
+    keeping peak extra memory at m*chunk. Padding duplicates column 0,
+    which cannot perturb a min/max reduction."""
+    from simplex_tpu import sparse as _bsp
+
+    dtype = jnp.float32
+    m, n = A.shape
+    x_b = jnp.matmul(B_inv, b, precision=_EXACT)
+    c_b = jnp.take(c, basis)
+    y = jnp.matmul(c_b, B_inv, precision=_EXACT)
+    red = _bsp.rmatvec(A, y).astype(dtype) - c
+    inf = jnp.asarray(jnp.inf, dtype)
+    eps = jnp.asarray(1e-12, dtype)
+
+    D = B_inv
+    ratio = -x_b[:, None] / jnp.where(jnp.abs(D) > eps, D, inf)
+    b_lo = jnp.max(jnp.where(D > eps, ratio, -inf), axis=0)
+    b_hi = jnp.min(jnp.where(D < -eps, ratio, inf), axis=0)
+
+    is_basic = jnp.zeros(n, bool).at[basis].set(True)
+    c_lo_nb = jnp.full(n, -jnp.inf, dtype)
+    c_hi_nb = red
+
+    nch = -(-n // chunk)
+    idx = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, nch * chunk - n))
+
+    def one(ids):
+        cols = _bsp.gather_columns(A, ids).astype(dtype)  # (m, chunk)
+        Wc = jnp.matmul(B_inv, cols, precision=_EXACT)
+        redc = jnp.take(red, ids)[None, :]
+        mask = ~jnp.take(is_basic, ids)[None, :]
+        up = jnp.min(
+            jnp.where(jnp.logical_and(mask, Wc < -eps), -redc / Wc, inf),
+            axis=1,
+        )
+        lo = jnp.max(
+            jnp.where(jnp.logical_and(mask, Wc > eps), -redc / Wc, -inf),
+            axis=1,
+        )
+        return up, lo
+
+    ups, los = jax.lax.map(one, idx.reshape(nch, chunk))  # (nch, m)
+    up_rows = jnp.min(ups, axis=0)
+    lo_rows = jnp.max(los, axis=0)
+    c_lo = c_lo_nb.at[basis].set(lo_rows)
+    c_hi = c_hi_nb.at[basis].set(up_rows)
+    x = jnp.zeros(n, dtype).at[basis].set(x_b)
+    return b_lo, b_hi, c_lo, c_hi, y, x
+
+
 def ranging(A, b, c, basis) -> RangingResult:
     """Sensitivity ranges for the optimal ``basis`` (from SolveResult.basis).
 
@@ -115,30 +169,46 @@ def ranging(A, b, c, basis) -> RangingResult:
     way), so the ranges are never silently derived from a bad inverse —
     mirroring the solver's own polish fallback (round-2 advisor finding).
     """
+    from simplex_tpu import sparse as _bsp
     from simplex_tpu.core.linalg import inverse_newton
+    from simplex_tpu.kernels import xla as _xk
 
-    A = jnp.asarray(A, jnp.float32)
+    A_host_ref = A  # pre-conversion handle for the f64 host fallback
+    is_sparse = isinstance(A, _bsp.BlockSparse)
+    if not is_sparse:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            A = _bsp.from_scipy(A, dtype=jnp.float32)
+            is_sparse = True
+    if not is_sparse:
+        A = jnp.asarray(A, jnp.float32)
+    else:
+        A = A.astype(jnp.float32)
     basis_j = jnp.asarray(basis, jnp.int32)
-    B = jnp.take(A, basis_j, axis=1)
+    B = _xk.gather_basis_matrix(A, basis_j)
     B_inv, resid = inverse_newton(B)
     m = int(B.shape[0])
     ok = bool(np.isfinite(float(resid)) and float(resid) <= 1e-3)
     if not ok:
+        from simplex_tpu.core.solver import _host_basis_cols
         from simplex_tpu.logging import get_logger
 
         get_logger("analysis").warning(
             "ranging: Newton-Schulz re-inversion stalled (residual %g); "
             "falling back to exact f64 host inversion", float(resid)
         )
+        AB = _host_basis_cols(A_host_ref, np.asarray(basis, np.int64))
+        if not isinstance(AB, np.ndarray):
+            AB = AB.toarray()
         try:
-            B_inv64 = np.linalg.inv(
-                np.asarray(A, np.float64)[:, np.asarray(basis, np.int64)]
-            )
+            B_inv64 = np.linalg.inv(np.asarray(AB, np.float64))
             B_inv = jnp.asarray(B_inv64.astype(np.float32))
             ok = True
         except np.linalg.LinAlgError:
             ok = False  # singular basis: report, don't raise
-    out = _ranging_jit(
+    rang = _ranging_jit_sparse if is_sparse else _ranging_jit
+    out = rang(
         A, jnp.asarray(b, jnp.float32), jnp.asarray(c, jnp.float32),
         basis_j, B_inv,
     )

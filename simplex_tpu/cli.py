@@ -264,7 +264,9 @@ def cmd_analyze(args) -> int:
     from simplex_tpu.core.twophase import GeneralLP
     from simplex_tpu.status import SolveStatus
 
-    loaded, c0, maximize = _load(args.input, args.mps)
+    loaded, c0, maximize = _load(
+        args.input, args.mps, getattr(args, "sparse", False)
+    )
     if isinstance(loaded, GeneralLP):
         # general route: duals from solve_general; RHS/cost RANGES need the
         # canonical basis machinery and are not derived here, but warm
@@ -455,6 +457,10 @@ def main(argv=None) -> int:
         help="re-solve after a RHS change via the dual simplex, warm-"
         "started from the optimal basis: SPEC is 'i=delta[,i=delta...]' "
         "(e.g. '0=+2.5,3=-1' adds 2.5 to b_0 and -1 to b_3)",
+    )
+    pa.add_argument(
+        "--sparse", action="store_true",
+        help="MPS inputs: keep A scipy.sparse end-to-end (general route)",
     )
     common(pa)
     pa.set_defaults(fn=cmd_analyze)

@@ -121,7 +121,12 @@ def load_checkpoint(
         shape = tuple(int(x) for x in data["_defer_shape"])
         basis = fields["basis"]
         dtype = fields["x_b"].dtype
-        B_inv = _exact_inverse(np.asarray(A)[:, basis], dtype)
+        from simplex_tpu.core.solver import _host_basis_cols
+
+        AB = _host_basis_cols(A, basis)
+        if not isinstance(AB, np.ndarray):
+            AB = AB.toarray()  # scipy.sparse column slice
+        B_inv = _exact_inverse(AB, dtype)
         fields["B_inv"] = B_inv
         fields["y"] = (
             fields["c_b"].astype(np.float64) @ B_inv.astype(np.float64)
@@ -136,12 +141,20 @@ def load_checkpoint(
             if at_upper is None:
                 x = B_inv.astype(np.float64) @ np.asarray(b, np.float64)
                 fields["x_b"] = x.astype(dtype)
-        if c is not None and fields["e"].shape[0] == np.asarray(A).shape[1]:
+        if c is not None and fields["e"].shape[0] == A.shape[1]:
             # devex: re-derive the incremental reduced costs from the exact y
-            fields["e"] = (
-                fields["y"].astype(np.float64) @ np.asarray(A, np.float64)
-                - np.asarray(c, np.float64)
-            ).astype(dtype)
+            from simplex_tpu import sparse as _bsp
+
+            if isinstance(A, _bsp.BlockSparse):
+                # fp32 tile rmatvec (no dense f64 A exists); fine for the
+                # incremental e — every pivot exact-rechecks its winner and
+                # refactorize re-derives e exactly on cadence
+                ya = np.asarray(
+                    _bsp.rmatvec(A, jnp.asarray(fields["y"])), np.float64
+                )
+            else:
+                ya = fields["y"].astype(np.float64) @ np.asarray(A, np.float64)
+            fields["e"] = (ya - np.asarray(c, np.float64)).astype(dtype)
         fields["last_refac"] = fields["iters"]
         return SolverState(
             U=jnp.zeros(shape, dtype),
@@ -167,7 +180,9 @@ def validate_checkpoint(state: SolverState, A, b, tol: float = 1e-3) -> None:
     x_b = np.asarray(state.x_b)
     if np.any(x_b < -tol):
         raise ValueError("checkpoint primal values are infeasible")
-    resid = np.asarray(A)[:, basis] @ x_b - np.asarray(b)
+    from simplex_tpu.core.solver import _host_basis_cols
+
+    resid = _host_basis_cols(A, basis) @ x_b - np.asarray(b)
     scale = max(1.0, float(np.abs(b).max()))
     if np.abs(resid).max() > tol * scale:
         raise ValueError(
@@ -200,8 +215,21 @@ def solve_with_checkpoints(
     """Solve with periodic host checkpoints (every ``options.checkpoint_every``
     pivots, default 1024). If ``resume`` and ``path`` exists, continue from it.
     """
+    from simplex_tpu import sparse as _bsp
+
     A_host = A if isinstance(A, np.ndarray) else None  # see solver.solve
-    A = jnp.asarray(A)
+    is_sparse = isinstance(A, _bsp.BlockSparse)
+    if not is_sparse:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            # scipy input, as in solver.solve: tiles on device, scipy kept
+            # for the host-side gathers (resume inverse, validation, polish)
+            A_host = A.tocsc()
+            A = _bsp.from_scipy(A_host, dtype=options.dtype)
+            is_sparse = True
+    if not is_sparse:
+        A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
@@ -350,13 +378,22 @@ def solve_with_checkpoints(
     if options.polish and m <= options.polish_max_m:
         from simplex_tpu.core.solver import _polish_refine
 
-        A_pol = A_host if A_host is not None else np.asarray(A)
+        if A_host is not None:
+            A_pol = A_host
+        elif is_sparse:
+            A_pol = A
+        else:
+            A_pol = np.asarray(A)
         x_b64, ok = _polish_refine(A_pol, b, basis_np, x_b_np, state.B_inv)
         if not ok:
+            from simplex_tpu.core.solver import _host_basis_cols
+
+            AB = _host_basis_cols(A_pol, basis_np)
+            if not isinstance(AB, np.ndarray):
+                AB = AB.toarray()
             try:
                 x_b64 = np.linalg.solve(
-                    np.asarray(A_pol, np.float64)[:, basis_np],
-                    np.asarray(b, np.float64),
+                    np.asarray(AB, np.float64), np.asarray(b, np.float64)
                 )
                 ok = True
             except np.linalg.LinAlgError:

@@ -196,6 +196,87 @@ def test_solve_sharded_sparse(pricing):
     assert relative_gap(res2.z, ref.z) < 1e-5
 
 
+def test_checkpointed_sparse_solve(tmp_path):
+    """solve_with_checkpoints on scipy A: chunked sparse solves, snapshot +
+    resume, polish via host basis-column gathers — same optimum as direct."""
+    from simplex_tpu import SimplexOptions, solve
+    from simplex_tpu.core.checkpoint import solve_with_checkpoints
+
+    from tests.test_sparse import _sparse_canonical
+
+    A, b, c = _sparse_canonical(24, 60, density=0.25, seed=51)
+    A_sp = sps.csr_matrix(A)
+    direct = solve(A, b, c)
+    ckpt = tmp_path / "state.npz"
+    partial = solve_with_checkpoints(
+        A_sp, b, c, path=ckpt,
+        options=SimplexOptions(checkpoint_every=4, max_iter=4),
+    )
+    assert partial.status == SolveStatus.MAX_ITER
+    res = solve_with_checkpoints(
+        A_sp, b, c, path=ckpt, options=SimplexOptions(checkpoint_every=64)
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, direct.z) < 1e-5
+    assert res.iters >= partial.iters
+
+
+def test_light_checkpoint_sparse_roundtrip(tmp_path):
+    """Light snapshots (basis + O(m) vectors) rebuild the inverse from
+    SPARSE basis columns on resume."""
+    import jax.numpy as jnp
+
+    from simplex_tpu import SimplexOptions, solve
+    from simplex_tpu import sparse as bsp
+    from simplex_tpu.core.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        validate_checkpoint,
+    )
+    from simplex_tpu.core.solver import _solve_jit
+
+    from tests.test_sparse import _sparse_canonical
+
+    A, b, c = _sparse_canonical(12, 30, density=0.3, seed=52)
+    M = bsp.from_dense(A, block_shape=(8, 8))
+    opts = SimplexOptions(max_iter=0, checkpoint_every=0)
+    state = _solve_jit(
+        M.astype(jnp.float32), jnp.asarray(b), jnp.asarray(c),
+        jnp.arange(18, 30, dtype=jnp.int32), opts, jnp.int32(6), True,
+        None, None, None,
+    )
+    ckpt = tmp_path / "light.npz"
+    save_checkpoint(ckpt, state, light=True)
+    loaded = load_checkpoint(ckpt, A=M, b=b, c=c)
+    validate_checkpoint(loaded, M, b)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.basis), np.asarray(state.basis)
+    )
+    # rebuilt inverse is exact for the snapshot basis
+    AB = A[:, np.asarray(state.basis)]
+    np.testing.assert_allclose(
+        np.asarray(loaded.B_inv) @ AB, np.eye(12), atol=1e-4
+    )
+
+
+def test_ranging_sparse_matches_dense():
+    """Sensitivity ranges on sparse A (chunked tableau streaming) equal the
+    dense ranges bit-for-tolerance."""
+    from simplex_tpu import solve
+    from simplex_tpu.analysis import ranging
+
+    from tests.test_sparse import _sparse_canonical
+
+    A, b, c = _sparse_canonical(12, 30, density=0.3, seed=53)
+    res = solve(A, b, c)
+    assert res.status == SolveStatus.OPTIMAL
+    rd = ranging(A, b, c, res.basis)
+    rs = ranging(sps.csc_matrix(A), b, c, res.basis)
+    assert rd.ok and rs.ok
+    for fd, fs in zip(rd[:6], rs[:6]):
+        np.testing.assert_allclose(fs, fd, rtol=1e-4, atol=1e-5)
+
+
 def test_solve_dual_sparse_direct():
     """solve_dual takes scipy A directly: perturbed-RHS re-solve from the
     optimal basis matches the cold sparse solve."""
