@@ -60,7 +60,24 @@ def trace_pivots(
     variable's new value. Terminal status OPTIMAL means primal
     feasibility reached (hand the basis to the primal loop for the
     certified optimum — that is what solve_dual does)."""
-    A = jnp.asarray(A)
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(A, _bsp.BlockSparse):
+        pass  # every traced op below dispatches on tiles already
+    else:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            A = _bsp.from_scipy(A)
+        else:
+            A = jnp.asarray(A)
+    if isinstance(A, _bsp.BlockSparse) and options.partial_pricing > 1:
+        # a trace must run the REQUESTED pricing path; silently degrading
+        # to the full pass would trace a different solve
+        raise NotImplementedError(
+            "segmented pricing slices dense column ranges; trace sparse A "
+            "with partial_pricing=0"
+        )
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape

@@ -196,6 +196,54 @@ def test_solve_sharded_sparse(pricing):
     assert relative_gap(res2.z, ref.z) < 1e-5
 
 
+def test_trace_sparse():
+    """Per-pivot trace mode accepts sparse A and reaches the same optimum
+    as the dense trace."""
+    from simplex_tpu.core.trace import trace_pivots
+
+    from tests.test_sparse import _sparse_canonical
+
+    A, b, c = _sparse_canonical(10, 24, density=0.3, seed=61)
+    # a dropped-to-zero column with positive cost makes the LP genuinely
+    # unbounded; profit only supported columns
+    c = c * (A != 0).any(axis=0)
+    recs_d = list(trace_pivots(A, b, c))
+    recs_s = list(trace_pivots(sps.csr_matrix(A), b, c))
+    assert recs_d[-1].status == recs_s[-1].status == SolveStatus.OPTIMAL
+    assert abs(recs_d[-1].objective - recs_s[-1].objective) < 1e-4
+    # segmented pricing cannot run on tiles; the trace must say so rather
+    # than silently tracing a different path
+    from simplex_tpu import SimplexOptions
+
+    with pytest.raises(NotImplementedError, match="partial_pricing"):
+        next(
+            iter(
+                trace_pivots(
+                    sps.csr_matrix(A), b, c,
+                    options=SimplexOptions(
+                        partial_pricing=4, partial_min_segment=1
+                    ),
+                )
+            )
+        )
+
+
+def test_sparse_general_netlib_scale():
+    """A 512-row bounded multi-period instance through the SPARSE general
+    pipeline (csc standardization + tiled two-phase solve) at 1e-5 parity —
+    the netlib-class scale gate, sparse edition."""
+    from simplex_tpu.oracle.generator import multiperiod_production_lp
+
+    lp = multiperiod_production_lp(32, 15, seed=0)
+    m, k = lp.A.shape
+    assert m == 512
+    lp_s = lp._replace(A=sps.csc_matrix(np.asarray(lp.A)))
+    rs = solve_general(lp_s)
+    assert rs.status == SolveStatus.OPTIMAL
+    ref = solve_scipy_general(lp)
+    assert relative_gap(rs.z, ref.z) < 1e-5
+
+
 def test_checkpointed_sparse_solve(tmp_path):
     """solve_with_checkpoints on scipy A: chunked sparse solves, snapshot +
     resume, polish via host basis-column gathers — same optimum as direct."""
