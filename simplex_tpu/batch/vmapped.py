@@ -179,8 +179,25 @@ def reoptimize_batched(
     single-LP path for audited final numbers.
     """
     from simplex_tpu.core.dual import _entry_dual_feasibility
+    from simplex_tpu import sparse as _bsp
 
-    A = jnp.asarray(A)
+    # shared-A serving composes with sparse storage: the vmapped warm loop
+    # is the same sparse-capable _warm_jit, so one BlockSparse A serves
+    # every scenario (tile reads batch across the vmap like the GEMVs)
+    is_sparse = isinstance(A, _bsp.BlockSparse)
+    if not is_sparse:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            A = _bsp.from_scipy(A, dtype=options.dtype)
+            is_sparse = True
+    if not is_sparse:
+        A = jnp.asarray(A)
+    elif options.partial_pricing > 1:
+        raise NotImplementedError(
+            "segmented pricing slices dense column ranges; use the default "
+            "full pass with sparse A"
+        )
     bs_new = jnp.asarray(bs_new)
     c = jnp.asarray(c)
     m, n = A.shape

@@ -244,6 +244,32 @@ def test_sparse_general_netlib_scale():
     assert relative_gap(rs.z, ref.z) < 1e-5
 
 
+def test_reoptimize_batched_sparse():
+    """Batched scenario serving against ONE shared BlockSparse A: the
+    vmapped warm loop reads tiles; per-scenario answers match the dense
+    batched path."""
+    from simplex_tpu import solve
+    from simplex_tpu.batch.vmapped import reoptimize_batched
+
+    from tests.test_sparse import _sparse_canonical
+
+    A, b, c = _sparse_canonical(12, 30, density=0.3, seed=71)
+    prev = solve(A, b, c)
+    assert prev.status == SolveStatus.OPTIMAL
+    rng = np.random.default_rng(72)
+    B = 6
+    bs_new = np.stack(
+        [b * rng.uniform(0.9, 1.1, size=b.shape) for _ in range(B)]
+    ).astype(np.float32)
+    dense = reoptimize_batched(A, bs_new, c, prev)
+    spr = reoptimize_batched(sps.csr_matrix(A), bs_new, c, prev)
+    for i in range(B):
+        assert int(spr.status[i]) == int(dense.status[i])
+        if SolveStatus(int(dense.status[i])) == SolveStatus.OPTIMAL:
+            assert relative_gap(float(spr.z[i]), float(dense.z[i])) < 1e-4
+    assert spr.feas_err is not None and float(spr.feas_err.max()) < 1e-4
+
+
 def test_checkpointed_sparse_solve(tmp_path):
     """solve_with_checkpoints on scipy A: chunked sparse solves, snapshot +
     resume, polish via host basis-column gathers — same optimum as direct."""
