@@ -193,11 +193,14 @@ def reoptimize_batched(
             is_sparse = True
     if not is_sparse:
         A = jnp.asarray(A)
-    elif options.partial_pricing > 1:
-        raise NotImplementedError(
-            "segmented pricing slices dense column ranges; use the default "
-            "full pass with sparse A"
-        )
+    else:
+        if options.backend != "xla":
+            raise NotImplementedError("sparse A requires backend='xla'")
+        if options.partial_pricing > 1:
+            raise NotImplementedError(
+                "segmented pricing slices dense column ranges; use the "
+                "default full pass with sparse A"
+            )
     bs_new = jnp.asarray(bs_new)
     c = jnp.asarray(c)
     m, n = A.shape

@@ -264,9 +264,11 @@ def cmd_analyze(args) -> int:
     from simplex_tpu.core.twophase import GeneralLP
     from simplex_tpu.status import SolveStatus
 
-    loaded, c0, maximize = _load(
-        args.input, args.mps, getattr(args, "sparse", False)
-    )
+    use_sparse = getattr(args, "sparse", False)
+    if use_sparse and not (args.mps or args.input.endswith(".mps")):
+        print("error: --sparse requires an MPS input (--mps)", file=sys.stderr)
+        return 1
+    loaded, c0, maximize = _load(args.input, args.mps, use_sparse)
     if isinstance(loaded, GeneralLP):
         # general route: duals from solve_general; RHS/cost RANGES need the
         # canonical basis machinery and are not derived here, but warm

@@ -153,7 +153,17 @@ def load_checkpoint(
                     _bsp.rmatvec(A, jnp.asarray(fields["y"])), np.float64
                 )
             else:
-                ya = fields["y"].astype(np.float64) @ np.asarray(A, np.float64)
+                import scipy.sparse as _sps
+
+                if _sps.issparse(A):
+                    # f64 vec @ scipy stays f64 and returns a dense ndarray
+                    ya = np.asarray(
+                        fields["y"].astype(np.float64) @ A, np.float64
+                    ).ravel()
+                else:
+                    ya = fields["y"].astype(np.float64) @ np.asarray(
+                        A, np.float64
+                    )
             fields["e"] = (ya - np.asarray(c, np.float64)).astype(dtype)
         fields["last_refac"] = fields["iters"]
         return SolverState(

@@ -462,8 +462,14 @@ def _entry_dual_feasibility(A, c, basis_arr, at_upper0, u, opts) -> float:
             y = np.linalg.solve(B64.T, c64[basis_np])
         except np.linalg.LinAlgError:
             return -np.inf  # singular entry basis: let the caller reject
-        # vec @ scipy.sparse returns a dense ndarray; same expression both ways
-        e = np.asarray(y @ A).ravel() - c64
+        # keep the whole check in f64: y @ <jax f32 array> would dispatch a
+        # f32 GEMM whose ~5e-5 error rivals the acceptance tolerance
+        # (vec @ scipy.sparse stays f64 and returns a dense ndarray)
+        e = (
+            np.asarray(y @ A).ravel() - c64
+            if sp_host
+            else y @ np.asarray(A, np.float64) - c64
+        )
         if at_upper0 is not None:
             e = np.where(np.asarray(at_upper0, bool), -e, e)
         nonbasic = np.ones(A.shape[1], bool)

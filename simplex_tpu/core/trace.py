@@ -68,16 +68,21 @@ def trace_pivots(
         import scipy.sparse as _sps
 
         if _sps.issparse(A):
-            A = _bsp.from_scipy(A)
+            # honor the requested dtype: an f64 trace of scipy input must
+            # not run on silently f32-truncated tiles
+            A = _bsp.from_scipy(A, dtype=options.dtype)
         else:
             A = jnp.asarray(A)
-    if isinstance(A, _bsp.BlockSparse) and options.partial_pricing > 1:
-        # a trace must run the REQUESTED pricing path; silently degrading
-        # to the full pass would trace a different solve
-        raise NotImplementedError(
-            "segmented pricing slices dense column ranges; trace sparse A "
-            "with partial_pricing=0"
-        )
+    if isinstance(A, _bsp.BlockSparse):
+        if options.backend != "xla":
+            raise NotImplementedError("sparse A requires backend='xla'")
+        if options.partial_pricing > 1:
+            # a trace must run the REQUESTED pricing path; silently
+            # degrading to the full pass would trace a different solve
+            raise NotImplementedError(
+                "segmented pricing slices dense column ranges; trace "
+                "sparse A with partial_pricing=0"
+            )
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape

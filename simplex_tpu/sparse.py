@@ -239,10 +239,20 @@ def gather_columns_host(M: BlockSparse, idx) -> np.ndarray:
     The f64 polish needs the basis columns on the HOST (core/solver.py
     ``_polish_refine``); for a sparse solve the cheap pull is the stored
     tiles (the whole point of the format), not a dense device A that never
-    existed. One tiles pull, then pure numpy assembly."""
-    tiles = np.asarray(M.tiles, np.float64)
-    rows = np.asarray(M.rows)
-    cols = np.asarray(M.cols)
+    existed. The tile pull is MEMOIZED on the instance: finalize_result
+    can gather three separate column sets per solve (bounded b_eff,
+    polish, LU fallback), and re-pulling ~GB tile sets over the tunneled
+    device runtime costs tens of seconds each (the dense path's A_host
+    caching exists for the same reason)."""
+    cache = getattr(M, "_host_cache", None)
+    if cache is None:
+        cache = (
+            np.asarray(M.tiles, np.float64),
+            np.asarray(M.rows),
+            np.asarray(M.cols),
+        )
+        M._host_cache = cache
+    tiles, rows, cols = cache
     br, bc = M.block_shape
     m = M.shape[0]
     idx = np.asarray(idx, np.int64)

@@ -270,6 +270,69 @@ def test_reoptimize_batched_sparse():
     assert spr.feas_err is not None and float(spr.feas_err.max()) < 1e-4
 
 
+def test_review_regressions(tmp_path):
+    """Round-3 self-review fixes stay fixed."""
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from simplex_tpu import SimplexOptions, solve
+    from simplex_tpu.batch.vmapped import reoptimize_batched
+    from simplex_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from simplex_tpu.core.solver import _solve_jit
+    from simplex_tpu.core.trace import trace_pivots
+
+    from tests.test_sparse import _sparse_canonical
+
+    A, b, c = _sparse_canonical(10, 24, density=0.35, seed=81)
+    c = c * (A != 0).any(axis=0)
+    A_sp = sps.csr_matrix(A)
+
+    # (1) light DEVEX checkpoint resume with scipy A (the e-recompute
+    # branch used to np.asarray a scipy matrix and crash)
+    opts = SimplexOptions(max_iter=0, checkpoint_every=0, pricing="devex")
+    st = _solve_jit(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+        jnp.arange(14, 24, dtype=jnp.int32), opts, jnp.int32(4), True,
+        None, None, None,
+    )
+    ck = tmp_path / "devex_light.npz"
+    save_checkpoint(ck, st, light=True)
+    loaded = load_checkpoint(ck, A=A_sp, b=b, c=c)
+    e64 = np.asarray(loaded.y, np.float64) @ A.astype(np.float64) - c
+    np.testing.assert_allclose(np.asarray(loaded.e), e64, atol=1e-5)
+
+    # (2) f64 traces of scipy input honor options.dtype (no f32 tiles)
+    o64 = SimplexOptions(dtype=jnp.float64)
+    last_d = list(trace_pivots(A.astype(np.float64), b, c, options=o64))[-1]
+    last_s = list(trace_pivots(A_sp.astype(np.float64), b, c, options=o64))[-1]
+    assert abs(last_d.objective - last_s.objective) < 1e-9
+
+    # (3) sparse + pallas rejects clearly everywhere, not deep inside jit
+    prev = solve(A, b, c)
+    with pytest.raises(NotImplementedError, match="xla"):
+        reoptimize_batched(
+            A_sp, b[None, :], c, prev,
+            options=SimplexOptions(backend="pallas"),
+        )
+    with pytest.raises(NotImplementedError, match="xla"):
+        next(iter(trace_pivots(
+            A_sp, b, c, options=SimplexOptions(backend="pallas")
+        )))
+
+    # (4) analyze --sparse on a non-MPS input errors like solve does
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "simplex_tpu.cli", "analyze",
+            os.path.join(DATA, "sample.txt"), "--cpu", "--sparse",
+        ],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert r.returncode == 1 and "MPS" in r.stderr
+
+
 def test_checkpointed_sparse_solve(tmp_path):
     """solve_with_checkpoints on scipy A: chunked sparse solves, snapshot +
     resume, polish via host basis-column gathers — same optimum as direct."""
