@@ -35,15 +35,30 @@ CONFIGS = {
 }
 
 
+# configurations that also run with A as stored tiles (round 3: the knobs
+# that don't slice dense column ranges)
+SPARSE_OK = ("dantzig", "shadow", "multi", "devex", "steepest",
+             "classic-ratio")
+
+
 @pytest.mark.parametrize("seed", [11, 12, 13])
 def test_every_route_agrees(seed):
+    import scipy.sparse as sps
+
     A, b, c = random_dense_lp(24, 64, seed=seed)
     ref = solve_scipy(A, b, c)
     assert ref.status == SolveStatus.OPTIMAL
+    A_sp = sps.csr_matrix(np.asarray(A))
     for name, opts in CONFIGS.items():
         res = solve(A, b, c, options=opts)
         assert res.status == SolveStatus.OPTIMAL, name
         assert relative_gap(res.z, ref.z) < 1e-5, (name, res.z, ref.z)
+        if name in SPARSE_OK:
+            # the same route over BlockSparse tiles: storage changes the
+            # traffic, never the answer
+            rs = solve(A_sp, b, c, options=opts)
+            assert rs.status == SolveStatus.OPTIMAL, f"sparse:{name}"
+            assert relative_gap(rs.z, ref.z) < 1e-5, (f"sparse:{name}", rs.z)
     bres = solve_batched(A[None], b[None], c[None])
     assert relative_gap(float(bres.z[0]), ref.z) < 1e-4
     fo = solve_pdhg(A, b, c, tol=1e-6)
