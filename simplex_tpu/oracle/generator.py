@@ -216,6 +216,32 @@ def multiperiod_production_lp(T: int, P: int, seed: int = 0):
     )
 
 
+def klee_minty_lp(n: int):
+    """Klee-Minty cube (canonical slack form, maximize). Classic worst case:
+    greedy most-negative-reduced-cost (Dantzig) pricing visits all 2^n - 1
+    improving vertices from the origin, while weighted rules (devex /
+    steepest edge) cut the path drastically — the adversarial instance the
+    pricing ladder exists for.
+
+        max  sum_j 2^(n-j) x_j
+        s.t. 2 sum_{j<i} 2^(i-j-1) x_j + x_i <= 5^i,   i = 1..n
+
+    Optimum 5^n at x = (0, ..., 0, 5^n). Kept in f64 (the coefficients
+    span 2^n and 5^n; n <= 8 stays comfortably inside fp32 range too).
+    """
+    A = np.zeros((n, 2 * n))
+    b = np.zeros(n)
+    c = np.zeros(2 * n)
+    for i in range(n):
+        for j in range(i):
+            A[i, j] = 2.0 ** (i - j + 1)
+        A[i, i] = 1.0
+        A[i, n + i] = 1.0  # slack
+        b[i] = 5.0 ** (i + 1)
+        c[i] = 2.0 ** (n - 1 - i)
+    return A, b, c
+
+
 def beale_cycling_lp():
     """Beale's classic cycling example (canonical form, maximize).
 

@@ -193,3 +193,34 @@ def test_fixture_objective_constant():
     res = solve_general(lp, options=F64)
     ref = solve_scipy_general(lp)
     assert relative_gap(res.z, ref.z) < 1e-9
+
+
+def test_klee_minty_pricing_ladder():
+    """Klee-Minty cube: Dantzig pricing walks EXACTLY 2^n - 1 vertices (the
+    classic exponential worst case), devex cuts the path, and exact
+    steepest edge jumps straight to the optimum in ONE pivot — the
+    adversarial instance the pricing ladder exists for. All rules land on
+    z = 5^n (pinned against HiGHS too)."""
+    from simplex_tpu.core.solver import solve
+    from simplex_tpu.oracle.generator import klee_minty_lp
+    from simplex_tpu.oracle.reference import solve_scipy
+
+    for n in (4, 6, 8):
+        A, b, c = klee_minty_lp(n)
+        ref = solve_scipy(A, b, c)
+        assert ref.status == SolveStatus.OPTIMAL
+        assert abs(ref.z - 5.0 ** n) < 1e-6 * 5.0 ** n
+        pivots = {}
+        for pricing in ("dantzig", "devex", "steepest"):
+            res = solve(
+                A, b, c,
+                options=SimplexOptions(
+                    pricing=pricing, dtype=jnp.float64, ratio="classic"
+                ),
+            )
+            assert res.status == SolveStatus.OPTIMAL, (n, pricing)
+            assert abs(res.z - ref.z) < 1e-9 * ref.z, (n, pricing)
+            pivots[pricing] = res.iters
+        assert pivots["dantzig"] == 2 ** n - 1, pivots
+        assert pivots["steepest"] == 1, pivots
+        assert pivots["devex"] < pivots["dantzig"], pivots
