@@ -159,6 +159,7 @@ def _solve_jit(
     u=None,  # (n,) native upper bounds; None = classic x >= 0
     at_upper0=None,
     A_price=None,  # prebuilt BlockSparse pricing shadow (pricing_sparse)
+    A_segs=None,  # per-segment tile structures (sparse segmented pricing)
 ) -> SolverState:
     dtype = opts.dtype
     prob = Problem(
@@ -166,6 +167,7 @@ def _solve_jit(
         b=b.astype(dtype),
         c=c.astype(dtype),
         u=None if u is None else u.astype(dtype),
+        A_segs=A_segs,
     )
     if A_price is not None:
         # block-sparse shadow built on the host (tile occupancy is a data-
@@ -332,12 +334,6 @@ def solve(
         # maintain dense incremental structures.
         if options.backend != "xla":
             raise NotImplementedError("sparse A requires backend='xla'")
-        if options.partial_pricing > 1:
-            raise NotImplementedError(
-                "segmented pricing slices dense column ranges; sparse "
-                "pricing already reads stored tiles only — use the "
-                "default full pass (or multi_price)"
-            )
     if m > n:
         raise ValueError(f"m > n ({m} > {n}): not a canonical-form LP")
     if b.shape != (m,) or c.shape != (n,):
@@ -375,6 +371,22 @@ def solve(
             A_host if A_host is not None else np.asarray(A),
             dtype=jnp.dtype(options.pricing_dtype),
         )
+    A_segs = None
+    if is_sparse and options.partial_pricing > 1 and options.pricing == "dantzig":
+        # segmented pricing over tiles: per-segment static tile structures
+        # (sparse.split_columns), built at the PRICING dtype to mirror the
+        # dense path's shadow-segment slices. Same silent-inactivity gate
+        # as dense (_partial_active): indivisible n / tile-straddling
+        # segments / too-small segments leave A_segs None and the full
+        # tile pass prices instead.
+        S = options.partial_pricing
+        bc = A.block_shape[1]
+        w = n // S if n % S == 0 else 0
+        if w and w % bc == 0 and w >= options.partial_min_segment:
+            pd = jnp.dtype(options.pricing_dtype)
+            A_segs = tuple(
+                seg.astype(pd) for seg in _bsp.split_columns(A, S)
+            )
     max_iter = options.resolve_max_iter(m, n)
     slack_init = basis0 is None
     basis_arr = (
@@ -398,7 +410,7 @@ def solve(
         )
     final = _solve_jit(
         A, b, c, basis_arr, exec_options, max_iter, slack_init,
-        u_arr, at_up_arr, A_price,
+        u_arr, at_up_arr, A_price, A_segs,
     )
     # SELECTIVE host pull: only the O(m)/scalar leaves. device_get of the
     # whole state drags B_inv (+ deferred buffers) through the tunnel —

@@ -55,6 +55,13 @@ class Problem(NamedTuple):
     c: jnp.ndarray  # (n,)
     A_price: Optional[jnp.ndarray] = None  # (m, n) bf16 pricing shadow
     u: Optional[jnp.ndarray] = None  # (n,) upper bounds (+inf = none)
+    # sparse solves only: per-segment BlockSparse structures for segmented
+    # pricing (sparse.split_columns — static tile lists, one per segment,
+    # since lax slices don't apply to the tiled format). Built at the
+    # pricing dtype, mirroring the dense path's shadow-segment slices; the
+    # winner is exactly re-verified against A either way. None = segmented
+    # pricing inactive (the full tile pass prices instead).
+    A_segs: Optional[tuple] = None
 
 
 def with_pricing_shadow(

@@ -54,7 +54,15 @@ def _dot(a, b):
 def _partial_active(opts: SimplexOptions, prob: Problem) -> bool:
     """Static decision: segmented pricing needs divisible n and segments big
     enough to amortize the exact-recheck / dry-segment fallbacks (tiny LPs
-    were measured 2.5x SLOWER with S=8 than with full pricing)."""
+    were measured 2.5x SLOWER with S=8 than with full pricing).
+
+    Sparse A segments only when solve() could build the per-segment tile
+    structures (``prob.A_segs``); without them the full tile pass prices.
+    """
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(prob.A, _bsp.BlockSparse):
+        return prob.A_segs is not None
     return (
         opts.partial_pricing > 1
         and prob.A.shape[1] % opts.partial_pricing == 0
@@ -296,7 +304,12 @@ def pivot_step(
 
             def _price_segment(s):
                 def br(_):
-                    A_seg = jax.lax.slice_in_dim(A_src, s * w, (s + 1) * w, axis=1)
+                    if prob.A_segs is not None:
+                        A_seg = prob.A_segs[s]
+                    else:
+                        A_seg = jax.lax.slice_in_dim(
+                            A_src, s * w, (s + 1) * w, axis=1
+                        )
                     c_seg = jax.lax.slice_in_dim(prob.c, s * w, (s + 1) * w)
                     up_seg = jax.lax.slice_in_dim(at_up, s * w, (s + 1) * w)
                     p_loc, mn = backend.choose_entering_bounded(
@@ -398,7 +411,14 @@ def pivot_step(
 
         def _price_segment(s):
             def br(_):
-                A_seg = jax.lax.slice_in_dim(A_src, s * w, (s + 1) * w, axis=1)
+                if prob.A_segs is not None:
+                    # sparse: the segment is its own static tile structure
+                    # (lax slices don't apply to the tiled format)
+                    A_seg = prob.A_segs[s]
+                else:
+                    A_seg = jax.lax.slice_in_dim(
+                        A_src, s * w, (s + 1) * w, axis=1
+                    )
                 c_seg = jax.lax.slice_in_dim(c_eff, s * w, (s + 1) * w)
                 p_loc, mn = backend.choose_entering(
                     state.y, A_seg, c_seg, eps_f, jnp.asarray(False)

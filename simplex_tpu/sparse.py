@@ -313,6 +313,50 @@ def scale(M: BlockSparse, r, c) -> BlockSparse:
     return BlockSparse(tiles, M.rows, M.cols, M.shape)
 
 
+def split_columns(M: BlockSparse, n_seg: int):
+    """Cut a BlockSparse into ``n_seg`` column-range segments, each its own
+    BlockSparse with LOCAL column ids — the static per-segment structures
+    that let segmented (partial) pricing run over tiles (lax slices don't
+    apply to the tiled format; a lax.switch over these does).
+
+    Host-side, build-time only. Tiles must not straddle segment boundaries
+    (n divisible by n_seg; segment width divisible by the tile width);
+    callers treat a violation as "segmentation inactive", mirroring the
+    dense path's divisibility gate. A segment with no stored tiles gets
+    one zero tile so downstream segment ops stay well-posed.
+    """
+    m, n = M.shape
+    br, bc = M.block_shape
+    if n % n_seg != 0:
+        raise ValueError(f"n={n} not divisible by {n_seg} segments")
+    w = n // n_seg
+    if w % bc != 0:
+        raise ValueError(
+            f"segment width {w} not divisible by tile width {bc}"
+        )
+    tps = w // bc
+    cols = np.asarray(M.cols)
+    rows = np.asarray(M.rows)
+    tiles = np.asarray(M.tiles)
+    seg_of = cols // tps
+    out = []
+    for s in range(n_seg):
+        sel = seg_of == s
+        if sel.any():
+            t, r, c_ = tiles[sel], rows[sel], cols[sel] - s * tps
+        else:
+            t = np.zeros((1, br, bc), tiles.dtype)
+            r = np.zeros(1, np.int32)
+            c_ = np.zeros(1, np.int32)
+        out.append(
+            BlockSparse(
+                jnp.asarray(t), jnp.asarray(r, jnp.int32),
+                jnp.asarray(c_, jnp.int32), (m, w),
+            )
+        )
+    return tuple(out)
+
+
 def shard_columns(M: BlockSparse, n_shards: int):
     """Partition a BlockSparse by COLUMN range into ``n_shards`` equal
     shards for ``shard_map`` (the distributed PDHG layout).

@@ -35,10 +35,10 @@ CONFIGS = {
 }
 
 
-# configurations that also run with A as stored tiles (round 3: the knobs
-# that don't slice dense column ranges)
-SPARSE_OK = ("dantzig", "shadow", "multi", "devex", "steepest",
-             "classic-ratio")
+# configurations that also run with A as stored tiles (round 3; segmented
+# pricing included — per-segment tile structures, sparse.split_columns)
+SPARSE_OK = ("dantzig", "shadow", "segmented", "multi", "devex", "steepest",
+             "flagship", "classic-ratio")
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13])

@@ -136,11 +136,62 @@ def test_solve_sparse_guards():
     M = bsp.from_dense(A, block_shape=(8, 8))
     with pytest.raises(NotImplementedError, match="backend"):
         solve(M, b, c, options=SimplexOptions(backend="pallas"))
-    with pytest.raises(NotImplementedError, match="segmented|partial"):
-        solve(
+
+
+def test_solve_sparse_segmented_pricing():
+    """Segmented (partial) pricing runs over per-segment tile structures
+    (sparse.split_columns): same oracle answer as the full tile pass, in
+    both pricing dtypes; indivisible segment widths silently fall back to
+    the full pass like the dense gate does."""
+    A, b, c = _sparse_canonical(24, 64, density=0.25, seed=34)
+    c = c * (A != 0).any(axis=0)
+    M = bsp.from_dense(A, block_shape=(8, 8))
+    ref = solve_scipy(A, b, c)
+    assert ref.status == SolveStatus.OPTIMAL
+    for pdtype in ("float32", "bfloat16"):
+        res = solve(
             M, b, c,
-            options=SimplexOptions(partial_pricing=4, partial_min_segment=1),
+            options=SimplexOptions(
+                partial_pricing=4, partial_min_segment=1,
+                pricing_dtype=pdtype,
+            ),
         )
+        assert res.status == SolveStatus.OPTIMAL, pdtype
+        assert relative_gap(res.z, ref.z) < 1e-5, pdtype
+    # segment width 64/5 not an integer: inactive, still correct
+    res = solve(
+        M, b, c,
+        options=SimplexOptions(partial_pricing=5, partial_min_segment=1),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+
+
+def test_solve_sparse_segmented_bounded():
+    """The bounded rule's segmented branch reads tiles too."""
+    rng = np.random.default_rng(35)
+    m, k = 8, 24
+    A0 = rng.uniform(0.2, 1.5, (m, k))
+    A0[rng.uniform(size=A0.shape) > 0.4] = 0.0
+    A = np.hstack([A0, np.eye(m)]).astype(np.float32)
+    b = (A0 @ rng.uniform(0.2, 0.8, k) + rng.uniform(0.1, 1.0, m)).astype(
+        np.float32
+    )
+    c = np.concatenate([rng.uniform(0.5, 2, k), np.zeros(m)]).astype(
+        np.float32
+    )
+    c[:k] *= (A0 != 0).any(axis=0)
+    u = np.concatenate(
+        [rng.uniform(0.3, 1.0, k), np.full(m, np.inf)]
+    ).astype(np.float32)
+    base = solve(A, b, c, u=u)
+    M = bsp.from_dense(A, block_shape=(8, 8))
+    res = solve(
+        M, b, c, u=u,
+        options=SimplexOptions(partial_pricing=4, partial_min_segment=1),
+    )
+    assert res.status == base.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, base.z) < 1e-5
 
 
 @pytest.mark.parametrize("pricing", ["devex", "steepest"])
