@@ -90,12 +90,30 @@ def solve_sharded_2d_with_checkpoints(
     inverse) device-resident — only the O(m) light fields are pulled per
     chunk — so steady-state throughput matches ``solve_sharded_2d``.
     """
-    A = jnp.asarray(A)
+    from simplex_tpu import sparse as _bsp
+
+    A_host = None
+    is_sparse = isinstance(A, _bsp.BlockSparse)
+    R = mesh.shape[ROWS_AXIS]
+    C = mesh.shape[COLS_AXIS]
+    if not is_sparse:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            import math
+
+            A_host = A.tocsc()
+            n_loc0 = A_host.shape[1] // max(1, R * C)
+            bc0 = math.gcd(max(1, n_loc0), 128)
+            A = _bsp.from_scipy(
+                A_host, block_shape=(128, bc0), dtype=options.dtype
+            )
+            is_sparse = True
+    if not is_sparse:
+        A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
-    R = mesh.shape[ROWS_AXIS]
-    C = mesh.shape[COLS_AXIS]
     if n % (R * C) != 0 or m % R != 0:
         raise ValueError(
             f"shapes must divide the mesh: n={n} by R*C={R * C}, m={m} by R={R}"
@@ -111,8 +129,19 @@ def solve_sharded_2d_with_checkpoints(
     path = os.fspath(path)
     exec_options = dataclasses.replace(options, max_iter=0, checkpoint_every=0)
 
+    if is_sparse:
+        t_st, r_st, c_st, _n_loc = _bsp.shard_columns(A, R * C)
+        D, T, br, bc = t_st.shape
+        A_args = (
+            t_st.reshape(D * T, br, bc), r_st.reshape(-1), c_st.reshape(-1),
+        )
+    else:
+        A_args = (A,)
+
     def build(kind):
-        return _build_2d_fn(mesh, m, n, m_loc, n_loc, exec_options, kind)
+        return _build_2d_fn(
+            mesh, m, n, m_loc, n_loc, exec_options, kind, sparse=is_sparse
+        )
 
     if resume and os.path.exists(path):
         snap_basis, snap_iters, snap_degen = load_light_snapshot(path, m, n)
@@ -129,11 +158,12 @@ def solve_sharded_2d_with_checkpoints(
         try:
             if mode == "start":
                 state, _z = _run_chunk(
-                    build("start"), A, b, c, basis0_arr, jnp.int32(limit)
+                    build("start"), *A_args, b, c, basis0_arr,
+                    jnp.int32(limit),
                 )
             elif mode == "resume":
                 state, _z = _run_chunk(
-                    build("resume"), A, b, c,
+                    build("resume"), *A_args, b, c,
                     jnp.asarray(snap_basis, jnp.int32),
                     jnp.int32(snap_iters), jnp.int32(snap_degen),
                     jnp.int32(limit),
@@ -141,7 +171,7 @@ def solve_sharded_2d_with_checkpoints(
             else:  # cont: previous chunk's device state continues in place
                 state = {**state, "status": jnp.int32(SolveStatus.RUNNING)}
                 state, _z = _run_chunk(
-                    build("cont"), A, b, c, state, jnp.int32(limit)
+                    build("cont"), *A_args, b, c, state, jnp.int32(limit)
                 )
             jax.block_until_ready(state["x_b"])
             mode = "cont"
@@ -190,6 +220,6 @@ def solve_sharded_2d_with_checkpoints(
          state["status"], state["iters"])
     )
     return finalize_result(
-        A, None, b, c, x_b_np, basis_np, c_b_np, y_np, status_i, iters_i,
+        A, A_host, b, c, x_b_np, basis_np, c_b_np, y_np, status_i, iters_i,
         state["B_inv"], options,
     )

@@ -86,12 +86,17 @@ def _solve_2d_local(
     feas_tol = opts.feas_tol  # shared SimplexOptions field — same value as
     # the single-chip Harris test, so the modes can't drift apart silently
     # flagship-config features (mirroring core/step.py; all static)
+    from simplex_tpu import sparse as _bsp
+    from simplex_tpu.kernels import xla as _xk
+
+    sparse = isinstance(A_loc, _bsp.BlockSparse)
     devex = opts.pricing == "devex"
     defer = opts.update_defer > 0
     L = max(opts.update_defer, 1)
     S = opts.partial_pricing
     partial = (
         not devex
+        and not sparse  # lax slices don't apply to tiles; full pass prices
         and S > 1
         and n_loc % S == 0
         and n_loc // S >= opts.partial_min_segment
@@ -164,15 +169,20 @@ def _solve_2d_local(
 
         # ---- pricing over the local column shard + global argmin ----
         def local_price(Amat, cvec, base_off):
-            e = (
-                jax.lax.dot_general(
-                    s["y"].astype(Amat.dtype),
-                    Amat,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=dtype,
+            if sparse:
+                # stored-tile pass (bf16 shadow tiles accumulate in f32,
+                # mirroring the dense shadow's contract)
+                e = _bsp.rmatvec(Amat, s["y"]).astype(dtype) - cvec
+            else:
+                e = (
+                    jax.lax.dot_general(
+                        s["y"].astype(Amat.dtype),
+                        Amat,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=dtype,
+                    )
+                    - cvec
                 )
-                - cvec
-            )
             j = jnp.argmin(e).astype(jnp.int32)
             neg = e < -eps
             jb = jnp.where(jnp.any(neg), jnp.argmax(neg).astype(jnp.int32), INT_MAX)
@@ -184,8 +194,9 @@ def _solve_2d_local(
             """Owner -> all broadcast of column pg (A_p, c_p) via psum."""
             own_f = jnp.logical_and(pg >= col_base, pg < col_base + n_loc)
             jf = jnp.clip(pg - col_base, 0, n_loc - 1)
+            col = _xk.gather_column(A_loc, jf)  # dense or tile gather
             A_pf = jax.lax.psum(
-                jnp.where(own_f, A_loc[:, jf], 0).astype(dtype), both
+                jnp.where(own_f, col, 0).astype(dtype), both
             )
             c_pf = jax.lax.psum(jnp.where(own_f, c_loc[jf], 0), both)
             return A_pf, c_pf
@@ -435,7 +446,7 @@ def _solve_2d_local(
             # f32 — see kernels.xla.pricing_update). O(m n_loc) per chip,
             # same traffic class as the pricing pass it replaces.
             rho = binv_q * inv_aq
-            w_loc = jnp.matmul(rho, A_loc, precision=_EXACT)
+            w_loc = _xk.pricing_update(A_loc, rho)
             e_dx = s["e"] - e_p * w_loc
             gamma_p = jax.lax.psum(
                 jnp.where(own, s["gamma"][jp], 0), both
@@ -527,8 +538,8 @@ def _solve_2d_local(
         # m rows of its columns), then slice my row block. The psum payload
         # is transiently (m, m) — same class as the Newton all-gathers below;
         # a ppermute-based owner->rows-group exchange could shrink it.
-        contrib = jnp.take(
-            A_loc, jnp.clip(loc_b, 0, n_loc - 1), axis=1
+        contrib = _xk.gather_columns(
+            A_loc, jnp.clip(loc_b, 0, n_loc - 1)
         ).astype(dtype)
         B_full_cols = jax.lax.psum(jnp.where(mine_b[None, :], contrib, 0), both)
         B_loc = jax.lax.dynamic_slice(
@@ -623,13 +634,7 @@ def _solve_2d_local(
             out["npend"] = jnp.int32(0)
         if devex:
             # exact incremental reduced costs + the standard Devex restart
-            out["e"] = (
-                jax.lax.dot_general(
-                    y_new, A_loc, (((0,), (0,)), ((), ())),
-                    precision=_EXACT,
-                )
-                - c_loc
-            )
+            out["e"] = _xk.pricing_update(A_loc, y_new) - c_loc
             out["gamma"] = jnp.ones_like(s["gamma"])
         return out
 
@@ -654,12 +659,7 @@ def _solve_2d_local(
             state0["R"] = jnp.zeros((L, m), dtype)
             state0["npend"] = jnp.int32(0)
         if devex:
-            state0["e"] = (
-                jax.lax.dot_general(
-                    y0, A_loc, (((0,), (0,)), ((), ())), precision=_EXACT
-                )
-                - c_loc
-            )
+            state0["e"] = _xk.pricing_update(A_loc, y0) - c_loc
             state0["gamma"] = jnp.ones((n_loc,), dtype)
         if rebuild:
             # snapshot resume: B_inv / x_b / y above assumed the identity
@@ -709,7 +709,8 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _build_2d_fn(mesh, m, n, m_loc, n_loc, options, kind="start"):
+def _build_2d_fn(mesh, m, n, m_loc, n_loc, options, kind="start",
+                 sparse=False):
     """Build (and cache) the jitted 2-D shard_map solve — a fresh jit
     wrapper per call would re-trace every solve. The pivot budget is a
     traced argument, not part of the cache key.
@@ -717,11 +718,23 @@ def _build_2d_fn(mesh, m, n, m_loc, n_loc, options, kind="start"):
     ``kind`` selects the entry (see _solve_2d_local): "start" = slack
     basis, "resume" = arbitrary checkpointed basis + counters (rebuilds
     the inverse on-mesh), "cont" = previous chunk's device state dict.
+
+    ``sparse=True`` replaces the dense column-shard argument with the
+    shard's BlockSparse tile triple (flattened-mesh ``shard_columns``
+    layout, like the 1-D mode): 3 leading args instead of 1.
     """
     dtype = options.dtype
     use_bf16 = options.pricing_dtype != "float32"
+    N_A = 3 if sparse else 1
 
-    def _prep(A_loc, c_loc):
+    def _prep(A_args, c_loc):
+        if sparse:
+            from simplex_tpu import sparse as _bsp
+
+            tiles, rows, cols = A_args
+            A_loc = _bsp.BlockSparse(tiles, rows, cols, (m, n_loc))
+        else:
+            (A_loc,) = A_args
         A_loc = A_loc.astype(dtype)
         Ap_loc = (
             A_loc.astype(jnp.dtype(options.pricing_dtype)) if use_bf16 else None
@@ -729,23 +742,26 @@ def _build_2d_fn(mesh, m, n, m_loc, n_loc, options, kind="start"):
         return A_loc, Ap_loc, c_loc.astype(dtype)
 
     if kind == "start":
-        def shard_fn(A_loc, b_rep, c_loc, basis_loc, max_iter):
-            A_loc, Ap_loc, c_loc = _prep(A_loc, c_loc)
+        def shard_fn(*args):
+            (*A_args, b_rep, c_loc, basis_loc, max_iter) = args
+            A_loc, Ap_loc, c_loc = _prep(tuple(A_args), c_loc)
             return _solve_2d_local(
                 A_loc, Ap_loc, b_rep, c_loc, basis_loc, options,
                 max_iter, m, n, m_loc, n_loc,
             )
     elif kind == "resume":
-        def shard_fn(A_loc, b_rep, c_loc, basis_loc, iters0, degen0, max_iter):
-            A_loc, Ap_loc, c_loc = _prep(A_loc, c_loc)
+        def shard_fn(*args):
+            (*A_args, b_rep, c_loc, basis_loc, iters0, degen0, max_iter) = args
+            A_loc, Ap_loc, c_loc = _prep(tuple(A_args), c_loc)
             return _solve_2d_local(
                 A_loc, Ap_loc, b_rep, c_loc, basis_loc, options,
                 max_iter, m, n, m_loc, n_loc,
                 iters0=iters0, degen0=degen0, rebuild=True,
             )
     elif kind == "cont":
-        def shard_fn(A_loc, b_rep, c_loc, state, max_iter):
-            A_loc, Ap_loc, c_loc = _prep(A_loc, c_loc)
+        def shard_fn(*args):
+            (*A_args, b_rep, c_loc, state, max_iter) = args
+            A_loc, Ap_loc, c_loc = _prep(tuple(A_args), c_loc)
             return _solve_2d_local(
                 A_loc, Ap_loc, b_rep, c_loc, None, options,
                 max_iter, m, n, m_loc, n_loc, state_in=state,
@@ -773,8 +789,15 @@ def _build_2d_fn(mesh, m, n, m_loc, n_loc, options, kind="start"):
         # incremental reduced costs / weights share the column sharding
         state_specs["e"] = P((ROWS_AXIS, COLS_AXIS))
         state_specs["gamma"] = P((ROWS_AXIS, COLS_AXIS))
-    base_specs = (
-        P(None, (ROWS_AXIS, COLS_AXIS)),
+    if sparse:
+        A_specs = (
+            P((ROWS_AXIS, COLS_AXIS), None, None),  # (D*T_max, br, bc)
+            P((ROWS_AXIS, COLS_AXIS)),  # rows (D*T_max,)
+            P((ROWS_AXIS, COLS_AXIS)),  # cols, local to the shard
+        )
+    else:
+        A_specs = (P(None, (ROWS_AXIS, COLS_AXIS)),)
+    base_specs = A_specs + (
         P(None),
         P((ROWS_AXIS, COLS_AXIS)),
     )
@@ -810,8 +833,34 @@ def solve_sharded_2d(
     R. ``basis0`` (default trailing slacks) must satisfy A[:, basis0] = I.
     ``refactor_every`` triggers the distributed Newton-Schulz re-inversion;
     the final objective is host-verified in f64 when m <= 16384.
+
+    ``A`` may be a :class:`simplex_tpu.sparse.BlockSparse` or scipy.sparse
+    matrix: each mesh cell holds only ITS columns' stored tiles (the
+    flattened-mesh ``sparse.shard_columns`` layout, like the 1-D mode) and
+    every local A read is a tile op; the collectives, the row-sharded
+    inverse, and the distributed Newton-Schulz are unchanged. Segmented
+    pricing silently deactivates on tiles (full tile pass instead).
     """
-    A = jnp.asarray(A)
+    from simplex_tpu import sparse as _bsp
+
+    A_host = None
+    is_sparse = isinstance(A, _bsp.BlockSparse)
+    if not is_sparse:
+        import scipy.sparse as _sps
+
+        if _sps.issparse(A):
+            import math
+
+            A_host = A.tocsc()
+            D_total = mesh.shape[ROWS_AXIS] * mesh.shape[COLS_AXIS]
+            n_loc0 = A_host.shape[1] // max(1, D_total)
+            bc = math.gcd(max(1, n_loc0), 128)
+            A = _bsp.from_scipy(
+                A_host, block_shape=(128, bc), dtype=options.dtype
+            )
+            is_sparse = True
+    if not is_sparse:
+        A = jnp.asarray(A)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
@@ -838,8 +887,19 @@ def solve_sharded_2d(
     import dataclasses as _dc
 
     exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
-    fn = _build_2d_fn(mesh, m, n, m_loc, n_loc, exec_options)
-    final, _z = fn(A, b, c, basis0, jnp.int32(max_iter))
+    if is_sparse:
+        t_st, r_st, c_st, _n_loc = _bsp.shard_columns(A, R * C)
+        D, T, br, bc = t_st.shape
+        fn = _build_2d_fn(
+            mesh, m, n, m_loc, n_loc, exec_options, sparse=True
+        )
+        final, _z = fn(
+            t_st.reshape(D * T, br, bc), r_st.reshape(-1), c_st.reshape(-1),
+            b, c, basis0, jnp.int32(max_iter),
+        )
+    else:
+        fn = _build_2d_fn(mesh, m, n, m_loc, n_loc, exec_options)
+        final, _z = fn(A, b, c, basis0, jnp.int32(max_iter))
     # same result contract as the single-chip path: selective O(m) pulls +
     # the shared f64 finisher (O(m^2) refinement against the solve's own
     # row-sharded inverse; the refinement matvec runs on the mesh). This
@@ -853,6 +913,6 @@ def solve_sharded_2d(
          final["status"], final["iters"])
     )
     return finalize_result(
-        A, None, b, c, x_b_np, basis_np, c_b_np, y_np, status_i, iters_i,
+        A, A_host, b, c, x_b_np, basis_np, c_b_np, y_np, status_i, iters_i,
         final["B_inv"], options,
     )

@@ -414,6 +414,72 @@ def test_ranging_sparse_matches_dense():
         np.testing.assert_allclose(fs, fd, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("pricing", ["dantzig", "devex"])
+def test_solve_sharded_2d_sparse(pricing):
+    """2-D (rows x cols) mesh mode over tiles: each cell holds only its
+    columns' stored tiles; the row-sharded inverse, collectives, and
+    distributed Newton-Schulz are unchanged — answers match the dense 2-D
+    solve and the oracle. The LAST formerly dense-only surface."""
+    import jax
+
+    from simplex_tpu import SimplexOptions
+    from simplex_tpu import sparse as bsp
+    from simplex_tpu.dist.mesh import make_mesh
+    from simplex_tpu.dist.sharded2d import solve_sharded_2d
+    from simplex_tpu.oracle.reference import solve_scipy
+
+    from tests.test_sparse import _sparse_canonical
+
+    A, b, c = _sparse_canonical(16, 48, density=0.3, seed=91)
+    c = c * (A != 0).any(axis=0)
+    mesh = make_mesh(("rows", "cols"), shape=(2, 4))
+    opts = SimplexOptions(pricing=pricing, refactor_every=32)
+    ref = solve_scipy(A, b, c)
+    assert ref.status == SolveStatus.OPTIMAL
+    dense = solve_sharded_2d(A, b, c, mesh, options=opts)
+    M = bsp.from_dense(A, block_shape=(8, 8))
+    res = solve_sharded_2d(M, b, c, mesh, options=opts)
+    assert dense.status == res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+    assert relative_gap(res.z, dense.z) < 1e-6
+    assert res.feas_err < 1e-5
+    # scipy input converts + feeds the host polish
+    res2 = solve_sharded_2d(sps.csr_matrix(A), b, c, mesh, options=opts)
+    assert res2.status == SolveStatus.OPTIMAL
+    assert relative_gap(res2.z, ref.z) < 1e-5
+
+
+def test_checkpoint2d_sparse(tmp_path):
+    """2-D chunked solve + light-snapshot resume over tiles."""
+    import jax
+
+    from simplex_tpu import SimplexOptions
+    from simplex_tpu.dist.checkpoint2d import solve_sharded_2d_with_checkpoints
+    from simplex_tpu.dist.mesh import make_mesh
+    from simplex_tpu.oracle.reference import solve_scipy
+
+    from tests.test_sparse import _sparse_canonical
+
+    A, b, c = _sparse_canonical(16, 48, density=0.3, seed=92)
+    c = c * (A != 0).any(axis=0)
+    A_sp = sps.csr_matrix(A)
+    mesh = make_mesh(("rows", "cols"), shape=(2, 4))
+    ref = solve_scipy(A, b, c)
+    ck = tmp_path / "c2d.npz"
+    partial = solve_sharded_2d_with_checkpoints(
+        A_sp, b, c, mesh, path=ck,
+        options=SimplexOptions(checkpoint_every=3, max_iter=3),
+    )
+    assert partial.status == SolveStatus.MAX_ITER
+    res = solve_sharded_2d_with_checkpoints(
+        A_sp, b, c, mesh, path=ck,
+        options=SimplexOptions(checkpoint_every=64),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+    assert res.iters >= partial.iters
+
+
 def test_solve_dual_sparse_direct():
     """solve_dual takes scipy A directly: perturbed-RHS re-solve from the
     optimal basis matches the cold sparse solve."""
