@@ -196,11 +196,8 @@ def reoptimize_batched(
     else:
         if options.backend != "xla":
             raise NotImplementedError("sparse A requires backend='xla'")
-        if options.partial_pricing > 1:
-            raise NotImplementedError(
-                "segmented pricing slices dense column ranges; use the "
-                "default full pass with sparse A"
-            )
+        # segmented pricing silently deactivates on tiles (full tile
+        # pass; same gate semantics as the dense divisibility checks)
     bs_new = jnp.asarray(bs_new)
     c = jnp.asarray(c)
     m, n = A.shape

@@ -558,11 +558,9 @@ def solve_dual(
         # same combination guards as the sparse primal path apply
         if options.backend != "xla":
             raise NotImplementedError("sparse A requires backend='xla'")
-        if options.partial_pricing > 1:
-            raise NotImplementedError(
-                "segmented pricing slices dense column ranges; use the "
-                "default full pass with sparse A"
-            )
+        # segmented pricing silently deactivates on tiles here (no
+        # per-segment structures are built for the warm path; the full
+        # tile pass prices — same gate semantics as dense indivisibility)
     if m > n:
         raise ValueError(f"m > n ({m} > {n}): not a canonical-form LP")
     slack = basis0 is None

@@ -100,13 +100,13 @@ def solve_sharded_2d_with_checkpoints(
         import scipy.sparse as _sps
 
         if _sps.issparse(A):
-            import math
+            from simplex_tpu.dist.sharded2d import _check_2d_shapes
 
+            # validate the mesh divides the shapes BEFORE the O(nnz) tiling
+            _check_2d_shapes(A.shape, mesh)
             A_host = A.tocsc()
-            n_loc0 = A_host.shape[1] // max(1, R * C)
-            bc0 = math.gcd(max(1, n_loc0), 128)
-            A = _bsp.from_scipy(
-                A_host, block_shape=(128, bc0), dtype=options.dtype
+            A = _bsp.tile_for_column_shards(
+                A_host, R * C, dtype=options.dtype
             )
             is_sparse = True
     if not is_sparse:
@@ -114,10 +114,9 @@ def solve_sharded_2d_with_checkpoints(
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
-    if n % (R * C) != 0 or m % R != 0:
-        raise ValueError(
-            f"shapes must divide the mesh: n={n} by R*C={R * C}, m={m} by R={R}"
-        )
+    from simplex_tpu.dist.sharded2d import _check_2d_shapes as _chk
+
+    _chk((m, n), mesh)
     m_loc, n_loc = m // R, n // (R * C)
     basis0_arr = (
         jnp.arange(n - m, n, dtype=jnp.int32)
@@ -130,11 +129,7 @@ def solve_sharded_2d_with_checkpoints(
     exec_options = dataclasses.replace(options, max_iter=0, checkpoint_every=0)
 
     if is_sparse:
-        t_st, r_st, c_st, _n_loc = _bsp.shard_columns(A, R * C)
-        D, T, br, bc = t_st.shape
-        A_args = (
-            t_st.reshape(D * T, br, bc), r_st.reshape(-1), c_st.reshape(-1),
-        )
+        A_args = _bsp.flat_shard_args(A, R * C)[:3]
     else:
         A_args = (A,)
 

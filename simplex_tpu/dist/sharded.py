@@ -318,15 +318,9 @@ def solve_sharded(
         import scipy.sparse as _sps
 
         if _sps.issparse(A):
-            import math
-
             A_host = A.tocsc()
-            # tile width must divide the shard width so tiles never
-            # straddle shard boundaries (sparse.shard_columns contract)
-            n_loc0 = A_host.shape[1] // max(1, mesh.shape[axis_name])
-            bc = math.gcd(max(1, n_loc0), 128)
-            A = _bsp.from_scipy(
-                A_host, block_shape=(128, bc), dtype=options.dtype
+            A = _bsp.tile_for_column_shards(
+                A_host, mesh.shape[axis_name], dtype=options.dtype
             )
             is_sparse = True
     if not is_sparse:
@@ -334,11 +328,9 @@ def solve_sharded(
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     m, n = A.shape
-    if is_sparse and options.partial_pricing > 1:
-        raise NotImplementedError(
-            "segmented pricing slices dense column ranges; use the default "
-            "full pass with sparse A"
-        )
+    # segmented pricing silently deactivates on tiles (the same gate
+    # semantics as the dense divisibility checks; single-chip solve() is
+    # the mode that builds per-segment tile structures)
     basis0 = (
         jnp.arange(n - m, n, dtype=jnp.int32)
         if basis0 is None
@@ -363,12 +355,10 @@ def solve_sharded(
 
     exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
     if is_sparse:
-        t_st, r_st, c_st, n_loc = _bsp.shard_columns(A, n_shards)
-        D, T, br, bc = t_st.shape
+        tiles_f, rows_f, cols_f, _n_loc = _bsp.flat_shard_args(A, n_shards)
         fn = _build_sharded_fn_sp(mesh, axis_name, shard_width, m, exec_options)
         final, _z = fn(
-            t_st.reshape(D * T, br, bc), r_st.reshape(-1), c_st.reshape(-1),
-            b, c, basis0, jnp.int32(max_iter),
+            tiles_f, rows_f, cols_f, b, c, basis0, jnp.int32(max_iter),
         )
     else:
         fn = _build_sharded_fn(mesh, axis_name, shard_width, m, exec_options)

@@ -52,6 +52,16 @@ INT_MAX = jnp.iinfo(jnp.int32).max
 _EXACT = jax.lax.Precision.HIGHEST
 
 
+def _check_2d_shapes(shape, mesh):
+    m, n = shape
+    R = mesh.shape[ROWS_AXIS]
+    C = mesh.shape[COLS_AXIS]
+    if n % (R * C) != 0 or m % R != 0:
+        raise ValueError(
+            f"shapes must divide the mesh: n={n} by R*C={R * C}, m={m} by R={R}"
+        )
+
+
 def _argmin_all(val, gidx, axes):
     """Global (min value, lowest global index attaining it) over mesh axes."""
     vmin = jax.lax.pmin(val, axes)
@@ -725,7 +735,6 @@ def _build_2d_fn(mesh, m, n, m_loc, n_loc, options, kind="start",
     """
     dtype = options.dtype
     use_bf16 = options.pricing_dtype != "float32"
-    N_A = 3 if sparse else 1
 
     def _prep(A_args, c_loc):
         if sparse:
@@ -849,14 +858,13 @@ def solve_sharded_2d(
         import scipy.sparse as _sps
 
         if _sps.issparse(A):
-            import math
-
+            # validate the mesh divides the shapes BEFORE the O(nnz) tiling
+            _check_2d_shapes(A.shape, mesh)
             A_host = A.tocsc()
-            D_total = mesh.shape[ROWS_AXIS] * mesh.shape[COLS_AXIS]
-            n_loc0 = A_host.shape[1] // max(1, D_total)
-            bc = math.gcd(max(1, n_loc0), 128)
-            A = _bsp.from_scipy(
-                A_host, block_shape=(128, bc), dtype=options.dtype
+            A = _bsp.tile_for_column_shards(
+                A_host,
+                mesh.shape[ROWS_AXIS] * mesh.shape[COLS_AXIS],
+                dtype=options.dtype,
             )
             is_sparse = True
     if not is_sparse:
@@ -871,10 +879,7 @@ def solve_sharded_2d(
         )
     R = mesh.shape[ROWS_AXIS]
     C = mesh.shape[COLS_AXIS]
-    if n % (R * C) != 0 or m % R != 0:
-        raise ValueError(
-            f"shapes must divide the mesh: n={n} by R*C={R * C}, m={m} by R={R}"
-        )
+    _check_2d_shapes((m, n), mesh)
     m_loc, n_loc = m // R, n // (R * C)
     basis0 = (
         jnp.arange(n - m, n, dtype=jnp.int32)
@@ -888,14 +893,12 @@ def solve_sharded_2d(
 
     exec_options = _dc.replace(options, max_iter=0, checkpoint_every=0)
     if is_sparse:
-        t_st, r_st, c_st, _n_loc = _bsp.shard_columns(A, R * C)
-        D, T, br, bc = t_st.shape
+        tiles_f, rows_f, cols_f, _n_loc = _bsp.flat_shard_args(A, R * C)
         fn = _build_2d_fn(
             mesh, m, n, m_loc, n_loc, exec_options, sparse=True
         )
         final, _z = fn(
-            t_st.reshape(D * T, br, bc), r_st.reshape(-1), c_st.reshape(-1),
-            b, c, basis0, jnp.int32(max_iter),
+            tiles_f, rows_f, cols_f, b, c, basis0, jnp.int32(max_iter),
         )
     else:
         fn = _build_2d_fn(mesh, m, n, m_loc, n_loc, exec_options)

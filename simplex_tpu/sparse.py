@@ -357,6 +357,30 @@ def split_columns(M: BlockSparse, n_seg: int):
     return tuple(out)
 
 
+def tile_for_column_shards(A_scipy, n_shards: int, dtype=jnp.float32):
+    """scipy.sparse -> BlockSparse whose tile width divides the shard
+    width (the `shard_columns` contract: tiles must not straddle shard
+    boundaries). One policy for every distributed entry point — 1-D,
+    2-D, and the 2-D checkpoint driver all call this, so the tile layout
+    cannot silently diverge between them."""
+    import math
+
+    n_loc = A_scipy.shape[1] // max(1, n_shards)
+    bc = math.gcd(max(1, n_loc), 128)
+    return from_scipy(A_scipy.tocsc(), block_shape=(128, bc), dtype=dtype)
+
+
+def flat_shard_args(M: BlockSparse, n_shards: int):
+    """``shard_columns`` flattened for shard_map's leading-axis split:
+    (tiles (D*T_max, br, bc), rows (D*T_max,), cols (D*T_max,), n_loc)."""
+    t_st, r_st, c_st, n_loc = shard_columns(M, n_shards)
+    D, T, br, bc = t_st.shape
+    return (
+        t_st.reshape(D * T, br, bc), r_st.reshape(-1), c_st.reshape(-1),
+        n_loc,
+    )
+
+
 def shard_columns(M: BlockSparse, n_shards: int):
     """Partition a BlockSparse by COLUMN range into ``n_shards`` equal
     shards for ``shard_map`` (the distributed PDHG layout).

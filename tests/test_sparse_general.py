@@ -451,8 +451,6 @@ def test_solve_sharded_2d_sparse(pricing):
 
 def test_checkpoint2d_sparse(tmp_path):
     """2-D chunked solve + light-snapshot resume over tiles."""
-    import jax
-
     from simplex_tpu import SimplexOptions
     from simplex_tpu.dist.checkpoint2d import solve_sharded_2d_with_checkpoints
     from simplex_tpu.dist.mesh import make_mesh
