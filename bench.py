@@ -95,6 +95,11 @@ def main() -> None:
         "(rows ~ --m), dense time reported as context",
     )
     ap.add_argument(
+        "--presolve", action="store_true",
+        help="general mode: run host presolve (reductions + geometric-mean "
+             "scaling) before the two-phase solve",
+    )
+    ap.add_argument(
         "--no-oracle", action="store_true",
         help="full mode: skip the host HiGHS parity solve (minutes at 8k+)",
     )
@@ -357,11 +362,13 @@ def bench_general(args) -> None:
     # so a tiny-budget run compiles everything the timed run needs
     import dataclasses
 
+    pre = getattr(args, "presolve", False)
     log("compile warmup (2-pivot budget)...")
-    solve_general(lp, options=dataclasses.replace(opts, max_iter=2))
-    log("timed two-phase solve...")
+    solve_general(lp, options=dataclasses.replace(opts, max_iter=2),
+                  presolve=pre)
+    log("timed two-phase solve%s..." % (" (presolved)" if pre else ""))
     t0 = time.time()
-    res = solve_general(lp, options=opts)
+    res = solve_general(lp, options=opts, presolve=pre)
     dt = time.time() - t0
     log(
         f"{res.status.name} z={res.z:.8f} iters={res.iters} "

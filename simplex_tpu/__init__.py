@@ -49,6 +49,14 @@ def __getattr__(name):
         from simplex_tpu.core.twophase import GeneralLP
 
         return GeneralLP
+    if name == "presolve":
+        from simplex_tpu.presolve import presolve
+
+        return presolve
+    if name == "postsolve":
+        from simplex_tpu.presolve import postsolve
+
+        return postsolve
     if name == "read_mps":
         from simplex_tpu.io.mps import read_mps
 
@@ -112,6 +120,8 @@ __all__ = [
     "solve_batched",
     "solve_pdhg",
     "solve_general",
+    "presolve",
+    "postsolve",
     "solve_sharded",
     "solve_sharded_2d",
     "solve_with_checkpoints",

@@ -174,7 +174,7 @@ def cmd_solve(args) -> int:
                     x=eq.recover(np.asarray(res.x)[: eq.k_transformed]),
                 )
             else:
-                res = solve_general(loaded, options=_options(args))
+                res = solve_general(loaded, options=_options(args), presolve=getattr(args, 'presolve', False))
         elif args.algo == "pdhg":
             from simplex_tpu.fo import solve_pdhg
 
@@ -240,7 +240,7 @@ def cmd_verify(args) -> int:
         from simplex_tpu.core.twophase import solve_general
         from simplex_tpu.oracle.reference import solve_scipy_general
 
-        res = solve_general(loaded, options=_options(args))
+        res = solve_general(loaded, options=_options(args), presolve=getattr(args, 'presolve', False))
         ref = solve_scipy_general(loaded)
     if res.status != ref.status:
         print(f"STATUS MISMATCH: ours={res.status.name} oracle={ref.status.name}")
@@ -275,7 +275,7 @@ def cmd_analyze(args) -> int:
         # re-solves work through the GeneralWarmStart token
         from simplex_tpu.core.twophase import solve_general
 
-        res = solve_general(loaded, options=_options(args))
+        res = solve_general(loaded, options=_options(args), presolve=getattr(args, 'presolve', False))
         if res.status != SolveStatus.OPTIMAL:
             print(res.status.describe())
             return 2
@@ -402,6 +402,12 @@ def main(argv=None) -> int:
             choices=["debug", "info", "warning", "error"],
             help="framework log verbosity (also: SIMPLEX_TPU_LOG env var; "
                  "SIMPLEX_TPU_LOG_JSON=1 for JSON lines)",
+        )
+        p.add_argument(
+            "--presolve", action="store_true",
+            help="host presolve before the general route: fixed vars, "
+                 "empty rows/cols, singleton rows, geometric-mean scaling "
+                 "(simplex_tpu.presolve); primal AND duals are postsolved",
         )
         p.add_argument(
             "--fast", action="store_true",

@@ -418,6 +418,7 @@ def solve_general(
     options: SimplexOptions = DEFAULT_OPTIONS,
     phase2_artificial_cost: Optional[float] = None,
     warm: Optional[GeneralWarmStart] = None,
+    presolve: bool = False,
 ) -> GeneralSolveResult:
     """Solve a general-form LP by two-phase simplex on the device solver.
 
@@ -430,7 +431,19 @@ def solve_general(
     the standardization reproduces the original row flips, and the dual
     simplex re-solves from the stored basis — the general-form face of
     :func:`simplex_tpu.analysis.reoptimize`.
+
+    ``presolve=True`` first runs :mod:`simplex_tpu.presolve` (fixed
+    variables, empty rows/columns, singleton rows, geometric-mean scaling)
+    and maps the solution — primal AND dual — back through postsolve. The
+    reductions change b when variables are substituted, so a presolved
+    result carries no ``warm`` token and ``warm`` cannot be combined with
+    ``presolve`` (the token's basis lives in a different column space).
     """
+    if presolve:
+        return _solve_general_presolved(
+            lp, options=options,
+            phase2_artificial_cost=phase2_artificial_cost, warm=warm,
+        )
     m_orig, k_orig = _shape(lp.A)
     lp, recover, z_const = _preprocess_bounds(lp)
     if lp is None:  # some lower bound exceeds its upper bound
@@ -601,4 +614,60 @@ def solve_general(
         phase1_iters=p1_iters,
         y=y,
         warm=warm_out,
+    )
+
+
+def _solve_general_presolved(
+    lp: GeneralLP,
+    *,
+    options: SimplexOptions,
+    phase2_artificial_cost: Optional[float],
+    warm: Optional[GeneralWarmStart],
+) -> GeneralSolveResult:
+    """presolve -> solve_general on the reduced LP -> postsolve.
+
+    The reference feeds raw MPS data straight to its solver
+    (``glpk_interface.cpp:16-78``); real netlib-class instances carry fixed
+    variables, singleton rows, and wildly mixed magnitudes that a fp32 core
+    should never see. See :mod:`simplex_tpu.presolve` for the reductions.
+    """
+    from simplex_tpu.presolve import postsolve
+    from simplex_tpu.presolve import presolve as run_presolve
+
+    if warm is not None:
+        raise ValueError(
+            "warm restarts cannot be combined with presolve=True: the warm "
+            "token's basis lives in the unreduced column space. Re-solve "
+            "cold with presolve, or warm-solve with presolve=False."
+        )
+    m_orig, k_orig = _shape(lp.A)
+    c_orig = np.asarray(lp.c, np.float64)
+    pr = run_presolve(lp)
+    if pr.status is not None and pr.status != SolveStatus.OPTIMAL:
+        return GeneralSolveResult(
+            z=float("nan"), x=np.zeros(k_orig), status=pr.status,
+            iters=0, phase1_iters=0,
+        )
+    if pr.lp is None:
+        # presolve decided everything on the host (OPTIMAL)
+        x, y = postsolve(pr.info, lp.A, c_orig, np.zeros(0), np.zeros(0))
+        return GeneralSolveResult(
+            z=pr.z, x=x, status=SolveStatus.OPTIMAL, iters=0,
+            phase1_iters=0, y=y,
+        )
+    res = solve_general(
+        pr.lp, options=options,
+        phase2_artificial_cost=phase2_artificial_cost,
+    )
+    if res.status != SolveStatus.OPTIMAL:
+        return GeneralSolveResult(
+            z=res.z, x=np.zeros(k_orig), status=res.status,
+            iters=res.iters, phase1_iters=res.phase1_iters,
+        )
+    x, y = postsolve(pr.info, lp.A, c_orig, res.x, res.y)
+    z = float(np.dot(c_orig, x))
+    return GeneralSolveResult(
+        z=z, x=x, status=res.status, iters=res.iters,
+        phase1_iters=res.phase1_iters, y=y,
+        warm=None,  # documented: the token would live in the reduced space
     )
