@@ -157,6 +157,16 @@ class SimplexOptions:
     # precedence over partial_pricing when both are set. 0 disables.
     multi_price: int = 0
 
+    # Suboptimization staleness cutoff: refill when the best remaining
+    # candidate's improvement drops below this fraction of the best at
+    # refill time. Without it, the minor loop keeps pivoting on barely-
+    # improving leftovers and zigzags: MEASURED at 8192x16384 fp32, K=16
+    # ran >30,000 pivots without terminating (z=0.73 vs optimum from 4,571
+    # flagship pivots) at 145 pivots/s sustained, while the same run with
+    # the 0.05 cutoff terminates. 0 restores the pure "any improving
+    # candidate" rule.
+    multi_price_stale: float = 0.05
+
     # Price against a BLOCK-SPARSE shadow of A (simplex_tpu.sparse): the
     # dominant O(mn) pricing read touches only the tiles containing
     # nonzeros — on netlib-class instances (>99% sparse) this multiplies

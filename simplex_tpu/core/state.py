@@ -126,6 +126,10 @@ class CandBuffer(NamedTuple):
     alpha: jnp.ndarray  # (K, m)
     e: jnp.ndarray  # (K,) reduced costs
     valid: jnp.ndarray  # (K,) bool
+    # refill-time best signed improvement (<= 0): the staleness cutoff
+    # compares the buffer's current best against multi_price_stale * e0
+    # so the minor loop never grinds on barely-improving leftovers
+    e0: jnp.ndarray  # () scalar
 
 
 def _pricing_extras(
@@ -204,6 +208,7 @@ def _cand_extras(m: int, n: int, dtype, multi_price: int):
         alpha=jnp.zeros((K, m), dtype),
         e=jnp.zeros((K,), dtype),
         valid=jnp.zeros((K,), bool),
+        e0=jnp.zeros((), dtype),
     )
 
 
