@@ -60,8 +60,13 @@ def main() -> None:
     ap.add_argument(
         "--multi-price", type=int, default=0,
         help="K-candidate multiple pricing (amortizes the per-pivot m^2 "
-        "ftran read; composes with --update-defer, supersedes "
-        "--partial-pricing when > 0)",
+        "ftran read; composes with --update-defer AND --partial-pricing: "
+        "with S>1 each refill prices one rotating column segment)",
+    )
+    ap.add_argument(
+        "--multi-price-stale", type=float, default=None,
+        help="multiple-pricing staleness cutoff (fraction of the refill-"
+        "time best improvement; default = SimplexOptions default 0.05)",
     )
     ap.add_argument("--small", action="store_true", help="quick 512x1024 run")
     ap.add_argument(
@@ -147,8 +152,13 @@ def main() -> None:
         pricing=args.pricing,
         pricing_dtype=args.pricing_dtype,
         update_defer=args.update_defer,
-        partial_pricing=0 if args.multi_price > 0 else args.partial_pricing,
+        partial_pricing=args.partial_pricing,
         multi_price=args.multi_price,
+        **(
+            {"multi_price_stale": args.multi_price_stale}
+            if args.multi_price_stale is not None
+            else {}
+        ),
     )
     basis0 = np.arange(n - m, n, dtype=np.int32)
 
@@ -187,16 +197,29 @@ def main() -> None:
     #     partial pricing reads 1/S of the columns, deferred updates move
     #     B_inv once per L pivots (r+w) while the ftran still reads it.
     naive_gb = iters * (4.0 * (m * n + 3 * m * m)) / 1e9
-    price_bytes = (2.0 if opts.pricing_dtype == "bfloat16" else 4.0) * m * n
-    if opts.partial_pricing > 1:
-        price_bytes /= opts.partial_pricing
-    upd_bytes = 4.0 * m * m * (2.0 / max(opts.update_defer, 1))
-    actual_gb = iters * (price_bytes + 4.0 * m * m + upd_bytes) / 1e9
-    log(
-        f"{iters} pivots in {dt:.3f}s -> {pps:.1f} pivots/s; "
-        f"~{actual_gb/dt:.0f} GB/s actual HBM traffic (config-aware est.), "
-        f"{naive_gb/dt:.0f} GB/s naive-equivalent (work avoided counts)"
-    )
+    if opts.multi_price > 0:
+        # Under multiple pricing the per-pivot traffic depends on the
+        # DATA-DEPENDENT refill cadence (the m^2 ftran + O(mn) pricing run
+        # only at refills; minor pivots touch O(Km)), so a static
+        # config-aware estimate would be fiction — report the
+        # naive-equivalent figure only.
+        log(
+            f"{iters} pivots in {dt:.3f}s -> {pps:.1f} pivots/s; "
+            f"{naive_gb/dt:.0f} GB/s naive-equivalent (work avoided "
+            f"counts; actual traffic is refill-cadence-dependent under "
+            f"multi_price)"
+        )
+    else:
+        price_bytes = (2.0 if opts.pricing_dtype == "bfloat16" else 4.0) * m * n
+        if opts.partial_pricing > 1:
+            price_bytes /= opts.partial_pricing
+        upd_bytes = 4.0 * m * m * (2.0 / max(opts.update_defer, 1))
+        actual_gb = iters * (price_bytes + 4.0 * m * m + upd_bytes) / 1e9
+        log(
+            f"{iters} pivots in {dt:.3f}s -> {pps:.1f} pivots/s; "
+            f"~{actual_gb/dt:.0f} GB/s actual HBM traffic (config-aware est.), "
+            f"{naive_gb/dt:.0f} GB/s naive-equivalent (work avoided counts)"
+        )
 
     print(
         json.dumps(
@@ -238,8 +261,13 @@ def bench_full(args, parity_metric: bool = False) -> None:
         pricing=args.pricing,
         pricing_dtype=args.pricing_dtype,
         update_defer=args.update_defer,
-        partial_pricing=0 if args.multi_price > 0 else args.partial_pricing,
+        partial_pricing=args.partial_pricing,
         multi_price=args.multi_price,
+        **(
+            {"multi_price_stale": args.multi_price_stale}
+            if args.multi_price_stale is not None
+            else {}
+        ),
         refactor_every=1024,
         checkpoint_every=2048,
     )

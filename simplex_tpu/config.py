@@ -153,8 +153,14 @@ class SimplexOptions:
     #   alpha_j' = alpha_j + alpha_j[q] * eta,   e_j' = e_j - e_p/a_q * alpha_j[q].
     # When no candidate improves (or Bland's rule is active), the buffer
     # refills from a fresh pricing pass, so termination is still decided by
-    # an exact full pass. Dantzig only (ignored under devex); takes
-    # precedence over partial_pricing when both are set. 0 disables.
+    # an exact full pass. Dantzig only (ignored under devex). COMPOSES with
+    # partial_pricing (dense A + pricing shadow only): refill r then prices
+    # just column segment (r mod S) — the rotation that gives segmented
+    # Dantzig its short pivot paths — with the usual dry-segment fallback
+    # chain (full shadow -> exact pass). Measured (v5e, 8192x16384): FULL-
+    # pass refills follow the plain-Dantzig path (~21k pivots vs segmented
+    # ~4.6k) and collapse to ~146 pivots/s near the optimum; segmented
+    # refills + approx_max_k candidate selection fix both. 0 disables.
     multi_price: int = 0
 
     # Suboptimization staleness cutoff: refill when the best remaining

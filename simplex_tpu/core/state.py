@@ -130,6 +130,13 @@ class CandBuffer(NamedTuple):
     # compares the buffer's current best against multi_price_stale * e0
     # so the minor loop never grinds on barely-improving leftovers
     e0: jnp.ndarray  # () scalar
+    # refill counter: under segmented refills (partial_pricing composed with
+    # multi_price) refill r prices only column segment (r mod S) — the same
+    # rotation that gives segmented Dantzig its short pivot paths — with the
+    # usual dry-segment fallback chain (full shadow -> exact full pass).
+    # (No default: a jnp scalar default would initialize a JAX backend at
+    # import time, before conftest/test code can pin the platform.)
+    seg: jnp.ndarray  # () int32
 
 
 def _pricing_extras(
@@ -209,6 +216,7 @@ def _cand_extras(m: int, n: int, dtype, multi_price: int):
         e=jnp.zeros((K,), dtype),
         valid=jnp.zeros((K,), bool),
         e0=jnp.zeros((), dtype),
+        seg=jnp.int32(0),
     )
 
 

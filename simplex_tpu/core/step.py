@@ -96,12 +96,25 @@ def _multi_pricing(
     exact full pass found nothing improving — the exact minimum over all
     nonbasic columns, so the caller's ``optimal = min_e >= -eps`` test is
     always decided from exact values.
+
+    Refills are SEGMENTED when ``partial_pricing`` composes (dense A with a
+    pricing shadow, divisible n, segments >= max(partial_min_segment, K)):
+    refill r prices only column segment (r mod S) — the same rotation that
+    gives segmented Dantzig its short pivot paths — falling back to the full
+    shadow and then the exact full pass when the segment is dry. Measured
+    motivation (v5e, 8192x16384): full-pass refills follow the plain-Dantzig
+    path (~21k pivots vs segmented's ~4.6k) and their tail collapsed to
+    ~146 pivots/s (exact top_k sort over all n every refill + per-pivot
+    refills near the optimum); segment rotation fixes the path, approx_max_k
+    fixes the sort.
     """
+    from simplex_tpu import sparse as _bsp
     from simplex_tpu.core.state import CandBuffer
     from simplex_tpu.kernels import xla as _xk
 
     cand = state.cand
     K = cand.idx.shape[0]  # opts.multi_price clamped to n by _cand_extras
+    n = prob.A.shape[1]
 
     def signed_full(e_all):
         return jnp.where(state.at_upper, -e_all, e_all) if bounded else e_all
@@ -115,6 +128,24 @@ def _multi_pricing(
         pen = jnp.asarray(_xk.BASIC_PENALTY, s_all.dtype)
         return s_all.at[state.basis].add(pen)
 
+    def topk(s_masked):
+        # Candidate SELECTION only (termination never reads these values):
+        # approx_max_k lowers to the TPU-native PartialReduce instead of the
+        # full sort lax.top_k pays — that sort was the dominant refill cost
+        # on v5e. Exact on CPU; recall ~0.95 on TPU is harmless here (a
+        # missed candidate is just not in this buffer round).
+        negv, idxs = jax.lax.approx_max_k(-s_masked, K)
+        return negv, idxs.astype(jnp.int32)
+
+    def recheck(idxs):
+        # exact f32 reduced costs of the chosen candidates (O(K m))
+        A_c = _xk.gather_columns(prob.A, idxs).astype(dtype)
+        e1 = (
+            jnp.matmul(state.y, A_c, precision=_EXACT)
+            - jnp.take(prob.c, idxs).astype(dtype)
+        )
+        return e1, signed_sel(e1, idxs) < -eps
+
     s_now = jnp.where(cand.valid, signed_sel(cand.e, cand.idx), jnp.inf)
     best_now = jnp.min(s_now)
     # staleness cutoff: a candidate is usable only while it still delivers
@@ -124,14 +155,24 @@ def _multi_pricing(
     thresh = jnp.minimum(
         -eps, jnp.asarray(opts.multi_price_stale, dtype) * cand.e0
     )
-    need_refill = jnp.logical_or(best_now > thresh, use_bland)
+    # Refill on ANY degenerate streak (state.degen > 0), not just under
+    # Bland: minor pivots on a fixed candidate buffer are the classic
+    # suboptimization cycling hazard — measured at 2048x4096 fp32, the minor
+    # loop entered a permanently-degenerate regime near the optimum (~3k
+    # pivots in), latched Bland on (64 consecutive degenerate pivots), and
+    # the exact-min-ratio Bland pivots then destroyed the basis conditioning
+    # (z oscillating +-30 around the optimum, MAX_ITER at 307k pivots).
+    # Refilling restores the eager pivot choice (fresh exact pricing +
+    # Harris-stabilized ratio test) for every pivot of a degenerate stretch.
+    need_refill = jnp.logical_or(
+        jnp.logical_or(best_now > thresh, use_bland), state.degen > 0
+    )
 
     def _exact_fill(_):
         e_all = _xk.reduced_costs(state.y, prob.A, prob.c).astype(dtype)
         s_all = mask_s(signed_full(e_all))
         min_exact = jnp.min(s_all)
-        negv, idxs = jax.lax.top_k(-s_all, K)
-        idxs = idxs.astype(jnp.int32)
+        negv, idxs = topk(s_all)
         e_sel = jnp.take(e_all, idxs)
         valid = -negv < -eps
         # Bland's rule needs the LOWEST improving index, not the K most
@@ -149,30 +190,83 @@ def _multi_pricing(
             min_exact,
         )
 
+    def _shadow_full(_):
+        # bf16 shadow pass + exact recheck of the K winners; exact full
+        # pass only when the shadow came up dry (mirrors the two-stage
+        # shadow fallback of the single-candidate path)
+        e_sh = _xk.reduced_costs(state.y, prob.A_price, prob.c).astype(dtype)
+        s_sh = mask_s(signed_full(e_sh))
+        _v, idxs1 = topk(s_sh)
+        e1, valid1 = recheck(idxs1)
+        stale = jnp.logical_or(~jnp.any(valid1), use_bland)
+        return jax.lax.cond(
+            stale,
+            _exact_fill,
+            lambda _: (idxs1, e1, valid1, jnp.asarray(-jnp.inf, dtype)),
+            None,
+        )
+
+    S = opts.partial_pricing
+    seg_refill = (
+        not isinstance(prob.A, _bsp.BlockSparse)
+        and prob.A_price is not None
+        and S > 1
+        and n % S == 0
+        and n // S >= max(opts.partial_min_segment, K)
+    )
+
+    def _seg_fill(_):
+        w = n // S
+        sidx = jnp.mod(cand.seg, jnp.int32(S))
+
+        def mk(s):
+            def br(_):
+                # static slice: fuses into the pricing dot's operand read
+                # (a dynamic_slice of A is a real O(mn/S) HBM copy)
+                A_seg = jax.lax.slice_in_dim(
+                    prob.A_price, s * w, (s + 1) * w, axis=1
+                )
+                c_seg = jax.lax.slice_in_dim(prob.c, s * w, (s + 1) * w)
+                e_sh = _xk.reduced_costs(state.y, A_seg, c_seg).astype(dtype)
+                if bounded:
+                    up_seg = jax.lax.slice_in_dim(
+                        state.at_upper, s * w, (s + 1) * w
+                    )
+                    s_sh = jnp.where(up_seg, -e_sh, e_sh)
+                else:
+                    s_sh = e_sh
+                # mask basic columns that live in this segment
+                loc = jnp.clip(state.basis - s * w, 0, w - 1)
+                in_seg = jnp.logical_and(
+                    state.basis >= s * w, state.basis < (s + 1) * w
+                )
+                s_sh = s_sh.at[loc].add(
+                    jnp.where(
+                        in_seg, jnp.asarray(_xk.BASIC_PENALTY, s_sh.dtype), 0
+                    )
+                )
+                _v, locidx = topk(s_sh)
+                return (s * w + locidx).astype(jnp.int32)
+
+            return br
+
+        idxs1 = jax.lax.switch(sidx, [mk(s) for s in range(S)], None)
+        e1, valid1 = recheck(idxs1)
+        stale = jnp.logical_or(~jnp.any(valid1), use_bland)
+        return jax.lax.cond(
+            stale,
+            _shadow_full,
+            lambda _: (idxs1, e1, valid1, jnp.asarray(-jnp.inf, dtype)),
+            None,
+        )
+
     def _fill(_):
         if prob.A_price is None:
             idxs, e_sel, valid, min_exact = _exact_fill(None)
+        elif seg_refill:
+            idxs, e_sel, valid, min_exact = _seg_fill(None)
         else:
-            # bf16 shadow pass + exact recheck of the K winners; exact full
-            # pass only when the shadow came up dry (mirrors the two-stage
-            # shadow fallback of the single-candidate path)
-            e_sh = _xk.reduced_costs(state.y, prob.A_price, prob.c).astype(dtype)
-            s_sh = mask_s(signed_full(e_sh))
-            _v, idxs1 = jax.lax.top_k(-s_sh, K)
-            idxs1 = idxs1.astype(jnp.int32)
-            A_c1 = _xk.gather_columns(prob.A, idxs1).astype(dtype)
-            e1 = (
-                jnp.matmul(state.y, A_c1, precision=_EXACT)
-                - jnp.take(prob.c, idxs1).astype(dtype)
-            )
-            valid1 = signed_sel(e1, idxs1) < -eps
-            stale = jnp.logical_or(~jnp.any(valid1), use_bland)
-            idxs, e_sel, valid, min_exact = jax.lax.cond(
-                stale,
-                _exact_fill,
-                lambda _: (idxs1, e1, valid1, jnp.asarray(-jnp.inf, dtype)),
-                None,
-            )
+            idxs, e_sel, valid, min_exact = _shadow_full(None)
         A_cols = _xk.gather_columns(prob.A, idxs).astype(dtype)  # (m, K)
         Alpha = jnp.matmul(state.B_inv, A_cols)  # ONE m^2 read for K pivots
         if opts.update_defer > 0:
@@ -184,7 +278,10 @@ def _multi_pricing(
         s_sel = jnp.where(valid, signed_sel(e_sel, idxs), 0.0)
         e0 = jnp.min(s_sel)  # <= 0; refill-best improvement for staleness
         return (
-            CandBuffer(idx=idxs, alpha=Alpha.T, e=e_sel, valid=valid, e0=e0),
+            CandBuffer(
+                idx=idxs, alpha=Alpha.T, e=e_sel, valid=valid, e0=e0,
+                seg=cand.seg + 1,
+            ),
             min_exact,
         )
 
@@ -728,6 +825,7 @@ def pivot_step(
                 cand_mid.valid,
             ),
             e0=cand_mid.e0,
+            seg=cand_mid.seg,
         )
     else:
         cand_new = state.cand

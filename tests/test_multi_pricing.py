@@ -184,3 +184,75 @@ def test_multi_price_pivot_path_sanity():
     )
     assert multi.status == base.status == SolveStatus.OPTIMAL
     assert multi.iters <= 4 * max(base.iters, 8)
+
+
+@pytest.mark.parametrize("pricing_dtype", ["float32", "bfloat16"])
+def test_multi_price_segmented_refills(pricing_dtype):
+    # SEGMENTED refills (partial_pricing composed with multi_price): each
+    # refill prices one rotating column segment with the dry-segment
+    # fallback chain (full shadow -> exact pass). partial_min_segment is
+    # lowered so the gate opens at test scale; answers must stay at oracle
+    # parity and termination exact.
+    m, n = 16, 64
+    A, b, c = random_dense_lp(m, n, seed=31, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve(
+        A, b, c,
+        options=SimplexOptions(
+            multi_price=4, partial_pricing=4, partial_min_segment=4,
+            pricing_dtype=pricing_dtype, update_defer=4, refactor_every=32,
+        ),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
+    np.testing.assert_allclose(A @ res.x, b, atol=1e-3)
+
+
+def test_multi_price_segmented_bounded():
+    # segmented refills under the native bounded-variable rule: the signed
+    # selection must read the CURRENT at_upper through the segment slice
+    rng = np.random.default_rng(33)
+    m, n = 8, 32
+    A = rng.uniform(0.1, 1.0, (m, n)).astype(np.float32)
+    A[:, n - m:] = np.eye(m, dtype=np.float32)
+    b = rng.uniform(5.0, 10.0, m).astype(np.float32)
+    c = np.concatenate([rng.uniform(0.5, 2.0, n - m), np.zeros(m)]).astype(
+        np.float32
+    )
+    u = np.full(n, np.inf)
+    u[: n - m] = rng.uniform(0.2, 1.5, n - m)
+    from scipy.optimize import linprog
+
+    ref = linprog(
+        -np.asarray(c, np.float64),
+        A_eq=np.asarray(A, np.float64),
+        b_eq=np.asarray(b, np.float64),
+        bounds=[(0.0, None if not np.isfinite(ub) else float(ub)) for ub in u],
+        method="highs",
+    )
+    assert ref.status == 0
+    res = solve(
+        A, b, c, u=u,
+        options=SimplexOptions(
+            multi_price=4, partial_pricing=4, partial_min_segment=4,
+            pricing_dtype="bfloat16",
+        ),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, -ref.fun) < 1e-5
+
+
+def test_multi_price_segment_gate_requires_shadow():
+    # without a pricing shadow (pricing_dtype=float32 -> A_price is None)
+    # the segment gate must stay closed and full exact refills still solve
+    A, b, c = random_dense_lp(12, 48, seed=35, dtype=np.float32)
+    ref = solve_scipy(A, b, c)
+    res = solve(
+        A, b, c,
+        options=SimplexOptions(
+            multi_price=4, partial_pricing=4, partial_min_segment=4,
+            pricing_dtype="float32",
+        ),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-5
