@@ -78,6 +78,34 @@ class SimplexOptions:
     # Degenerate-step threshold on theta.
     degen_tol: float = 1e-9
 
+    # Anti-degeneracy RHS perturbation (the production-solver cure for
+    # degenerate stalling — HiGHS/CPLEX perturb costs/bounds the same way;
+    # Bland's rule is a termination PROOF, not a numerical strategy). After
+    # this many consecutive degenerate pivots, shift every basic value by a
+    # tiny deterministic positive amount delta and fold w = B @ delta into
+    # the rhs the solver tracks (x_b solves B x = b_eff + w EXACTLY, so
+    # refactorization / recompute reproduce the perturbed point instead of
+    # silently undoing it). Every subsequent ratio test then has strictly
+    # positive numerators -> every pivot makes real progress and the stall
+    # breaks. The shift is removed at the first terminal decision (a
+    # verify_terminal round clears it, refactorizes against the TRUE rhs,
+    # and re-runs), so certified answers never see the perturbation.
+    # Re-arms on every further perturb_after-long streak (accumulating w, up
+    # to 16 activations). MEASURED NEED (v5e, 8192x16384 fp32, multi_price):
+    # a permanently-degenerate stall near the optimum survived both the
+    # Bland latch and per-pivot exact refills — tiny-alpha degenerate swap
+    # pivots corrupted the walk into infeasible bases (z oscillating +-100
+    # across exact refactorizations, MAX_ITER at 307k pivots). Fires before
+    # bland_after (Bland stays as the last-resort exact rule). 0 disables.
+    perturb_after: int = 48
+
+    # Relative magnitude of the shift: delta_i = perturb_scale *
+    # (1 + |x_b_i|) * r_i with deterministic low-discrepancy r_i in
+    # [0.5, 1.5]. Bounded solves aim each row's shift into the interior
+    # (away from its nearer bound) and cap it at a quarter of the room so
+    # a perturbed point never crosses a bound.
+    perturb_scale: float = 1e-4
+
     # Core arithmetic dtype for A / B_inv / vectors.
     dtype: jnp.dtype = jnp.float32
 

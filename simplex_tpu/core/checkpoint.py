@@ -210,6 +210,26 @@ def _chunk_jit(A, b, c, state, opts: SimplexOptions, limit):
     return solve_state(prob, state, opts, limit)
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _drop_pert_jit(A, b, c, state, opts: SimplexOptions):
+    """Clear an active anti-degeneracy shift before a snapshot.
+
+    A chunk can exhaust its pivot budget mid-perturbation; the snapshot
+    format does not carry the shift record (``PertState``), so saving the
+    perturbed ``x_b`` would break the ``A_B x_b = b`` invariant the resume
+    validation checks. Clear the shift and re-derive x_b / y from the TRUE
+    rhs (O(m^2), chunk cadence) so every snapshot is unperturbed by
+    construction; the resumed solve re-arms on its next degenerate streak.
+    """
+    from simplex_tpu.core.step import perturb_clear, recompute_xy
+
+    prob = Problem(
+        A.astype(opts.dtype), b.astype(opts.dtype), c.astype(opts.dtype)
+    )
+    state = perturb_clear(state)
+    return recompute_xy(prob, state, opts.update_defer > 0)
+
+
 def solve_with_checkpoints(
     A,
     b,
@@ -267,6 +287,15 @@ def solve_with_checkpoints(
             state = state._replace(
                 cand=_cand_extras(m, n, options.dtype, options.multi_price)
             )
+        if options.perturb_after > 0 and state.pert is None:
+            # snapshots don't carry the perturbation record either; resumes
+            # restart unperturbed (x_b is re-derived from the TRUE rhs) and
+            # the gate re-arms on the next degenerate streak
+            from simplex_tpu.core.state import _pert_extras
+
+            state = state._replace(
+                pert=_pert_extras(m, options.dtype, True)
+            )
         if int(state.last_refac) < int(state.iters):
             # full checkpoint carried a drifted inverse: refactorize so the
             # resumed solve starts clean (light ones are rebuilt exact).
@@ -298,11 +327,13 @@ def solve_with_checkpoints(
                 options.pricing,
                 options.update_defer,
                 multi_price=options.multi_price,
+                perturb=options.perturb_after > 0,
             )
         else:
             state = initial_state_slack(
                 prob, options.dtype, options.pricing, options.update_defer,
                 multi_price=options.multi_price,
+                perturb=options.perturb_after > 0,
             )
 
     retries = 0
@@ -352,12 +383,14 @@ def solve_with_checkpoints(
                         options.pricing,
                         options.update_defer,
                         multi_price=options.multi_price,
+                        perturb=options.perturb_after > 0,
                     )
                 else:
                     state = initial_state_slack(
                         prob0, options.dtype, options.pricing,
                         options.update_defer,
                         multi_price=options.multi_price,
+                        perturb=options.perturb_after > 0,
                     )
             continue
         status = SolveStatus(int(state.status))
@@ -365,6 +398,10 @@ def solve_with_checkpoints(
         # MAX_ITER from a chunk just means "budget exhausted, keep going"
         if status == SolveStatus.MAX_ITER and int(state.iters) < max_iter:
             state = state._replace(status=jnp.int32(SolveStatus.RUNNING))
+        if state.pert is not None and bool(state.pert.on):
+            # budget ran out mid-perturbation (verified terminals already
+            # cleared it in-loop): un-shift before the snapshot
+            state = _drop_pert_jit(A, b, c, state, exec_options)
         save_checkpoint(path, state, light=m >= 2048)
         _log.info(
             "chunk complete",

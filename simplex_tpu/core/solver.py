@@ -23,7 +23,13 @@ from simplex_tpu.core.state import (
     initial_state_slack,
     with_pricing_shadow,
 )
-from simplex_tpu.core.step import pivot_step, recompute_xy, refactorize
+from simplex_tpu.core.step import (
+    perturb_activate,
+    perturb_clear,
+    pivot_step,
+    recompute_xy,
+    refactorize,
+)
 from simplex_tpu.kernels.dispatch import get_backend
 from simplex_tpu.status import SolveStatus
 
@@ -73,8 +79,33 @@ def solve_state(
             s.status == jnp.int32(SolveStatus.RUNNING), s.iters < max_iter
         )
 
+    # Anti-degeneracy rhs perturbation (SimplexOptions.perturb_after): armed
+    # in-loop when a degenerate streak trips the gate, re-armable on every
+    # further streak (accumulating shift, capped at 16 activations), cleared
+    # by the verify rounds below before any status is certified.
+    perturb = opts.perturb_after > 0 and state0.pert is not None
+
     def body(s: SolverState):
         s = pivot_step(prob, s, opts, backend)
+        if perturb:
+            due_pert = jnp.logical_and(
+                jnp.logical_and(
+                    s.status == jnp.int32(SolveStatus.RUNNING),
+                    s.pert.rounds < jnp.int32(16),
+                ),
+                jnp.logical_and(
+                    s.degen >= opts.perturb_after,
+                    s.degen % opts.perturb_after == 0,
+                ),
+            )
+            s = jax.lax.cond(
+                due_pert,
+                lambda st: perturb_activate(
+                    prob, st, backend, opts.perturb_scale
+                ),
+                lambda st: st,
+                s,
+            )
         if opts.recompute_every > 0:
             due_xy = jnp.logical_and(
                 jnp.logical_and(
@@ -118,19 +149,27 @@ def solve_state(
 
         def needs_verify(carry):
             s, rounds = carry
+            # an active perturbation also forces a round: the decision was
+            # made for the SHIFTED rhs — clear it, refactorize against the
+            # true rhs, and re-run (usually a handful of cleanup pivots)
+            stale = s.iters > s.last_refac
+            if perturb:
+                stale = jnp.logical_or(stale, s.pert.on)
             return jnp.logical_and(
                 jnp.logical_and(
                     jnp.logical_and(
                         s.status != jnp.int32(SolveStatus.RUNNING),
                         s.iters < max_iter,
                     ),
-                    s.iters > s.last_refac,
+                    stale,
                 ),
                 rounds < MAX_VERIFY_ROUNDS,
             )
 
         def reverify(carry):
             s, rounds = carry
+            if perturb:
+                s = jax.lax.cond(s.pert.on, perturb_clear, lambda st: st, s)
             s = refactorize(prob, s, backend, opts.pricing, opts.update_defer > 0)
             s = s._replace(status=jnp.int32(SolveStatus.RUNNING))
             return jax.lax.while_loop(cond, body, s), rounds + 1
@@ -178,12 +217,12 @@ def _solve_jit(
     if slack_init:
         state0 = initial_state_slack(
             prob, dtype, opts.pricing, opts.update_defer, at_upper0,
-            opts.multi_price,
+            opts.multi_price, perturb=opts.perturb_after > 0,
         )
     else:
         state0 = initial_state(
             prob, basis0, dtype, opts.pricing, opts.update_defer, at_upper0,
-            opts.multi_price,
+            opts.multi_price, perturb=opts.perturb_after > 0,
         )
     return solve_state(prob, state0, opts, max_iter)
 

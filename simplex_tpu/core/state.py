@@ -109,6 +109,26 @@ class SolverState(NamedTuple):
     # multiple-pricing candidate buffer (None when multi_price == 0); see
     # SimplexOptions.multi_price and core/step._multi_pricing.
     cand: Optional["CandBuffer"] = None
+    # anti-degeneracy rhs perturbation (None when perturb_after == 0); see
+    # SimplexOptions.perturb_after and core/step.perturb_activate.
+    pert: Optional["PertState"] = None
+
+
+class PertState(NamedTuple):
+    """Anti-degeneracy rhs perturbation (``SimplexOptions.perturb_after``).
+
+    ``w`` is the accumulated shift in b-SPACE (``w += B @ delta`` at each
+    activation, where ``delta`` is the strictly-positive-into-the-interior
+    shift applied to ``x_b``): while active, ``x_b`` solves
+    ``B x_b = b_eff + w`` exactly, so refactorization and recompute_xy
+    reproduce the perturbed point instead of silently undoing it.
+    ``on`` marks an active perturbation (cleared + refactorized away by a
+    verify_terminal round before any status is certified); ``rounds``
+    counts activations (caps re-arming, and is the observability hook)."""
+
+    w: jnp.ndarray  # (m,)
+    on: jnp.ndarray  # () bool
+    rounds: jnp.ndarray  # () int32
 
 
 class CandBuffer(NamedTuple):
@@ -220,6 +240,17 @@ def _cand_extras(m: int, n: int, dtype, multi_price: int):
     )
 
 
+def _pert_extras(m: int, dtype, perturb: bool):
+    """Zeroed perturbation record when enabled; None otherwise."""
+    if not perturb:
+        return None
+    return PertState(
+        w=jnp.zeros((m,), dtype),
+        on=jnp.zeros((), bool),
+        rounds=jnp.int32(0),
+    )
+
+
 def _at_upper_extras(prob: Problem, at_upper0):
     """(n,) nonbasic-at-upper flags when bounded; None otherwise."""
     if prob.u is None:
@@ -246,6 +277,7 @@ def initial_state(
     update_defer: int = 0,
     at_upper0=None,
     multi_price: int = 0,
+    perturb: bool = False,
 ) -> SolverState:
     """Build the starting state for a given feasible basis.
 
@@ -295,6 +327,7 @@ def initial_state(
         npend=npend,
         at_upper=at_upper,
         cand=_cand_extras(m, n, dtype, multi_price),
+        pert=_pert_extras(m, dtype, perturb),
     )
 
 
@@ -305,6 +338,7 @@ def initial_state_slack(
     update_defer: int = 0,
     at_upper0=None,
     multi_price: int = 0,
+    perturb: bool = False,
 ) -> SolverState:
     """Fast path for the canonical trailing-identity slack basis.
 
@@ -342,4 +376,5 @@ def initial_state_slack(
         npend=npend,
         at_upper=at_upper,
         cand=_cand_extras(m, n, dtype, multi_price),
+        pert=_pert_extras(m, dtype, perturb),
     )

