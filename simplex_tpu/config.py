@@ -251,5 +251,19 @@ class SimplexOptions:
             return self.eps
         return 1e-9 if jnp.dtype(self.dtype).itemsize >= 8 else 1e-5
 
+    def resolve_defer(self) -> int:
+        """Effective deferred-update buffer length L.
+
+        Multiple pricing REQUIRES the frozen-base representation: the base
+        inverse must not change between refills so the refill-time ftran
+        columns stay exactly reconstructible (alpha = alpha0 + U.T(R A_p),
+        see core/step._multi_pricing). Pending pairs are flushed only at
+        refills, and between refills at most one pair per minor pivot is
+        appended with at most K minor pivots per cycle — so L covers a full
+        cycle even when ``update_defer`` itself is 0."""
+        if self.multi_price > 0:
+            return max(self.update_defer, self.multi_price)
+        return self.update_defer
+
 
 DEFAULT_OPTIONS = SimplexOptions()

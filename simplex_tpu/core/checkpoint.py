@@ -227,7 +227,7 @@ def _drop_pert_jit(A, b, c, state, opts: SimplexOptions):
         A.astype(opts.dtype), b.astype(opts.dtype), c.astype(opts.dtype)
     )
     state = perturb_clear(state)
-    return recompute_xy(prob, state, opts.update_defer > 0)
+    return recompute_xy(prob, state, opts.resolve_defer() > 0)
 
 
 def solve_with_checkpoints(
@@ -309,7 +309,7 @@ def solve_with_checkpoints(
                 state,
                 get_backend(options.backend),
                 options.pricing,
-                options.update_defer > 0,
+                options.resolve_defer() > 0,
             )
     else:
         prob = Problem(
@@ -325,13 +325,13 @@ def solve_with_checkpoints(
                 jnp.asarray(basis0, jnp.int32),
                 options.dtype,
                 options.pricing,
-                options.update_defer,
+                options.resolve_defer(),
                 multi_price=options.multi_price,
                 perturb=options.perturb_after > 0,
             )
         else:
             state = initial_state_slack(
-                prob, options.dtype, options.pricing, options.update_defer,
+                prob, options.dtype, options.pricing, options.resolve_defer(),
                 multi_price=options.multi_price,
                 perturb=options.perturb_after > 0,
             )
@@ -381,14 +381,14 @@ def solve_with_checkpoints(
                         jnp.asarray(basis0, jnp.int32),
                         options.dtype,
                         options.pricing,
-                        options.update_defer,
+                        options.resolve_defer(),
                         multi_price=options.multi_price,
                         perturb=options.perturb_after > 0,
                     )
                 else:
                     state = initial_state_slack(
                         prob0, options.dtype, options.pricing,
-                        options.update_defer,
+                        options.resolve_defer(),
                         multi_price=options.multi_price,
                         perturb=options.perturb_after > 0,
                     )

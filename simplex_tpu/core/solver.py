@@ -115,7 +115,7 @@ def solve_state(
             )
             s = jax.lax.cond(
                 due_xy,
-                lambda st: recompute_xy(prob, st, opts.update_defer > 0),
+                lambda st: recompute_xy(prob, st, opts.resolve_defer() > 0),
                 lambda st: st,
                 s,
             )
@@ -127,7 +127,7 @@ def solve_state(
             s = jax.lax.cond(
                 due,
                 lambda st: refactorize(
-                    prob, st, backend, opts.pricing, opts.update_defer > 0
+                    prob, st, backend, opts.pricing, opts.resolve_defer() > 0
                 ),
                 lambda st: st,
                 s,
@@ -170,7 +170,7 @@ def solve_state(
             s, rounds = carry
             if perturb:
                 s = jax.lax.cond(s.pert.on, perturb_clear, lambda st: st, s)
-            s = refactorize(prob, s, backend, opts.pricing, opts.update_defer > 0)
+            s = refactorize(prob, s, backend, opts.pricing, opts.resolve_defer() > 0)
             s = s._replace(status=jnp.int32(SolveStatus.RUNNING))
             return jax.lax.while_loop(cond, body, s), rounds + 1
 
@@ -216,12 +216,12 @@ def _solve_jit(
         prob = with_pricing_shadow(prob, opts.pricing_dtype, opts.pricing)
     if slack_init:
         state0 = initial_state_slack(
-            prob, dtype, opts.pricing, opts.update_defer, at_upper0,
+            prob, dtype, opts.pricing, opts.resolve_defer(), at_upper0,
             opts.multi_price, perturb=opts.perturb_after > 0,
         )
     else:
         state0 = initial_state(
-            prob, basis0, dtype, opts.pricing, opts.update_defer, at_upper0,
+            prob, basis0, dtype, opts.pricing, opts.resolve_defer(), at_upper0,
             opts.multi_price, perturb=opts.perturb_after > 0,
         )
     return solve_state(prob, state0, opts, max_iter)

@@ -134,16 +134,24 @@ class PertState(NamedTuple):
 class CandBuffer(NamedTuple):
     """Multiple-pricing (suboptimization) candidate buffer.
 
-    ``alpha[j]`` is the ftran'd tableau column of candidate ``idx[j]``
-    against the CURRENT represented inverse (base + pending deferred pairs)
-    and ``e[j]`` its reduced cost; both are maintained exactly across minor
-    pivots by the product form (see SimplexOptions.multi_price). ``valid``
-    clears when a candidate enters the basis, stops improving, or the
-    representation is rebuilt (refactorize / recompute invalidate the whole
-    buffer)."""
+    FROZEN-BASE representation (see core/step._multi_pricing): every refill
+    first flushes the pending deferred pairs into the base inverse, then
+    ftrans the K chosen columns against that base in one GEMM. ``alpha[j]``
+    is that REFILL-TIME column — it is never updated afterwards; the exact
+    current tableau column of a candidate is reconstructed per pivot as
+    ``alpha0 + U.T (R A_j)`` from the pairs appended since the refill
+    (O(Lm), numerically FRESH — no compounding product-form drift, which
+    was measured to walk the 8192x16384 solve into exactly-infeasible
+    bases). ``acols[j]`` caches the gathered A column so the per-pivot
+    reduced-cost updates (e_j -= (e_p/alpha_q) binv_q.A_j) are computed
+    fresh from the true inverse row each pivot. ``valid`` clears when a
+    candidate enters the basis, fails its exact entry recheck, stops
+    improving, or the representation is rebuilt (refactorize / recompute
+    invalidate the whole buffer)."""
 
     idx: jnp.ndarray  # (K,) int32 global column indices
-    alpha: jnp.ndarray  # (K, m)
+    alpha: jnp.ndarray  # (K, m) refill-time base ftran columns (frozen)
+    acols: jnp.ndarray  # (K, m) gathered A columns (frozen)
     e: jnp.ndarray  # (K,) reduced costs
     valid: jnp.ndarray  # (K,) bool
     # refill-time best signed improvement (<= 0): the staleness cutoff
@@ -233,6 +241,7 @@ def _cand_extras(m: int, n: int, dtype, multi_price: int):
     return CandBuffer(
         idx=jnp.zeros((K,), jnp.int32),
         alpha=jnp.zeros((K, m), dtype),
+        acols=jnp.zeros((K, m), dtype),
         e=jnp.zeros((K,), dtype),
         valid=jnp.zeros((K,), bool),
         e0=jnp.zeros((), dtype),

@@ -91,11 +91,25 @@ def _multi_pricing(
     (see pivot_step's post-pivot block), the same O(m)-per-candidate math
     the reference spends on x_b/y (src/v4_cub_reduction.cu:347-356).
 
-    Returns ``(p, min_e, alpha_p, cand, j_star)``; ``min_e`` is the signed
-    improvement criterion of the chosen candidate, or — when the refill's
-    exact full pass found nothing improving — the exact minimum over all
-    nonbasic columns, so the caller's ``optimal = min_e >= -eps`` test is
-    always decided from exact values.
+    FROZEN-BASE representation: a refill first flushes any pending deferred
+    pairs into the base inverse, then ftrans the K columns against that
+    base — and the base is never touched again until the next refill (minor
+    pivots append pairs, they never flush). The caller reconstructs the
+    entering column exactly per pivot as ``alpha0 + U.T (R A_p)`` (O(Lm)),
+    so every ratio test runs on a numerically FRESH column. The previous
+    scheme updated the buffered columns incrementally by the product form —
+    mathematically exact, but the fp32 drift COMPOUNDS across minor pivots
+    and was measured (8192x16384, v5e) to mislead the leaving-variable
+    choice into exactly-infeasible bases (1242 negative basic values in f64
+    at pivot 5121) that no refactorization can repair.
+
+    Returns ``(p, min_e, alpha0_p, cand, j_star, B_inv, U, R, npend)``;
+    ``min_e`` is the signed improvement criterion of the chosen candidate,
+    or — when the refill's exact full pass found nothing improving — the
+    exact minimum over all nonbasic columns, so the caller's
+    ``optimal = min_e >= -eps`` test is always decided from exact values.
+    The trailing four are the possibly-flushed representation (unchanged
+    when no refill ran).
 
     Refills are SEGMENTED when ``partial_pricing`` composes (dense A with a
     pricing shadow, divisible n, segments >= max(partial_min_segment, K)):
@@ -167,6 +181,13 @@ def _multi_pricing(
     need_refill = jnp.logical_or(
         jnp.logical_or(best_now > thresh, use_bland), state.degen > 0
     )
+    L_eff = opts.resolve_defer()
+    if L_eff > 0:
+        # pending-pair buffer full: refill (which flushes) BEFORE the append
+        # this pivot would overflow it
+        need_refill = jnp.logical_or(
+            need_refill, state.npend >= jnp.int32(L_eff)
+        )
 
     def _exact_fill(_):
         e_all = _xk.reduced_costs(state.y, prob.A, prob.c).astype(dtype)
@@ -268,27 +289,48 @@ def _multi_pricing(
         else:
             idxs, e_sel, valid, min_exact = _shadow_full(None)
         A_cols = _xk.gather_columns(prob.A, idxs).astype(dtype)  # (m, K)
-        Alpha = jnp.matmul(state.B_inv, A_cols)  # ONE m^2 read for K pivots
-        if opts.update_defer > 0:
-            Alpha = Alpha + jnp.matmul(
-                state.U.T,
-                jnp.matmul(state.R, A_cols, precision=_EXACT),
-                precision=_EXACT,
+        # Flush the pending pairs FIRST: the ftran below must run against a
+        # base that stays frozen until the next refill, so the stored
+        # columns remain exactly reconstructible per pivot.
+        if L_eff > 0:
+            B2 = jax.lax.cond(
+                state.npend > 0,
+                lambda _: state.B_inv
+                + jnp.matmul(state.U.T, state.R, precision=_EXACT),
+                lambda _: state.B_inv,
+                None,
             )
+        else:
+            B2 = state.B_inv
+        # ONE m^2 read for K pivots. precision MUST be pinned: a (m,m)x(m,K)
+        # GEMM at DEFAULT precision lowers to a single bf16 MXU pass on TPU
+        # (~4e-3 relative operand rounding -> ~1e-2 absolute alpha noise at
+        # m=8192), and every minor-pivot ratio test then runs on that noisy
+        # column — measured as x_b drifting 2e-2 off the exact basic
+        # solution within 128 pivots (the flagship's per-pivot GEMV ftran
+        # lowers to an f32 reduction and stayed at 1e-4 on the same walk).
+        Alpha = jnp.matmul(B2, A_cols, precision=_EXACT)
         s_sel = jnp.where(valid, signed_sel(e_sel, idxs), 0.0)
         e0 = jnp.min(s_sel)  # <= 0; refill-best improvement for staleness
         return (
             CandBuffer(
-                idx=idxs, alpha=Alpha.T, e=e_sel, valid=valid, e0=e0,
-                seg=cand.seg + 1,
+                idx=idxs, alpha=Alpha.T, acols=A_cols.T, e=e_sel,
+                valid=valid, e0=e0, seg=cand.seg + 1,
             ),
             min_exact,
+            B2,
+            jnp.zeros_like(state.U),
+            jnp.zeros_like(state.R),
+            jnp.int32(0),
         )
 
-    cand2, min_exact = jax.lax.cond(
+    cand2, min_exact, B_inv2, U2, R2, npend2 = jax.lax.cond(
         need_refill,
         _fill,
-        lambda _: (cand, jnp.asarray(jnp.inf, dtype)),
+        lambda _: (
+            cand, jnp.asarray(jnp.inf, dtype),
+            state.B_inv, state.U, state.R, state.npend,
+        ),
         None,
     )
     s2 = jnp.where(cand2.valid, signed_sel(cand2.e, cand2.idx), jnp.inf)
@@ -296,8 +338,8 @@ def _multi_pricing(
     any_valid = jnp.isfinite(s2[j_star])
     p = cand2.idx[j_star]
     min_e = jnp.where(any_valid, s2[j_star], min_exact)
-    alpha_p = cand2.alpha[j_star]
-    return p, min_e, alpha_p, cand2, j_star
+    alpha0_p = cand2.alpha[j_star]
+    return p, min_e, alpha0_p, cand2, j_star, B_inv2, U2, R2, npend2
 
 
 def pivot_step(
@@ -333,8 +375,14 @@ def pivot_step(
 
     # ---- Pricing / entering variable (ref :289-302) ----
     if multi:
-        p, min_e, alpha_pre, cand_mid, j_star = _multi_pricing(
-            prob, state, opts, eps, use_bland, dtype, bounded
+        (
+            p, min_e, alpha_pre, cand_mid, j_star,
+            B_base, U_base, R_base, npend_base,
+        ) = _multi_pricing(prob, state, opts, eps, use_bland, dtype, bounded)
+        # a refill flushes the pending pairs into the base: rebind so every
+        # downstream read sees the post-flush representation
+        state = state._replace(
+            B_inv=B_base, U=U_base, R=R_base, npend=npend_base
         )
     elif bounded and opts.pricing in ("devex", "steepest"):
         # Incremental devex / exact steepest-edge under the bounded rule.
@@ -578,12 +626,26 @@ def pivot_step(
 
     # ---- FTRAN + ratio test / leaving variable (ref :307-325) ----
     A_p = backend.gather_column(prob.A, p).astype(dtype)
-    defer = opts.update_defer > 0
+    c_p = backend.gather_cost(prob.c, p).astype(dtype)
+    # exact reduced cost of the chosen column (O(m)) — the e/y updates below
+    # ride on it, and in multi mode it also gates the entry recheck
+    e_p = _dot(state.y, A_p) - c_p  # == min_e under Dantzig; exact under Bland
+    # multi implies real pending-pair buffers (state builders size them via
+    # resolve_defer); states whose builder ignores multi_price (batch,
+    # sharded, trace) carry no candidate buffer, so multi is False there and
+    # the dummy (1, 1) U/R stay untouched.
+    defer = opts.update_defer > 0 or multi
     if multi:
-        # the buffer already holds this candidate's ftran'd column (filled
-        # by the refill GEMM, kept exact by the per-pivot product-form
-        # update below) — the per-pivot m^2 read disappears entirely
-        alpha = alpha_pre
+        # exact per-pivot reconstruction from the FROZEN refill-time base
+        # column plus the pairs appended since that refill — numerically
+        # fresh (O(Lm), no m^2 read), where the old incremental product-form
+        # buffer update compounded fp32 drift across minor pivots and
+        # corrupted the leaving-variable choice (see _multi_pricing)
+        alpha = alpha_pre + jnp.matmul(
+            state.U.T,
+            jnp.matmul(state.R, A_p, precision=_EXACT),
+            precision=_EXACT,
+        )
     elif defer:
         # Lazy product form: the true inverse is B_inv + U.T @ R (telescoped
         # pending rank-1s), so ftran gains two O(L m) corrections but the
@@ -644,6 +706,21 @@ def pivot_step(
         ~jnp.isfinite(min_e), jnp.logical_and(take, ~jnp.isfinite(theta_q))
     )
     take = jnp.logical_and(take, ~bad)
+    if multi:
+        # exact entry recheck: minor-pivot selection rides the buffered
+        # reduced costs; before committing, verify the entering candidate
+        # still improves in exact arithmetic (e_p above, O(m)). A stale one
+        # is skipped AND invalidated below — at most K skips before a dry
+        # buffer forces a refill that reprices everything exactly, so no
+        # livelock. Refill-fresh candidates share y with their recheck and
+        # never trip this.
+        s_ep = jnp.where(from_upper, -e_p, e_p) if bounded else e_p
+        cand_fresh = s_ep < -eps
+        take = jnp.logical_and(
+            take, jnp.logical_or(cand_fresh, use_bland)
+        )
+    else:
+        cand_fresh = jnp.asarray(True)
     # bound-flip steps change no basis: all B_inv / y / c_b / basis updates
     # below gate on do_pivot (basis change); x_b and at_upper also move on
     # flips. flip is the False constant when not bounded, so do_pivot == take
@@ -694,12 +771,18 @@ def pivot_step(
             B, U, R = args
             return B, U, R, npend_new
 
-        B_inv_new, U_new, R_new, npend_new = jax.lax.cond(
-            npend_new >= opts.update_defer,
-            _flush,
-            _keep,
-            (state.B_inv, U_new, R_new),
-        )
+        if multi:
+            # frozen base: flushes happen ONLY inside a refill
+            # (_multi_pricing), never mid-cycle — the npend >= L refill
+            # trigger guarantees the buffers cannot overflow
+            B_inv_new = state.B_inv
+        else:
+            B_inv_new, U_new, R_new, npend_new = jax.lax.cond(
+                npend_new >= opts.resolve_defer(),
+                _flush,
+                _keep,
+                (state.B_inv, U_new, R_new),
+            )
     else:
         B_inv_new = backend.rank1_update(state.B_inv, eta, binv_q)
         U_new, R_new, npend_new = state.U, state.R, state.npend
@@ -716,8 +799,6 @@ def pivot_step(
         x_p_new = jnp.where(from_upper, u_p - theta_safe, theta_safe)
         x_b_new = x_b_step.at[q].set(x_p_new)
         x_b_flip = x_b_step  # bound flip: every basic value moves, no q swap
-    c_p = backend.gather_cost(prob.c, p).astype(dtype)
-    e_p = _dot(state.y, A_p) - c_p  # == min_e under Dantzig; exact under Bland
     y_new = state.y - (e_p * inv_aq) * binv_q
 
     c_b_new = state.c_b.at[q].set(c_p)
@@ -803,24 +884,28 @@ def pivot_step(
         return jnp.where(do_pivot, new, old)
 
     if multi:
-        # Exact product-form update of every candidate column/reduced cost:
-        # alpha_j' = E alpha_j = alpha_j + alpha_j[q] * eta  and
-        # e_j' = e_j - (e_p / a_q) * alpha_j[q]  (w_j = binv_q . A_j is just
-        # alpha_j[q] — already in the buffer, so the whole minor-pivot
-        # bookkeeping is O(K m) with zero extra HBM reads of A or B_inv).
-        # Bound flips / terminal steps leave the buffer as the (possibly
-        # refilled) cand_mid; the entering candidate is invalidated.
+        # Exact reduced-cost update of every candidate, computed FRESH each
+        # pivot: e_j' = e_j - (e_p / a_q) * w_j with w_j = binv_q_true . A_j
+        # from the cached A columns (O(K m), VMEM-resident) — binv_q already
+        # carries the pending-pair corrections, so w is the true tableau
+        # pivot row restricted to the candidates. The stored alpha columns
+        # stay FROZEN (refill-time base ftrans; the entering column is
+        # reconstructed exactly per pivot — see the ftran above). The
+        # entering candidate is invalidated; so is a candidate that failed
+        # its exact entry recheck (cand_fresh), pivot or not.
         from simplex_tpu.core.state import CandBuffer
 
-        w_c = jax.lax.dynamic_index_in_dim(
-            cand_mid.alpha, q, axis=1, keepdims=False
+        w_c = jnp.matmul(cand_mid.acols, binv_q, precision=_EXACT)
+        drop = jnp.logical_or(
+            do_pivot, jnp.logical_and(~cand_fresh, ~optimal)
         )
         cand_new = CandBuffer(
             idx=cand_mid.idx,
-            alpha=sel(cand_mid.alpha + w_c[:, None] * eta[None, :],
-                      cand_mid.alpha),
+            alpha=cand_mid.alpha,
+            acols=cand_mid.acols,
             e=sel(cand_mid.e - (e_p * inv_aq) * w_c, cand_mid.e),
-            valid=sel(
+            valid=jnp.where(
+                drop,
                 jnp.logical_and(cand_mid.valid, cand_mid.idx != p),
                 cand_mid.valid,
             ),

@@ -90,8 +90,12 @@ def trace_pivots(
     # run the traced solve with eager updates (deferred mode would leave
     # B_inv stale between flushes; pivot paths are identical either way up to
     # fp reassociation, which is exactly what a trace wants pinned down).
-    if options.update_defer:
-        options = dataclasses.replace(options, update_defer=0)
+    if options.update_defer or options.multi_price:
+        # multi_price is likewise neutralized: the trace state carries no
+        # candidate buffer (it would change the pivot PATH, not just fp
+        # association — a multi-price trace reports the single-candidate
+        # walk of the same pricing rule)
+        options = dataclasses.replace(options, update_defer=0, multi_price=0)
     dtype = options.dtype
     prob = Problem(A.astype(dtype), b.astype(dtype), c.astype(dtype))
     backend = get_backend(options.backend)
