@@ -91,12 +91,16 @@ class SimplexOptions:
     # verify_terminal round clears it, refactorizes against the TRUE rhs,
     # and re-runs), so certified answers never see the perturbation.
     # Re-arms on every further perturb_after-long streak (accumulating w, up
-    # to 16 activations). MEASURED NEED (v5e, 8192x16384 fp32, multi_price):
-    # a permanently-degenerate stall near the optimum survived both the
-    # Bland latch and per-pivot exact refills — tiny-alpha degenerate swap
-    # pivots corrupted the walk into infeasible bases (z oscillating +-100
-    # across exact refactorizations, MAX_ITER at 307k pivots). Fires before
-    # bland_after (Bland stays as the last-resort exact rule). 0 disables.
+    # to 16 activations). Fires before bland_after (Bland stays as the
+    # last-resort exact rule). Exercised by genuinely-degenerate instances
+    # (oracle/generator.degenerate_streak_lp: 4-8-long zero-theta streaks;
+    # tests/test_perturb.py pins activation, terminal clearing, and oracle
+    # parity). NOTE: an 8192x16384 multi_price stall first motivated this
+    # knob, but that stall's root cause turned out to be the unpinned bf16
+    # refill GEMM (see core/step._multi_pricing) — with that fixed the
+    # benchmark LP terminates with ZERO activations; the perturbation
+    # remains as the standard production guard for genuinely degenerate
+    # workloads (assignment/transportation-structured bases). 0 disables.
     perturb_after: int = 48
 
     # Relative magnitude of the shift: delta_i = perturb_scale *
