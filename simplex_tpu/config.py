@@ -205,6 +205,20 @@ class SimplexOptions:
     # candidate" rule.
     multi_price_stale: float = 0.05
 
+    # Degenerate-streak length that forces a candidate refill under multiple
+    # pricing. Minor pivots on a fixed buffer are the classic suboptimization
+    # cycling hazard (measured at 2048x4096 fp32: a permanently-degenerate
+    # regime near the optimum latched Bland on and the exact-min-ratio Bland
+    # pivots destroyed the basis conditioning — z oscillating +-30, MAX_ITER
+    # at 307k pivots); refilling restores the eager pivot choice. But a
+    # threshold of 1 (refill on ANY zero-theta pivot — round 4's rule) forces
+    # the full O(mn) repricing + O(m^2 K) ftran on EVERY pivot of a
+    # degenerate stretch, erasing the amortization on assignment/
+    # transportation-structured LPs that are degenerate but progressing.
+    # A short streak budget keeps the buffer through isolated ties while
+    # still breaking sustained stalls well before perturb_after/bland_after.
+    multi_price_degen: int = 4
+
     # Price against a BLOCK-SPARSE shadow of A (simplex_tpu.sparse): the
     # dominant O(mn) pricing read touches only the tiles containing
     # nonzeros — on netlib-class instances (>99% sparse) this multiplies

@@ -178,6 +178,23 @@ def solve_state(
             needs_verify, reverify, (final, jnp.int32(0))
         )
 
+    if perturb:
+        # The verify rounds normally clear the shift, but three exits can
+        # leave it armed: verify_terminal=False skips them entirely,
+        # MAX_VERIFY_ROUNDS can be exhausted while the shift keeps
+        # re-arming, and a MAX_ITER exit never enters them. Returning with
+        # pert.on means x_b/z solve the SHIFTED rhs (error ~perturb_scale)
+        # — drop the shift and re-derive x_b/y from the true rhs before
+        # anything downstream reads them (the polish only masks it when
+        # m <= polish_max_m).
+        def _drop_shift(s):
+            s = perturb_clear(s)
+            return recompute_xy(prob, s, opts.resolve_defer() > 0)
+
+        final = jax.lax.cond(
+            final.pert.on, _drop_shift, lambda s: s, final
+        )
+
     status = jnp.where(
         final.status == jnp.int32(SolveStatus.RUNNING),
         jnp.int32(SolveStatus.MAX_ITER),

@@ -151,14 +151,32 @@ def _multi_pricing(
         negv, idxs = jax.lax.approx_max_k(-s_masked, K)
         return negv, idxs.astype(jnp.int32)
 
-    def recheck(idxs):
-        # exact f32 reduced costs of the chosen candidates (O(K m))
+    # Cut for penalized-basic entries landing in a top-K: segments that
+    # overlap the slack-basis block routinely have fewer than K improving
+    # nonbasics, so BASIC_PENALTY-masked basics fill the tail of the top-K.
+    # recheck() alone can't reject them — fp32 drift in y can push a BASIC
+    # column's exact reduced cost below -eps, and re-entering it duplicates
+    # a basis column -> SINGULAR (the exact hazard mask_basic exists for).
+    # Any masked value carries ~1e30; genuine reduced costs never approach
+    # 1e15, so the half-penalty cut excludes exactly the basics without
+    # rejecting real candidates over shadow (bf16) noise.
+    pen_cut = jnp.asarray(0.5 * _xk.BASIC_PENALTY, dtype)
+
+    def recheck(idxs, negv):
+        # exact f32 reduced costs of the chosen candidates (O(K m)); the
+        # MASKED selection values negv veto penalized basics (see pen_cut).
+        # The gathered columns are THREADED to the ftran below — the gather
+        # reads the full f32 A once, so re-gathering in _fill would double
+        # the dominant refill pass.
         A_c = _xk.gather_columns(prob.A, idxs).astype(dtype)
         e1 = (
             jnp.matmul(state.y, A_c, precision=_EXACT)
             - jnp.take(prob.c, idxs).astype(dtype)
         )
-        return e1, signed_sel(e1, idxs) < -eps
+        valid = jnp.logical_and(
+            signed_sel(e1, idxs) < -eps, -negv.astype(dtype) < pen_cut
+        )
+        return e1, valid, A_c
 
     s_now = jnp.where(cand.valid, signed_sel(cand.e, cand.idx), jnp.inf)
     best_now = jnp.min(s_now)
@@ -169,17 +187,17 @@ def _multi_pricing(
     thresh = jnp.minimum(
         -eps, jnp.asarray(opts.multi_price_stale, dtype) * cand.e0
     )
-    # Refill on ANY degenerate streak (state.degen > 0), not just under
-    # Bland: minor pivots on a fixed candidate buffer are the classic
-    # suboptimization cycling hazard — measured at 2048x4096 fp32, the minor
-    # loop entered a permanently-degenerate regime near the optimum (~3k
-    # pivots in), latched Bland on (64 consecutive degenerate pivots), and
-    # the exact-min-ratio Bland pivots then destroyed the basis conditioning
-    # (z oscillating +-30 around the optimum, MAX_ITER at 307k pivots).
-    # Refilling restores the eager pivot choice (fresh exact pricing +
-    # Harris-stabilized ratio test) for every pivot of a degenerate stretch.
+    # Refill on a SUSTAINED degenerate streak (config.multi_price_degen):
+    # minor pivots on a fixed candidate buffer are the classic
+    # suboptimization cycling hazard (measured 2048x4096 disaster — see the
+    # config field), and refilling restores the eager pivot choice (fresh
+    # exact pricing + Harris-stabilized ratio test). Round 4 refilled on ANY
+    # zero-theta pivot, which degenerates to per-pivot full passes on
+    # progressing-but-degenerate workloads; a short streak budget keeps the
+    # buffer through isolated ties.
     need_refill = jnp.logical_or(
-        jnp.logical_or(best_now > thresh, use_bland), state.degen > 0
+        jnp.logical_or(best_now > thresh, use_bland),
+        state.degen >= jnp.int32(max(opts.multi_price_degen, 1)),
     )
     L_eff = opts.resolve_defer()
     if L_eff > 0:
@@ -204,11 +222,13 @@ def _multi_pricing(
         idxs_b = jnp.full((K,), p_b, jnp.int32)
         e_b = jnp.full((K,), jnp.take(e_all, p_b), dtype)
         valid_b = jnp.zeros((K,), bool).at[0].set(jnp.any(imp))
+        idxs_out = jnp.where(use_bland, idxs_b, idxs)
         return (
-            jnp.where(use_bland, idxs_b, idxs),
+            idxs_out,
             jnp.where(use_bland, e_b, e_sel),
             jnp.where(use_bland, valid_b, valid),
             min_exact,
+            _xk.gather_columns(prob.A, idxs_out).astype(dtype),
         )
 
     def _shadow_full(_):
@@ -217,13 +237,13 @@ def _multi_pricing(
         # shadow fallback of the single-candidate path)
         e_sh = _xk.reduced_costs(state.y, prob.A_price, prob.c).astype(dtype)
         s_sh = mask_s(signed_full(e_sh))
-        _v, idxs1 = topk(s_sh)
-        e1, valid1 = recheck(idxs1)
+        negv1, idxs1 = topk(s_sh)
+        e1, valid1, A_c1 = recheck(idxs1, negv1)
         stale = jnp.logical_or(~jnp.any(valid1), use_bland)
         return jax.lax.cond(
             stale,
             _exact_fill,
-            lambda _: (idxs1, e1, valid1, jnp.asarray(-jnp.inf, dtype)),
+            lambda _: (idxs1, e1, valid1, jnp.asarray(-jnp.inf, dtype), A_c1),
             None,
         )
 
@@ -266,29 +286,28 @@ def _multi_pricing(
                         in_seg, jnp.asarray(_xk.BASIC_PENALTY, s_sh.dtype), 0
                     )
                 )
-                _v, locidx = topk(s_sh)
-                return (s * w + locidx).astype(jnp.int32)
+                negv, locidx = topk(s_sh)
+                return negv, (s * w + locidx).astype(jnp.int32)
 
             return br
 
-        idxs1 = jax.lax.switch(sidx, [mk(s) for s in range(S)], None)
-        e1, valid1 = recheck(idxs1)
+        negv1, idxs1 = jax.lax.switch(sidx, [mk(s) for s in range(S)], None)
+        e1, valid1, A_c1 = recheck(idxs1, negv1)
         stale = jnp.logical_or(~jnp.any(valid1), use_bland)
         return jax.lax.cond(
             stale,
             _shadow_full,
-            lambda _: (idxs1, e1, valid1, jnp.asarray(-jnp.inf, dtype)),
+            lambda _: (idxs1, e1, valid1, jnp.asarray(-jnp.inf, dtype), A_c1),
             None,
         )
 
     def _fill(_):
         if prob.A_price is None:
-            idxs, e_sel, valid, min_exact = _exact_fill(None)
+            idxs, e_sel, valid, min_exact, A_cols = _exact_fill(None)
         elif seg_refill:
-            idxs, e_sel, valid, min_exact = _seg_fill(None)
+            idxs, e_sel, valid, min_exact, A_cols = _seg_fill(None)
         else:
-            idxs, e_sel, valid, min_exact = _shadow_full(None)
-        A_cols = _xk.gather_columns(prob.A, idxs).astype(dtype)  # (m, K)
+            idxs, e_sel, valid, min_exact, A_cols = _shadow_full(None)
         # Flush the pending pairs FIRST: the ftran below must run against a
         # base that stays frozen until the next refill, so the stored
         # columns remain exactly reconstructible per pivot.
@@ -365,8 +384,9 @@ def pivot_step(
     c_eff = backend.mask_basic(prob.c, state.basis)
 
     # Multiple pricing is active when the state carries a candidate buffer
-    # (single-chip dantzig only: the sharded state builders don't allocate
-    # one, so a multi_price option is silently inert there for now).
+    # (single-chip dantzig only: the sharded/batch state builders don't
+    # allocate one — their entry points log a loud "multi_price is inert"
+    # warning instead of silently ignoring the option).
     multi = (
         opts.multi_price > 0
         and opts.pricing == "dantzig"

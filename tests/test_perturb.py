@@ -40,7 +40,7 @@ def _solve_final_state(A, b, c, opts, max_iter=4096):
         jnp.asarray(c, opts.dtype),
     )
     state0 = initial_state_slack(
-        prob, opts.dtype, opts.pricing, opts.update_defer,
+        prob, opts.dtype, opts.pricing, opts.resolve_defer(),
         multi_price=opts.multi_price, perturb=opts.perturb_after > 0,
     )
     return solve_state(prob, state0, opts, jnp.int32(max_iter))
@@ -160,6 +160,34 @@ def test_perturb_composes_with_flagship_stack():
     )
     assert res.status == SolveStatus.OPTIMAL
     assert relative_gap(res.z, ref.z) < 1e-4
+
+
+def test_perturb_cleared_on_no_verify_exit():
+    # verify_terminal=False skips the clearing rounds entirely — the final
+    # unconditional drop must still return x_b for the TRUE rhs (round-4
+    # advisor: plain solve could return the shifted point, error ~scale)
+    A, b, c = degenerate_streak_lp(seed=5)
+    opts = SimplexOptions(
+        perturb_after=2, refactor_every=32, verify_terminal=False
+    )
+    final = _solve_final_state(A, b, c, opts)
+    assert int(final.pert.rounds) >= 1  # it fired
+    assert not bool(final.pert.on)  # and was dropped before returning
+    np.testing.assert_allclose(np.asarray(final.pert.w), 0.0)
+    resid = A[:, np.asarray(final.basis)] @ np.asarray(final.x_b) - b
+    assert np.abs(resid).max() < 1e-3
+
+
+def test_perturb_cleared_on_max_iter_exit():
+    # a budget exhausted mid-perturbation must not leak the shifted point
+    A, b, c = degenerate_streak_lp(seed=9)
+    opts = SimplexOptions(perturb_after=1)
+    final = _solve_final_state(A, b, c, opts, max_iter=6)
+    assert int(final.status) == int(SolveStatus.MAX_ITER)
+    assert int(final.pert.rounds) >= 1
+    assert not bool(final.pert.on)
+    resid = A[:, np.asarray(final.basis)] @ np.asarray(final.x_b) - b
+    assert np.abs(resid).max() < 1e-3
 
 
 def test_perturb_checkpoint_snapshot_never_carries_shift(tmp_path):
