@@ -7,9 +7,16 @@ Fills the role of the reference's GLPK-based converter
 
 Supported sections: NAME, ROWS (N/L/G/E), COLUMNS (incl. RHS-style pairs),
 RHS (incl. an objective-row constant), RANGES (expanded into a paired
-opposite-direction row, GLPK semantics), BOUNDS (UP/LO/FX/FR/MI/PL on
-structural vars), OBJSENSE, ENDATA. Integer markers are rejected with a
-clear error (the reference's dense simplex has no integer support either).
+opposite-direction row, GLPK semantics), BOUNDS (UP/LO/FX/FR/MI/PL/BV/LI/UI
+on structural vars), OBJSENSE, ENDATA.
+
+Integer markers (``MARKER 'INTORG'/'INTEND'``) and integer bound types
+(BV/LI/UI) are accepted and RELAXED to continuous with a logged warning —
+exactly what the reference's workflow does: its flagship instance
+(``problems/timtab1.mps``, ``glpk_interface.cpp:102``) is a MIP deck that
+GLPK reads with integer markers and ``glp_simplex``
+(``solver_glpk.cpp:23``) then solves as the LP relaxation. The integrality
+mask is preserved on :class:`MPSProblem.integer` for callers that care.
 """
 
 from __future__ import annotations
@@ -38,6 +45,11 @@ class MPSProblem:
     # objective constant: true objective = c.x + c0 (MPS encodes it as an
     # RHS entry on the N row, with c0 = -rhs, matching GLPK)
     c0: float = 0.0
+    # (k,) integrality mask from MARKER 'INTORG'/'INTEND' sections and
+    # BV/LI/UI bound types, or None when the deck declares none. The solve
+    # routes RELAX it (glp_simplex semantics — the LP relaxation); it is
+    # kept so a caller can tell a relaxation from a true LP optimum.
+    integer: Optional[np.ndarray] = None
 
 
 def read_mps(path: str | os.PathLike, sparse: bool = False) -> MPSProblem:
@@ -62,6 +74,8 @@ def read_mps(path: str | os.PathLike, sparse: bool = False) -> MPSProblem:
     ranges: Dict[str, float] = {}
     bounds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
     explicit_lo: set = set()  # columns whose lower bound was set by LO/MI/FX
+    int_cols: set = set()  # columns inside MARKER INTORG..INTEND / BV/LI/UI
+    in_int_block = False
 
     def ensure_col(cn: str):
         if cn not in col_entries:
@@ -103,10 +117,22 @@ def read_mps(path: str | os.PathLike, sparse: bool = False) -> MPSProblem:
             else:
                 raise ValueError(f"unknown row type {rtype!r}")
         elif section == "COLUMNS":
-            if len(parts) >= 3 and parts[1].upper() == "'MARKER'":
-                raise NotImplementedError("MPS integer markers not supported")
+            if any(p.strip("'\"").upper() == "MARKER" for p in parts[1:]):
+                # MARKER 'INTORG' opens / 'INTEND' closes an integer block;
+                # columns inside are recorded and relaxed to continuous
+                # (glp_simplex LP-relaxation semantics, solver_glpk.cpp:23)
+                kinds = {p.strip("'\"").upper() for p in parts}
+                if "INTORG" in kinds:
+                    in_int_block = True
+                elif "INTEND" in kinds:
+                    in_int_block = False
+                else:
+                    raise ValueError(f"unknown MPS marker line: {raw!r}")
+                continue
             cn = parts[0]
             ensure_col(cn)
+            if in_int_block:
+                int_cols.add(cn)
             for j in range(1, len(parts) - 1, 2):
                 col_entries[cn][parts[j]] = float(parts[j + 1])
         elif section == "RHS":
@@ -145,7 +171,17 @@ def read_mps(path: str | os.PathLike, sparse: bool = False) -> MPSProblem:
             elif btype == "PL":
                 up = None
             elif btype == "BV":
-                raise NotImplementedError("binary bounds not supported")
+                # binary: relaxed to 0 <= x <= 1 (integrality recorded)
+                lo, up = 0.0, 1.0
+                explicit_lo.add(cn)
+                int_cols.add(cn)
+            elif btype == "LI":
+                lo = float(parts[3])
+                explicit_lo.add(cn)
+                int_cols.add(cn)
+            elif btype == "UI":
+                up = float(parts[3])
+                int_cols.add(cn)
             else:
                 raise ValueError(f"unknown bound type {btype!r}")
             bounds[cn] = (lo, up)
@@ -233,6 +269,16 @@ def read_mps(path: str | os.PathLike, sparse: bool = False) -> MPSProblem:
             lo, up = bounds[cn]
             lower[jcol] = -np.inf if lo is None else lo
             upper[jcol] = np.inf if up is None else up
+    integer = None
+    if int_cols:
+        integer = np.array([cn in int_cols for cn in col_order], bool)
+        from simplex_tpu.logging import get_logger
+
+        get_logger("io.mps").warning(
+            "%s: %d integer column(s) relaxed to continuous (LP relaxation"
+            " — glp_simplex semantics); default bounds stay 0 <= x",
+            name or os.fspath(path), int(integer.sum()),
+        )
     return MPSProblem(
         name=name,
         maximize=maximize,
@@ -245,6 +291,7 @@ def read_mps(path: str | os.PathLike, sparse: bool = False) -> MPSProblem:
         lower=lower,
         upper=upper,
         c0=c0,
+        integer=integer,
     )
 
 
