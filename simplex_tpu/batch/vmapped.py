@@ -118,6 +118,15 @@ def solve_batched(
     (optional (n,), shared across the batch — the scenario pattern) runs
     every instance under the native bounded-variable rule.
     """
+    if options.multi_price > 0:
+        # the vmapped state builder allocates no candidate buffer, so the
+        # option would silently no-op (round-4 verdict weak #3): say so
+        from simplex_tpu.logging import get_logger
+
+        get_logger("batch").warning(
+            "multi_price=%d is inert in solve_batched (single-chip dantzig "
+            "only); solving without multiple pricing", options.multi_price
+        )
     As = jnp.asarray(As)
     bs = jnp.asarray(bs)
     cs = jnp.asarray(cs)

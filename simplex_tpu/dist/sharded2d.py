@@ -852,6 +852,19 @@ def solve_sharded_2d(
     """
     from simplex_tpu import sparse as _bsp
 
+    if options.multi_price > 0:
+        # the 2-D state builder allocates no candidate buffer, so the option
+        # would silently no-op (round-4 verdict weak #3): say so. Extending
+        # multiple pricing here is the natural next step for the 32k north
+        # star (the refill ftran GEMM row-shards exactly like the per-pivot
+        # one), but it is NOT implemented yet.
+        from simplex_tpu.logging import get_logger
+
+        get_logger("dist2d").warning(
+            "multi_price=%d is inert in solve_sharded_2d (single-chip "
+            "dantzig only); solving without multiple pricing",
+            options.multi_price,
+        )
     A_host = None
     is_sparse = isinstance(A, _bsp.BlockSparse)
     if not is_sparse:
