@@ -83,10 +83,14 @@ def main() -> None:
     ap.add_argument("--update-defer", type=int, default=16)
     ap.add_argument("--partial-pricing", type=int, default=8)
     ap.add_argument(
-        "--multi-price", type=int, default=0,
+        "--multi-price", type=int, default=64,
         help="K-candidate multiple pricing (amortizes the per-pivot m^2 "
         "ftran read; composes with --update-defer AND --partial-pricing: "
-        "with S>1 each refill prices one rotating column segment)",
+        "with S>1 each refill prices one rotating column segment). "
+        "Default 64 since round 5: measured on v5e at 8192x16384, K=64 "
+        "cuts the full-solve pivoting wall 4.81 s -> 3.38 s vs K=0 with "
+        "an exact objective match (docs/TUNING.md round-5 table); pass 0 "
+        "to disable",
     )
     ap.add_argument(
         "--multi-price-stale", type=float, default=None,
@@ -132,6 +136,13 @@ def main() -> None:
     ap.add_argument(
         "--no-oracle", action="store_true",
         help="full mode: skip the host HiGHS parity solve (minutes at 8k+)",
+    )
+    ap.add_argument(
+        "--degen", action="store_true",
+        help="full/parity mode: degenerate-streak instance (sparse positive "
+        "block, every 4th rhs zero) instead of the uniform dense LP — the "
+        "assignment/transportation-class stress for multi_price refill "
+        "cadence and the perturbation gate",
     )
     args = ap.parse_args()
     if args.mode == "parity" and args.no_oracle:
@@ -286,8 +297,15 @@ def bench_full(args, parity_metric: bool = False) -> None:
 
     m, n = args.m, args.n
     log(f"devices: {jax.devices()}")
-    log(f"generating dense LP {m}x{n}...")
-    A, b, c = random_dense_lp(m, n, seed=0, dtype=np.float32)
+    degen = getattr(args, "degen", False)
+    if degen:
+        from simplex_tpu.oracle.generator import degenerate_streak_lp
+
+        log(f"generating degenerate-streak LP {m}x{n}...")
+        A, b, c = degenerate_streak_lp(m, n, seed=0)
+    else:
+        log(f"generating dense LP {m}x{n}...")
+        A, b, c = random_dense_lp(m, n, seed=0, dtype=np.float32)
     opts = SimplexOptions(
         backend=args.backend,
         pricing=args.pricing,
@@ -325,6 +343,7 @@ def bench_full(args, parity_metric: bool = False) -> None:
         solve_with_checkpoints(
             A_dev, b_dev, c_dev, path=f"{td}/warm.npz",
             options=dataclasses.replace(opts, max_iter=2), resume=False,
+            A_host=A,
         )
         warm_s = time.time() - t_w
         log(f"warmup: {warm_s:.1f}s")
@@ -332,7 +351,7 @@ def bench_full(args, parity_metric: bool = False) -> None:
         t0 = time.time()
         res = solve_with_checkpoints(
             A_dev, b_dev, c_dev, path=f"{td}/ckpt.npz", options=opts,
-            resume=False,
+            resume=False, A_host=A,
         )
         dt = time.time() - t0
     log(
@@ -355,9 +374,10 @@ def bench_full(args, parity_metric: bool = False) -> None:
                 f"({'OK' if gap < 1e-6 else 'FAIL'} @ 1e-6 gate)"
             )
 
+    inst = "degen" if degen else "dense"
     if parity_metric:
         record = {
-            "metric": f"oracle_rel_gap_dense_{m}x{n}_fp32",
+            "metric": f"oracle_rel_gap_{inst}_{m}x{n}_fp32",
             "value": float(f"{gap:.3e}") if gap is not None else None,
             "unit": "relative_gap",
             # fraction of the 1e-6 BASELINE gate consumed (<1 passes)
@@ -367,7 +387,7 @@ def bench_full(args, parity_metric: bool = False) -> None:
         }
     else:
         record = {
-            "metric": f"seconds_to_optimal_dense_{m}x{n}_fp32",
+            "metric": f"seconds_to_optimal_{inst}_{m}x{n}_fp32",
             "value": round(dt, 2),
             "unit": "seconds",
             "vs_baseline": round((res.iters * 0.0115) / dt, 2),
@@ -807,7 +827,8 @@ def bench_batch(args) -> None:
     log("compile + warmup...")
     t0 = time.time()
     out = run(1.0)
-    log(f"warmup: {time.time()-t0:.1f}s")
+    warm_s = time.time() - t0
+    log(f"warmup: {warm_s:.1f}s")
     t0 = time.time()
     out = run(1.0 + 1e-6)
     dt = time.time() - t0
@@ -819,15 +840,37 @@ def bench_batch(args) -> None:
         f"{B} LPs in {dt:.3f}s -> {sps:.0f} solves/s "
         f"({solved}/{B} optimal, median {int(np.median(iters))} pivots)"
     )
+
+    # MEASURED single-LP reference (round-2 weak #7: the old baseline was an
+    # unmeasured "~0.011 s/LP" guess): the same executor run one-LP-at-a-time
+    # — the reference's actual execution model (one LP per process,
+    # src/v4_cub_reduction.cu main) minus its process/alloc overhead, so the
+    # ratio UNDERSTATES the true win.
+    NS = min(16, B)
+    log(f"sequential B=1 reference ({NS} solves, same machinery)...")
+    one = (As[:1], bs[:1], cs[:1])
+    _solve_batch_jit(*one, opts, 1000)  # compile the B=1 executable
+    t0 = time.time()
+    for i in range(NS):
+        o1 = _solve_batch_jit(
+            As[i : i + 1], bs[i : i + 1] * (1.0 + 1e-7 * i), cs[i : i + 1],
+            opts, 1000,
+        )
+        float(o1[0].sum())
+    dt1 = time.time() - t0
+    sps1 = NS / dt1 if dt1 > 0 else float("nan")
+    log(f"B=1: {dt1/NS*1e3:.2f} ms/LP -> {sps1:.1f} solves/s sequential")
     print(
         json.dumps(
             {
                 "metric": f"lp_solves_per_sec_batched_{B}x{m}x{n}_fp32",
                 "value": round(sps, 2),
                 "unit": "solves/sec",
-                "vs_baseline": round(sps / (1.0 / 0.011), 2),
-                # baseline: the reference solves one LP per process; its own
-                # roofline at 64x160 is ~0.011 s/LP (launch+alloc dominated)
+                # measured batching win vs the one-LP-at-a-time execution
+                # model on the SAME chip and machinery
+                "vs_baseline": round(sps / sps1, 2) if sps1 > 0 else None,
+                "sequential_solves_per_sec": round(sps1, 2),
+                "compile_warmup_seconds": round(warm_s, 1),
             }
         )
     )

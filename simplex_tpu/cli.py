@@ -96,6 +96,15 @@ def _resolve_flag_defaults(args) -> None:
         args.partial_pricing = 8 if fast else 0
     if args.refactor_every is None:
         args.refactor_every = 1024 if fast else 0
+    if getattr(args, "multi_price", None) is None:
+        # measured round 5 (v5e, 8192x16384): K=64 multiple pricing cuts the
+        # full-solve pivoting wall 4.81 s -> 3.38 s vs the S8/L16 flagship
+        # (exact objective match); K=32 refills twice as often for the same
+        # pivot path. Part of --fast since round 5 — dantzig only (steepest
+        # rejects the composition; devex ignores it but would still size the
+        # deferred buffers by K).
+        dantzig = getattr(args, "pricing", "dantzig") == "dantzig"
+        args.multi_price = 64 if (fast and dantzig) else 0
 
 
 def _options(args):
@@ -111,6 +120,7 @@ def _options(args):
         update_defer=getattr(args, "update_defer", 0),
         partial_pricing=getattr(args, "partial_pricing", 0),
         ratio=getattr(args, "ratio", "harris"),
+        multi_price=getattr(args, "multi_price", 0) or 0,
         max_iter=args.max_iter,
         refactor_every=args.refactor_every,
     )
@@ -394,6 +404,12 @@ def main(argv=None) -> int:
             help="price 1/S of the columns per pivot (exact fallback)",
         )
         p.add_argument(
+            "--multi-price", type=int, default=None, metavar="K",
+            help="K-candidate multiple pricing (one (m,m)x(m,K) ftran GEMM "
+                 "per refill amortizes the per-pivot m^2 read; composes "
+                 "with --update-defer and --partial-pricing)",
+        )
+        p.add_argument(
             "--ratio", default="harris", choices=["harris", "classic"],
             help="ratio test (harris = stabilized two-pass, the default)",
         )
@@ -412,8 +428,9 @@ def main(argv=None) -> int:
         p.add_argument(
             "--fast", action="store_true",
             help="shorthand for --pricing-dtype bfloat16 --update-defer 16 "
-                 "--partial-pricing 8 --refactor-every 1024 (the flagship "
-                 "TPU config); flags you set explicitly are kept",
+                 "--partial-pricing 8 --refactor-every 1024 "
+                 "--multi-price 64 (the flagship TPU config); flags you "
+                 "set explicitly are kept",
         )
 
     ps = sub.add_parser("solve", help="solve an LP from a file")

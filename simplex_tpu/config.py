@@ -273,12 +273,13 @@ class SimplexOptions:
         """Effective deferred-update buffer length L.
 
         Multiple pricing REQUIRES the frozen-base representation: the base
-        inverse must not change between refills so the refill-time ftran
-        columns stay exactly reconstructible (alpha = alpha0 + U.T(R A_p),
-        see core/step._multi_pricing). Pending pairs are flushed only at
-        refills, and between refills at most one pair per minor pivot is
-        appended with at most K minor pivots per cycle — so L covers a full
-        cycle even when ``update_defer`` itself is 0."""
+        inverse must not change except at a flushing refill, so the stored
+        BASE ftran columns stay exactly reconstructible
+        (alpha = alpha0 + U.T(R A_p), see core/step._multi_pricing).
+        Pending pairs are flushed only when the buffer fills (the
+        npend >= L refill trigger), and at most one pair is appended per
+        pivot — so L bounds the pending count and the buffer can never
+        overflow even when ``update_defer`` itself is 0."""
         if self.multi_price > 0:
             return max(self.update_defer, self.multi_price)
         return self.update_defer

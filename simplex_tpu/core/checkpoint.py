@@ -241,13 +241,21 @@ def solve_with_checkpoints(
     resume: bool = True,
     on_chunk: Optional[Callable[[SolverState], None]] = None,
     max_retries: int = 3,
+    A_host: Optional[np.ndarray] = None,
 ) -> SolveResult:
     """Solve with periodic host checkpoints (every ``options.checkpoint_every``
     pivots, default 1024). If ``resume`` and ``path`` exists, continue from it.
+
+    ``A_host``: optional host copy of ``A`` for callers that pass a DEVICE
+    array. The final polish reads A's basis columns on the host; without a
+    host copy it falls back to ``np.asarray(A)``, which drags the whole
+    matrix back through the tunneled runtime — measured 3.5-15 s (!) of the
+    "solve" wall clock at m=8192 (round-5 dissection), run-to-run variable.
     """
     from simplex_tpu import sparse as _bsp
 
-    A_host = A if isinstance(A, np.ndarray) else None  # see solver.solve
+    if A_host is None:
+        A_host = A if isinstance(A, np.ndarray) else None  # see solver.solve
     is_sparse = isinstance(A, _bsp.BlockSparse)
     if not is_sparse:
         import scipy.sparse as _sps
@@ -423,16 +431,36 @@ def solve_with_checkpoints(
     # bench_full's timed window), so z is the objective of the TRUE basic
     # solution and feas_err its actual primal infeasibility.
     if options.polish and m <= options.polish_max_m:
-        from simplex_tpu.core.solver import _polish_refine
+        from simplex_tpu.core.solver import (
+            _polish_refine,
+            _polish_refine_device,
+            _single_device,
+        )
 
         if A_host is not None:
             A_pol = A_host
         elif is_sparse:
             A_pol = A
         else:
-            A_pol = np.asarray(A)
-        x_b64, ok = _polish_refine(A_pol, b, basis_np, x_b_np, state.B_inv)
+            A_pol = None
+        if (
+            not is_sparse
+            and _single_device(A)
+            and _single_device(state.B_inv)
+        ):
+            # dense single-device solve: f64 refinement entirely on device
+            # (this host is one tunnel-contended core — round-5 probes put
+            # the host gather+cast at 4-15 s of the time-to-optimal tail)
+            x_b64, ok = _polish_refine_device(
+                A, b, basis_np, x_b_np, state.B_inv
+            )
+        else:
+            if A_pol is None:
+                A_pol = np.asarray(A)
+            x_b64, ok = _polish_refine(A_pol, b, basis_np, x_b_np, state.B_inv)
         if not ok:
+            if A_pol is None:
+                A_pol = A_host if A_host is not None else np.asarray(A)
             from simplex_tpu.core.solver import _host_basis_cols
 
             AB = _host_basis_cols(A_pol, basis_np)

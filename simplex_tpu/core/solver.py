@@ -266,6 +266,78 @@ def _host_basis_cols(A, basis_np):
     return np.asarray(A)[:, basis_np]
 
 
+def _single_device(x) -> bool:
+    return (
+        isinstance(x, jax.Array)
+        and getattr(x, "sharding", None) is not None
+        and len(x.sharding.device_set) == 1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _refine_device_jit(A, b, basis, x0, B_inv, iters: int = 4):
+    """f64 iterative refinement entirely ON DEVICE (see _polish_refine).
+
+    Traced under a scoped ``enable_x64`` by ``_polish_refine_device``. TPU
+    has no f64 LU, but f64 GEMV/elementwise lower fine (measured ~0 ms at
+    m=8192 on v5e) — and the basis gather + f64 cast stay in HBM. This
+    exists because the HOST is a single tunnel-contended core here: the
+    same gather+cast measured 0.16 s standalone but 4-15 s inside a solve
+    process, which made the host polish the dominant share of
+    time-to-optimal (round-5 probes, scripts/r5_polish_probe.py).
+
+    Runs a fixed ``iters`` passes but carries the BEST iterate (refinement
+    with an fp32 preconditioner can diverge on ill-conditioned bases; the
+    host version breaks on a non-decreasing residual — here jnp.where
+    keeps the minimizer, same result).
+    """
+    AB64 = jnp.take(A, basis, axis=1).astype(jnp.float64)
+    b64 = b.astype(jnp.float64)
+    x = x0.astype(jnp.float64)
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(b64)))
+
+    def one(carry, _):
+        x, best_x, best_nr = carry
+        r = b64 - jnp.matmul(AB64, x)
+        nr = jnp.max(jnp.abs(r))
+        better = nr < best_nr
+        best_x = jnp.where(better, x, best_x)
+        best_nr = jnp.where(better, nr, best_nr)
+        dx = jnp.matmul(B_inv, r.astype(B_inv.dtype)).astype(jnp.float64)
+        return (x + dx, best_x, best_nr), None
+
+    (x, best_x, best_nr), _ = jax.lax.scan(
+        one, (x, x, jnp.asarray(jnp.inf, jnp.float64)), None, length=iters
+    )
+    r = b64 - jnp.matmul(AB64, x)
+    nr = jnp.max(jnp.abs(r))
+    better = nr < best_nr
+    best_x = jnp.where(better, x, best_x)
+    best_nr = jnp.where(better, nr, best_nr)
+    return best_x, best_nr, scale
+
+
+def _polish_refine_device(A, b, basis_np, x_b0, B_inv, iters: int = 4):
+    """Device-side f64 refinement; same contract as ``_polish_refine``.
+
+    Only for a dense single-device ``A`` with a single-device ``B_inv``
+    (the sharded/sparse flavors keep the host path).
+    """
+    with jax.enable_x64(True):  # scoped: jax.config State context manager
+        x64, nr, scale = _refine_device_jit(
+            A,
+            jnp.asarray(np.asarray(b, np.float64)),
+            jnp.asarray(basis_np, jnp.int32),
+            jnp.asarray(np.asarray(x_b0, np.float64)),
+            B_inv,
+            iters=iters,
+        )
+        x = np.asarray(x64, np.float64)
+        nr_f = float(nr)
+        scale_f = float(scale)
+    return x, np.isfinite(nr_f) and nr_f <= 1e-7 * scale_f
+
+
 def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
     """f64 x_b for the final basis by iterative refinement: O(m^2)/pass.
 
@@ -289,7 +361,48 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
     Returns (x64, ok); ok=False (stalled residual: conditioning too high
     for the fp32 preconditioner) sends the caller to the LU fallback.
     """
-    AB = _host_basis_cols(A, basis_np)
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("SIMPLEX_TPU_POLISH_DEBUG")
+
+    def _mark(label, t0):
+        if _dbg:
+            print(
+                f"    [polish:{label}] {_time.perf_counter()-t0:.2f}s",
+                flush=True,
+            )
+
+    _t = _time.perf_counter()
+    if isinstance(A, np.ndarray):
+        # Gather + f64-cast the basis block in one THREADED chunked pass
+        # into a C-order f64 buffer (m^2 * 8B; 2.1 GB at the 16k polish
+        # cap). Two measured pathologies with the naive
+        # ``A[:, basis].astype(f64)``: (a) the fancy index returns an
+        # F-order array and both steps run single-threaded, and (b) under
+        # the tunneled device runtime the host core is contended — the
+        # same 268->537 MB gather+cast measured 0.16 s standalone but
+        # 4-15 s inside a solve process (round-5 probes). numpy take /
+        # cast-assign release the GIL, so a small thread pool restores
+        # memory-bandwidth speed. Done ONCE per polish; each refinement
+        # pass is then one multithreaded BLAS dgemv (the pre-round-5 code
+        # additionally re-cast 268 MB per pass).
+        from concurrent.futures import ThreadPoolExecutor
+
+        m_rows = A.shape[0]
+        AB = np.empty((m_rows, len(basis_np)), np.float64)
+
+        def _chunk(s):
+            e = min(s + 512, m_rows)
+            AB[s:e] = A[s:e].take(basis_np, axis=1)
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(_chunk, range(0, m_rows, 512)))
+    else:
+        AB = _host_basis_cols(A, basis_np)
+        if AB.dtype != np.float64:
+            AB = AB.astype(np.float64)  # sparse flavors: one O(nnz) cast
+    _mark("gather_cast_f64", _t)
     if isinstance(B_inv, jax.Array):
         dtype = B_inv.dtype
 
@@ -304,25 +417,30 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
         def precond(r):
             return (B_inv_np @ r.astype(B_inv_np.dtype)).astype(np.float64)
 
+    _t = _time.perf_counter()
     b64 = np.asarray(b, np.float64)
     x = np.asarray(x_b0, np.float64)
+    _mark("b_pull", _t)
     m = AB.shape[0]
     scale = max(1.0, float(np.abs(b64).max()))
     CH = 1024
 
     def residual(xv):
+        if isinstance(AB, np.ndarray):
+            return b64 - AB @ xv  # AB is f64: one BLAS dgemv
+        # scipy.sparse: row-chunked csr matvecs (f64 throughout)
         r = np.empty(m, np.float64)
         for s in range(0, m, CH):
-            r[s : s + CH] = b64[s : s + CH] - AB[s : s + CH].astype(
-                np.float64
-            ) @ xv
+            r[s : s + CH] = b64[s : s + CH] - AB[s : s + CH] @ xv
         return r
 
     prev = np.inf
     nr = np.inf
     stale = True  # does nr describe the CURRENT x?
     for _ in range(iters):
+        _t = _time.perf_counter()
         r = residual(x)
+        _mark("residual", _t)
         nr = float(np.abs(r).max())
         stale = False
         if not np.isfinite(nr) or nr >= prev:
@@ -330,7 +448,9 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
         prev = nr
         if nr <= 1e-11 * scale:
             break
+        _t = _time.perf_counter()
         x = x + precond(r)
+        _mark("precond", _t)
         stale = True
     if stale:
         nr = float(np.abs(residual(x)).max())
@@ -562,9 +682,21 @@ def finalize_result(
         elif isinstance(A, _bsp.BlockSparse):
             A_pol = A
         else:
-            A_pol = np.asarray(A)
-        x_b64, ok = _polish_refine(A_pol, b_eff, basis_np, x_b_np, B_inv)
+            A_pol = None  # resolved below only if the host path is needed
+        if _single_device(A) and _single_device(B_inv) and not isinstance(
+            A, _bsp.BlockSparse
+        ):
+            # dense single-device solve: f64 refinement entirely on device
+            # (the host here is one tunnel-contended core — see
+            # _refine_device_jit)
+            x_b64, ok = _polish_refine_device(A, b_eff, basis_np, x_b_np, B_inv)
+        else:
+            if A_pol is None:
+                A_pol = np.asarray(A)
+            x_b64, ok = _polish_refine(A_pol, b_eff, basis_np, x_b_np, B_inv)
         if not ok:
+            if A_pol is None:
+                A_pol = A_host if A_host is not None else np.asarray(A)
             from simplex_tpu.logging import get_logger
 
             get_logger("solver").warning(

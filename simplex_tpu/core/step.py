@@ -91,17 +91,21 @@ def _multi_pricing(
     (see pivot_step's post-pivot block), the same O(m)-per-candidate math
     the reference spends on x_b/y (src/v4_cub_reduction.cu:347-356).
 
-    FROZEN-BASE representation: a refill first flushes any pending deferred
-    pairs into the base inverse, then ftrans the K columns against that
-    base — and the base is never touched again until the next refill (minor
-    pivots append pairs, they never flush). The caller reconstructs the
-    entering column exactly per pivot as ``alpha0 + U.T (R A_p)`` (O(Lm)),
-    so every ratio test runs on a numerically FRESH column. The previous
-    scheme updated the buffered columns incrementally by the product form —
-    mathematically exact, but the fp32 drift COMPOUNDS across minor pivots
-    and was measured (8192x16384, v5e) to mislead the leaving-variable
-    choice into exactly-infeasible bases (1242 negative basic values in f64
-    at pivot 5121) that no refactorization can repair.
+    FROZEN-BASE representation: the stored candidate columns are BASE
+    ftrans (``B_inv @ A_j``, no pending corrections) and the base matrix is
+    only rewritten when the pending-pair buffer actually fills (the
+    ``npend >= L_eff`` refill trigger — the same amortized cadence as the
+    plain deferred path; round 4 flushed at EVERY refill, which is an m^2
+    read+write per refill and dominated the near-optimum tail where refills
+    run per pivot). The caller reconstructs the entering column exactly per
+    pivot as ``alpha0 + U.T (R A_p)`` (O(Lm)) over the FULL pending set, so
+    every ratio test runs on a numerically FRESH column regardless of when
+    the pairs were appended. The pre-round-4 scheme updated the buffered
+    columns incrementally by the product form — mathematically exact, but
+    the fp32 drift COMPOUNDS across minor pivots and was measured
+    (8192x16384, v5e) to mislead the leaving-variable choice into
+    exactly-infeasible bases (1242 negative basic values in f64 at pivot
+    5121) that no refactorization can repair.
 
     Returns ``(p, min_e, alpha0_p, cand, j_star, B_inv, U, R, npend)``;
     ``min_e`` is the signed improvement criterion of the chosen candidate,
@@ -308,27 +312,55 @@ def _multi_pricing(
             idxs, e_sel, valid, min_exact, A_cols = _seg_fill(None)
         else:
             idxs, e_sel, valid, min_exact, A_cols = _shadow_full(None)
-        # Flush the pending pairs FIRST: the ftran below must run against a
-        # base that stays frozen until the next refill, so the stored
-        # columns remain exactly reconstructible per pivot.
-        if L_eff > 0:
-            B2 = jax.lax.cond(
-                state.npend > 0,
-                lambda _: state.B_inv
-                + jnp.matmul(state.U.T, state.R, precision=_EXACT),
-                lambda _: state.B_inv,
-                None,
-            )
-        else:
-            B2 = state.B_inv
-        # ONE m^2 read for K pivots. precision MUST be pinned: a (m,m)x(m,K)
-        # GEMM at DEFAULT precision lowers to a single bf16 MXU pass on TPU
+        # The stored candidate columns are BASE ftrans (B_inv @ A_j, no
+        # pending corrections): the per-pivot reconstruction
+        # ``alpha = alpha0 + U.T (R A_p)`` (see pivot_step) always applies
+        # the FULL pending set, so columns stored against the unmodified
+        # base stay exactly reconstructible whether or not pairs were
+        # pending at refill time. Flushing at every refill (round 4's rule)
+        # therefore wasted an m^2 read+write GEMM per refill — measured as
+        # a dominant share of the per-pivot-refill tail near the optimum.
+        # The flush now happens ONLY on buffer pressure (npend >= L_eff,
+        # one of need_refill's triggers), i.e. amortized over L_eff pivots
+        # like the plain deferred path.
+        #
+        # precision MUST be pinned on the ftran GEMM: at DEFAULT precision
+        # a (m,m)x(m,K) GEMM lowers to a single bf16 MXU pass on TPU
         # (~4e-3 relative operand rounding -> ~1e-2 absolute alpha noise at
         # m=8192), and every minor-pivot ratio test then runs on that noisy
         # column — measured as x_b drifting 2e-2 off the exact basic
         # solution within 128 pivots (the flagship's per-pivot GEMV ftran
         # lowers to an f32 reduction and stayed at 1e-4 on the same walk).
-        Alpha = jnp.matmul(B2, A_cols, precision=_EXACT)
+        if L_eff > 0:
+
+            def _flush_fill(_):
+                B2 = state.B_inv + jnp.matmul(
+                    state.U.T, state.R, precision=_EXACT
+                )
+                return (
+                    jnp.matmul(B2, A_cols, precision=_EXACT),
+                    B2,
+                    jnp.zeros_like(state.U),
+                    jnp.zeros_like(state.R),
+                    jnp.int32(0),
+                )
+
+            def _keep_fill(_):
+                return (
+                    jnp.matmul(state.B_inv, A_cols, precision=_EXACT),
+                    state.B_inv,
+                    state.U,
+                    state.R,
+                    state.npend,
+                )
+
+            Alpha, B2, U2, R2, npend2 = jax.lax.cond(
+                state.npend >= jnp.int32(L_eff), _flush_fill, _keep_fill, None
+            )
+        else:
+            Alpha = jnp.matmul(state.B_inv, A_cols, precision=_EXACT)
+            B2, U2, R2 = state.B_inv, state.U, state.R
+            npend2 = state.npend
         s_sel = jnp.where(valid, signed_sel(e_sel, idxs), 0.0)
         e0 = jnp.min(s_sel)  # <= 0; refill-best improvement for staleness
         return (
@@ -338,9 +370,9 @@ def _multi_pricing(
             ),
             min_exact,
             B2,
-            jnp.zeros_like(state.U),
-            jnp.zeros_like(state.R),
-            jnp.int32(0),
+            U2,
+            R2,
+            npend2,
         )
 
     cand2, min_exact, B_inv2, U2, R2, npend2 = jax.lax.cond(
