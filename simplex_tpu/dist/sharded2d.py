@@ -101,8 +101,18 @@ def _solve_2d_local(
 
     sparse = isinstance(A_loc, _bsp.BlockSparse)
     devex = opts.pricing == "devex"
-    defer = opts.update_defer > 0
-    L = max(opts.update_defer, 1)
+    # Multiple pricing (round-5): the 32k north-star pays the same m^2
+    # base-inverse read per pivot ROW-SHARDED, so the refill GEMM shards
+    # exactly like the per-pivot ftran. Refills price each chip's local
+    # column shard EXACTLY (already 1/D of the global read — the natural
+    # 2-D analogue of segment rotation), merge the per-chip top-K with two
+    # tiled all-gathers (D*K scalars), and replicate the K candidate
+    # columns with ONE (m, K) psum; minor pivots then run with ZERO extra
+    # collectives (the entering column is already replicated).
+    multi = opts.multi_price > 0 and opts.pricing == "dantzig"
+    K_mp = min(opts.multi_price, n_loc) if multi else 0
+    defer = opts.update_defer > 0 or multi
+    L = max(opts.resolve_defer(), 1)
     S = opts.partial_pricing
     partial = (
         not devex
@@ -218,7 +228,138 @@ def _solve_2d_local(
             pp = jnp.where(use_bland, jnp.where(pb == INT_MAX, 0, pb), pd)
             return pp.astype(jnp.int32), mn
 
-        if devex:
+        if multi:
+            # ---- multiple pricing: K-candidate buffer (round 5) ----
+            # Mirrors core/step._multi_pricing: stored candidate columns
+            # are BASE ftrans of the row-sharded inverse; the pending
+            # rank-L pairs flush ONLY on buffer pressure; every refill
+            # prices the local shard EXACTLY, so termination is always
+            # decided from exact values in the same pass.
+            def _mp_refill(_):
+                if sparse:
+                    e_loc = _bsp.rmatvec(A_loc, s["y"]).astype(dtype) - c_pen
+                else:
+                    e_loc = (
+                        jax.lax.dot_general(
+                            s["y"],
+                            A_loc,
+                            (((0,), (0,)), ((), ())),
+                            precision=_EXACT,
+                            preferred_element_type=dtype,
+                        )
+                        - c_pen
+                    )
+                min_exact = jax.lax.pmin(jnp.min(e_loc), both)
+                negv, lidx = jax.lax.approx_max_k(-e_loc, K_mp)
+                gidx = (col_base + lidx).astype(jnp.int32)
+                # merge the D local top-Ks: two tiled all-gathers of K
+                # scalars each, then an exact top-K of the D*K pairs
+                vg = jax.lax.all_gather(negv, COLS_AXIS, tiled=True)
+                vg = jax.lax.all_gather(vg, ROWS_AXIS, tiled=True)
+                ig = jax.lax.all_gather(gidx, COLS_AXIS, tiled=True)
+                ig = jax.lax.all_gather(ig, ROWS_AXIS, tiled=True)
+                topv, pos = jax.lax.top_k(vg, K_mp)
+                cidx = jnp.take(ig, pos)
+                ce = -topv  # masked-exact values: basics carry +1e30
+                valid = topv > eps
+                # Bland: the single LOWEST improving index, refilled every
+                # pivot while the rule stays active (exact anti-cycling)
+                negl = e_loc < -eps
+                jb = jnp.where(
+                    jnp.any(negl),
+                    col_base + jnp.argmax(negl).astype(jnp.int32),
+                    INT_MAX,
+                )
+                p_b = jax.lax.pmin(jb, both)
+                any_b = p_b != INT_MAX
+                p_b = jnp.where(any_b, p_b, 0).astype(jnp.int32)
+                cidx = jnp.where(use_bland, jnp.full_like(cidx, p_b), cidx)
+                valid = jnp.where(
+                    use_bland,
+                    jnp.zeros_like(valid).at[0].set(any_b),
+                    valid,
+                )
+                # replicate the K candidate columns + costs: ONE (m, K)
+                # psum from the owners (invalid slots ride along, unused)
+                lc = cidx - col_base
+                own_c = jnp.logical_and(lc >= 0, lc < n_loc)
+                cols = _xk.gather_columns(
+                    A_loc, jnp.clip(lc, 0, n_loc - 1)
+                ).astype(dtype)
+                acols = jax.lax.psum(
+                    jnp.where(own_c[None, :], cols, 0), both
+                )
+                ccost = jax.lax.psum(
+                    jnp.where(
+                        own_c,
+                        jnp.take(c_loc, jnp.clip(lc, 0, n_loc - 1)),
+                        0,
+                    ).astype(dtype),
+                    both,
+                )
+                # exact (unmasked) reduced costs of the candidates
+                ce = jnp.matmul(s["y"], acols, precision=_EXACT) - ccost
+                # pressure-only flush, then BASE ftran of my row block
+                def _fl(_):
+                    return (
+                        s["B_inv"]
+                        + jnp.matmul(s["U"].T, s["R"], precision=_EXACT),
+                        jnp.zeros_like(s["U"]),
+                        jnp.zeros_like(s["R"]),
+                        jnp.int32(0),
+                    )
+
+                def _kp(_):
+                    return s["B_inv"], s["U"], s["R"], s["npend"]
+
+                B2, U2, R2, np2 = jax.lax.cond(
+                    s["npend"] >= jnp.int32(L), _fl, _kp, None
+                )
+                calpha = jnp.matmul(B2, acols, precision=_EXACT)
+                e0 = jnp.min(jnp.where(valid, ce, 0.0))
+                return (
+                    cidx, ce, valid, e0, acols, ccost, calpha,
+                    min_exact, B2, U2, R2, np2,
+                )
+
+            def _mp_keep(_):
+                return (
+                    s["cidx"], s["ce"], s["cvalid"], s["ce0"], s["cacols"],
+                    s["ccost"], s["calpha"],
+                    jnp.asarray(jnp.inf, dtype),
+                    s["B_inv"], s["U"], s["R"], s["npend"],
+                )
+
+            s_now0 = jnp.where(s["cvalid"], s["ce"], jnp.inf)
+            best_now = jnp.min(s_now0)
+            thresh = jnp.minimum(
+                -eps, jnp.asarray(opts.multi_price_stale, dtype) * s["ce0"]
+            )
+            need_refill = jnp.logical_or(
+                jnp.logical_or(best_now > thresh, use_bland),
+                jnp.logical_or(
+                    s["degen"] >= jnp.int32(max(opts.multi_price_degen, 1)),
+                    s["npend"] >= jnp.int32(L),
+                ),
+            )
+            (
+                cidx, ce, cvalid, ce0, cacols, ccost, calpha,
+                min_exact, B_base, U_base, R_base, npend_base,
+            ) = jax.lax.cond(need_refill, _mp_refill, _mp_keep, None)
+            # rebind: downstream reads must see the post-flush representation
+            s = {
+                **s, "B_inv": B_base, "U": U_base, "R": R_base,
+                "npend": npend_base,
+            }
+            s_now = jnp.where(cvalid, ce, jnp.inf)
+            j_star = jnp.argmin(s_now).astype(jnp.int32)
+            any_valid = jnp.isfinite(s_now[j_star])
+            p = cidx[j_star].astype(jnp.int32)
+            min_e = jnp.where(any_valid, s_now[j_star], min_exact)
+            A_p = cacols[:, j_star]
+            c_p = ccost[j_star]
+            alpha_pre_loc = calpha[:, j_star]
+        elif devex:
             # Devex from the maintained column-sharded reduced costs: local
             # best score e^2/gamma, then a global argmax (pmax + lowest
             # global index). Exact recheck mirrors core/step.py: the
@@ -298,18 +439,29 @@ def _solve_2d_local(
         # ---- broadcast entering column (owner -> all) ----
         own = jnp.logical_and(p >= col_base, p < col_base + n_loc)
         jp = jnp.clip(p - col_base, 0, n_loc - 1)
-        A_p, c_p = fetch_column(p)
-
-        # ---- ftran on the local row block ----
-        alpha_loc = jnp.matmul(s["B_inv"], A_p, precision=_EXACT)
-        if defer:
-            # lazy product form: true inverse rows are B_inv + U.T @ R, so
-            # the ftran gains an O(L m) correction (R replicated, U local)
-            alpha_loc = alpha_loc + jnp.matmul(
+        if multi:
+            # the entering column/cost are already replicated (cand buffer);
+            # the stored BASE ftran column gains the pending corrections —
+            # numerically fresh per pivot, exactly like core/step.py
+            alpha_loc = alpha_pre_loc + jnp.matmul(
                 s["U"].T,
                 jnp.matmul(s["R"], A_p, precision=_EXACT),
                 precision=_EXACT,
             )
+        else:
+            A_p, c_p = fetch_column(p)
+
+            # ---- ftran on the local row block ----
+            alpha_loc = jnp.matmul(s["B_inv"], A_p, precision=_EXACT)
+            if defer:
+                # lazy product form: true inverse rows are B_inv + U.T @ R,
+                # so the ftran gains an O(L m) correction (R replicated, U
+                # local)
+                alpha_loc = alpha_loc + jnp.matmul(
+                    s["U"].T,
+                    jnp.matmul(s["R"], A_p, precision=_EXACT),
+                    precision=_EXACT,
+                )
 
         # ---- distributed (harris) ratio test over "rows" ----
         mask = alpha_loc > opts.pivot_tol
@@ -376,6 +528,18 @@ def _solve_2d_local(
             jnp.logical_and(do_pivot, ~jnp.isfinite(theta_q)),
         )
         do_pivot = jnp.logical_and(do_pivot, ~bad)
+        e_p = jnp.dot(s["y"], A_p, precision=_EXACT) - c_p
+        if multi:
+            # exact entry recheck (core/step.py contract): a buffered
+            # candidate whose true reduced cost went stale is skipped AND
+            # invalidated; at most K skips before a dry buffer forces an
+            # exact refill, so no livelock
+            cand_fresh = e_p < -eps
+            do_pivot = jnp.logical_and(
+                do_pivot, jnp.logical_or(cand_fresh, use_bland)
+            )
+        else:
+            cand_fresh = jnp.asarray(True)
         inv_aq = jnp.asarray(1, dtype) / jnp.where(do_pivot, alpha_q, 1)
         th = jnp.where(do_pivot, theta_q, 0)
 
@@ -427,12 +591,17 @@ def _solve_2d_local(
                 B, U, R = args
                 return B, U, R, npend_new
 
-            B_new, U_new, R_new, npend_new = jax.lax.cond(
-                npend_new >= opts.update_defer,
-                _flush,
-                _keep,
-                (s["B_inv"], U_new, R_new),
-            )
+            if multi:
+                # frozen base: flushes happen ONLY inside a refill (the
+                # npend >= L refill trigger bounds the pending count)
+                B_new = s["B_inv"]
+            else:
+                B_new, U_new, R_new, npend_new = jax.lax.cond(
+                    npend_new >= opts.update_defer,
+                    _flush,
+                    _keep,
+                    (s["B_inv"], U_new, R_new),
+                )
         else:
             B_new = s["B_inv"] + eta_loc[:, None] * binv_q[None, :]
         # update from the TRUE x_b, never the ratio test's clamped copy
@@ -441,7 +610,6 @@ def _solve_2d_local(
         x_new = jnp.where(
             jnp.logical_and(own_q, jnp.arange(m_loc) == ql), th, x_new
         )
-        e_p = jnp.dot(s["y"], A_p, precision=_EXACT) - c_p
         y_new = s["y"] - (e_p * inv_aq) * binv_q
         cb_new = jnp.where(
             jnp.logical_and(own_q, jnp.arange(m_loc) == ql), c_p, s["c_b"]
@@ -508,6 +676,25 @@ def _solve_2d_local(
             out["U"] = U_new
             out["R"] = R_new
             out["npend"] = npend_new
+        if multi:
+            # exact candidate reduced-cost update from the replicated
+            # columns (O(m K) local, zero collectives): w_j = binv_q . A_j
+            # with binv_q already carrying the pending corrections. The
+            # entering candidate — and one that failed its exact entry
+            # recheck — is invalidated.
+            w_c = jnp.matmul(binv_q, cacols, precision=_EXACT)
+            drop = jnp.logical_or(
+                do_pivot, jnp.logical_and(~cand_fresh, ~optimal)
+            )
+            out["cidx"] = cidx
+            out["ce"] = sel(ce - (e_p * inv_aq) * w_c, ce)
+            out["cvalid"] = jnp.where(
+                drop, jnp.logical_and(cvalid, cidx != p), cvalid
+            )
+            out["ce0"] = ce0
+            out["cacols"] = cacols
+            out["ccost"] = ccost
+            out["calpha"] = calpha
         if devex:
             out["e"] = sel(e_dx, s["e"])
             out["gamma"] = sel(gamma_dx, s["gamma"])
@@ -642,6 +829,9 @@ def _solve_2d_local(
             out["U"] = jnp.zeros_like(s["U"])
             out["R"] = jnp.zeros_like(s["R"])
             out["npend"] = jnp.int32(0)
+        if multi:
+            # candidate columns were ftran'd against the OLD representation
+            out["cvalid"] = jnp.zeros_like(s["cvalid"])
         if devex:
             # exact incremental reduced costs + the standard Devex restart
             out["e"] = _xk.pricing_update(A_loc, y_new) - c_loc
@@ -668,6 +858,15 @@ def _solve_2d_local(
             state0["U"] = jnp.zeros((L, m_loc), dtype)
             state0["R"] = jnp.zeros((L, m), dtype)
             state0["npend"] = jnp.int32(0)
+        if multi:
+            # empty candidate buffer: the first pivot refills (best_now=inf)
+            state0["cidx"] = jnp.zeros((K_mp,), jnp.int32)
+            state0["ce"] = jnp.zeros((K_mp,), dtype)
+            state0["cvalid"] = jnp.zeros((K_mp,), bool)
+            state0["ce0"] = jnp.asarray(0, dtype)
+            state0["cacols"] = jnp.zeros((m, K_mp), dtype)
+            state0["ccost"] = jnp.zeros((K_mp,), dtype)
+            state0["calpha"] = jnp.zeros((m_loc, K_mp), dtype)
         if devex:
             state0["e"] = _xk.pricing_update(A_loc, y0) - c_loc
             state0["gamma"] = jnp.ones((n_loc,), dtype)
@@ -789,11 +988,22 @@ def _build_2d_fn(mesh, m, n, m_loc, n_loc, options, kind="start",
         "status": P(),
         "degen": P(),
     }
-    if options.update_defer > 0:
+    multi = options.multi_price > 0 and options.pricing == "dantzig"
+    if options.update_defer > 0 or multi:
         # U rows are eta vectors sharded like B_inv's rows; R is replicated
         state_specs["U"] = P(None, ROWS_AXIS)
         state_specs["R"] = P(None, None)
         state_specs["npend"] = P()
+    if multi:
+        # candidate buffer: indices/costs/columns replicated (K columns =
+        # one (m, K) psum per refill); calpha row-sharded like B_inv
+        state_specs["cidx"] = P()
+        state_specs["ce"] = P()
+        state_specs["cvalid"] = P()
+        state_specs["ce0"] = P()
+        state_specs["cacols"] = P(None, None)
+        state_specs["ccost"] = P()
+        state_specs["calpha"] = P(ROWS_AXIS, None)
     if options.pricing == "devex":
         # incremental reduced costs / weights share the column sharding
         state_specs["e"] = P((ROWS_AXIS, COLS_AXIS))
@@ -852,18 +1062,13 @@ def solve_sharded_2d(
     """
     from simplex_tpu import sparse as _bsp
 
-    if options.multi_price > 0:
-        # the 2-D state builder allocates no candidate buffer, so the option
-        # would silently no-op (round-4 verdict weak #3): say so. Extending
-        # multiple pricing here is the natural next step for the 32k north
-        # star (the refill ftran GEMM row-shards exactly like the per-pivot
-        # one), but it is NOT implemented yet.
+    if options.multi_price > 0 and options.pricing != "dantzig":
         from simplex_tpu.logging import get_logger
 
         get_logger("dist2d").warning(
-            "multi_price=%d is inert in solve_sharded_2d (single-chip "
-            "dantzig only); solving without multiple pricing",
-            options.multi_price,
+            "multi_price=%d is inert under pricing=%r (dantzig only); "
+            "solving without multiple pricing",
+            options.multi_price, options.pricing,
         )
     A_host = None
     is_sparse = isinstance(A, _bsp.BlockSparse)
