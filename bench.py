@@ -18,9 +18,9 @@ This is an upper bound for the reference (ignores its 3-4 host syncs per
 pivot), i.e. a conservative baseline for us to beat.
 
 Defaults run the flagship TPU config: bf16 pricing shadow + segmented
-(partial) pricing + deferred rank-16 B_inv updates — all exact-fallback
-protected and verified against the oracle in tests/ (and to 9 digits vs
-HiGHS on full solves at 8k and 16k).
+(partial) pricing + deferred rank-16 B_inv updates + 64-candidate multiple
+pricing (round 5) — all exact-fallback protected and verified against the
+oracle in tests/ (and to 10 digits vs HiGHS on full solves at 8k and 16k).
 
 Usage: python bench.py [--m M] [--n N] [--pivots K] [--small]
 Details go to stderr; the JSON line is the only stdout output.
@@ -136,6 +136,15 @@ def main() -> None:
     ap.add_argument(
         "--no-oracle", action="store_true",
         help="full mode: skip the host HiGHS parity solve (minutes at 8k+)",
+    )
+    ap.add_argument(
+        "--refactor-every", type=int, default=2048,
+        help="full/parity mode: exact re-inversion cadence (each also "
+        "invalidates the multi-price candidate buffer; measured ~0.3 s per "
+        "refactorization at m=8192). Default 2048 since round 5: measured "
+        "3.89 s -> 2.95 s to optimal at 8192x16384 vs cadence 1024, with "
+        "feas_err 0.0 — verify_terminal still refactorizes before any "
+        "certified status, so the answer quality gate is unchanged",
     )
     ap.add_argument(
         "--degen", action="store_true",
@@ -318,7 +327,7 @@ def bench_full(args, parity_metric: bool = False) -> None:
             if args.multi_price_stale is not None
             else {}
         ),
-        refactor_every=1024,
+        refactor_every=args.refactor_every,
         checkpoint_every=2048,
     )
     # H2D before the timed window (the reference's TimeStruct also counts

@@ -318,8 +318,9 @@ def solve_sharded(
         from simplex_tpu.logging import get_logger
 
         get_logger("dist").warning(
-            "multi_price=%d is inert in solve_sharded (single-chip dantzig "
-            "only); solving without multiple pricing", options.multi_price
+            "multi_price=%d is inert in the 1-D sharded mode (supported "
+            "single-chip and in solve_sharded_2d); solving without "
+            "multiple pricing", options.multi_price
         )
     A_host = None
     is_sparse = isinstance(A, _bsp.BlockSparse)
