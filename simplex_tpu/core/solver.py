@@ -286,19 +286,43 @@ def _refine_device_jit(A, b, basis, x0, B_inv, iters: int = 4):
     process, which made the host polish the dominant share of
     time-to-optimal (round-5 probes, scripts/r5_polish_probe.py).
 
+    The f64 residual is computed by SCANNING column blocks of A (gather +
+    f64 cast of (m, CH) transients): materializing the full f64 basis
+    block costs 8 m^2 bytes — measured OOM at m=16384 (18.0 G > 15.75 G
+    HBM next to the resident A / shadow / inverse).
+
     Runs a fixed ``iters`` passes but carries the BEST iterate (refinement
     with an fp32 preconditioner can diverge on ill-conditioned bases; the
     host version breaks on a non-decreasing residual — here jnp.where
     keeps the minimizer, same result).
     """
-    AB64 = jnp.take(A, basis, axis=1).astype(jnp.float64)
+    m = basis.shape[0]
     b64 = b.astype(jnp.float64)
     x = x0.astype(jnp.float64)
     scale = jnp.maximum(1.0, jnp.max(jnp.abs(b64)))
+    CH = min(2048, m)
+    nblk = -(-m // CH)
+    pad = nblk * CH - m
+    basis_p = jnp.pad(basis, (0, pad))  # padded slots multiply a 0 below
+
+    def matvec64(xv):
+        xp = jnp.pad(xv, (0, pad))
+
+        def blk(acc, i):
+            idx = jax.lax.dynamic_slice(basis_p, (i * CH,), (CH,))
+            cols = jnp.take(A, idx, axis=1).astype(jnp.float64)
+            xs = jax.lax.dynamic_slice(xp, (i * CH,), (CH,))
+            return acc + jnp.matmul(cols, xs), None
+
+        acc, _ = jax.lax.scan(
+            blk, jnp.zeros((m,), jnp.float64),
+            jnp.arange(nblk, dtype=jnp.int32),
+        )
+        return acc
 
     def one(carry, _):
         x, best_x, best_nr = carry
-        r = b64 - jnp.matmul(AB64, x)
+        r = b64 - matvec64(x)
         nr = jnp.max(jnp.abs(r))
         better = nr < best_nr
         best_x = jnp.where(better, x, best_x)
@@ -309,7 +333,7 @@ def _refine_device_jit(A, b, basis, x0, B_inv, iters: int = 4):
     (x, best_x, best_nr), _ = jax.lax.scan(
         one, (x, x, jnp.asarray(jnp.inf, jnp.float64)), None, length=iters
     )
-    r = b64 - jnp.matmul(AB64, x)
+    r = b64 - matvec64(x)
     nr = jnp.max(jnp.abs(r))
     better = nr < best_nr
     best_x = jnp.where(better, x, best_x)
@@ -377,16 +401,14 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
     if isinstance(A, np.ndarray):
         # Gather + f64-cast the basis block in one THREADED chunked pass
         # into a C-order f64 buffer (m^2 * 8B; 2.1 GB at the 16k polish
-        # cap). Two measured pathologies with the naive
-        # ``A[:, basis].astype(f64)``: (a) the fancy index returns an
-        # F-order array and both steps run single-threaded, and (b) under
-        # the tunneled device runtime the host core is contended — the
-        # same 268->537 MB gather+cast measured 0.16 s standalone but
-        # 4-15 s inside a solve process (round-5 probes). numpy take /
-        # cast-assign release the GIL, so a small thread pool restores
-        # memory-bandwidth speed. Done ONCE per polish; each refinement
-        # pass is then one multithreaded BLAS dgemv (the pre-round-5 code
-        # additionally re-cast 268 MB per pass).
+        # cap), done ONCE per polish — the pre-round-5 code re-cast 268 MB
+        # per refinement pass, and the naive ``A[:, basis].astype(f64)``
+        # also returns an F-order array. NB: this host path is only the
+        # sparse/sharded fallback now — dense single-device solves refine
+        # ON DEVICE (_polish_refine_device), because on a single
+        # tunnel-contended host core this gather+cast measured 4-15 s
+        # (0.16 s standalone; the thread pool helps only multi-core
+        # hosts — numpy take / cast-assign release the GIL).
         from concurrent.futures import ThreadPoolExecutor
 
         m_rows = A.shape[0]
