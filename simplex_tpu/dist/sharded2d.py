@@ -260,7 +260,9 @@ def _solve_2d_local(
                 ig = jax.lax.all_gather(ig, ROWS_AXIS, tiled=True)
                 topv, pos = jax.lax.top_k(vg, K_mp)
                 cidx = jnp.take(ig, pos)
-                ce = -topv  # masked-exact values: basics carry +1e30
+                # topv are MASKED-exact values (basics carry +1e30, so they
+                # can never validate); ce below is re-derived exactly from
+                # the replicated columns
                 valid = topv > eps
                 # Bland: the single LOWEST improving index, refilled every
                 # pivot while the rule stays active (exact anti-cycling)
