@@ -431,48 +431,9 @@ def solve_with_checkpoints(
     # bench_full's timed window), so z is the objective of the TRUE basic
     # solution and feas_err its actual primal infeasibility.
     if options.polish and m <= options.polish_max_m:
-        from simplex_tpu.core.solver import (
-            _polish_refine,
-            _polish_refine_device,
-            _single_device,
-        )
+        from simplex_tpu.core.solver import run_polish
 
-        if A_host is not None:
-            A_pol = A_host
-        elif is_sparse:
-            A_pol = A
-        else:
-            A_pol = None
-        if (
-            not is_sparse
-            and _single_device(A)
-            and _single_device(state.B_inv)
-        ):
-            # dense single-device solve: f64 refinement entirely on device
-            # (this host is one tunnel-contended core — round-5 probes put
-            # the host gather+cast at 4-15 s of the time-to-optimal tail)
-            x_b64, ok = _polish_refine_device(
-                A, b, basis_np, x_b_np, state.B_inv
-            )
-        else:
-            if A_pol is None:
-                A_pol = np.asarray(A)
-            x_b64, ok = _polish_refine(A_pol, b, basis_np, x_b_np, state.B_inv)
-        if not ok:
-            if A_pol is None:
-                A_pol = A_host if A_host is not None else np.asarray(A)
-            from simplex_tpu.core.solver import _host_basis_cols
-
-            AB = _host_basis_cols(A_pol, basis_np)
-            if not isinstance(AB, np.ndarray):
-                AB = AB.toarray()
-            try:
-                x_b64 = np.linalg.solve(
-                    np.asarray(AB, np.float64), np.asarray(b, np.float64)
-                )
-                ok = True
-            except np.linalg.LinAlgError:
-                ok = False
+        x_b64, ok = run_polish(A, A_host, b, basis_np, x_b_np, state.B_inv)
         if ok:
             feas_err = float(max(0.0, -x_b64.min()))
             x_b_np = x_b64.astype(x_b_np.dtype)

@@ -274,6 +274,62 @@ def _single_device(x) -> bool:
     )
 
 
+def _same_single_device(a, b) -> bool:
+    """Both dense single-device jax arrays on the SAME device (the device
+    polish jit would otherwise fail at dispatch with 'incompatible
+    devices' — keep the host fallback for cross-device callers)."""
+    return (
+        _single_device(a)
+        and _single_device(b)
+        and a.sharding.device_set == b.sharding.device_set
+    )
+
+
+def run_polish(A, A_host, b, basis_np, x_b0, B_inv):
+    """Exact-f64 refinement of the returned basis — the ONE dispatcher every
+    solve mode ends in (finalize_result and solve_with_checkpoints used to
+    carry near-verbatim copies of this decision tree).
+
+    Dense single-device solves refine ON DEVICE (the host here is a single
+    tunnel-contended core; see _refine_device_jit); sparse / sharded /
+    cross-device flavors take the host path against ``A_host`` (or a pulled
+    ``A``). An ill-conditioned basis falls back to one host f64 LU.
+
+    Returns ``(x_b64, ok)``; ``ok=False`` means even the LU failed
+    (numerically singular basis) and the caller should keep its fp32 values.
+    """
+    from simplex_tpu import sparse as _bsp
+
+    is_sparse = isinstance(A, _bsp.BlockSparse)
+    A_pol = A_host if A_host is not None else (A if is_sparse else None)
+    if not is_sparse and _same_single_device(A, B_inv):
+        x_b64, ok = _polish_refine_device(A, b, basis_np, x_b0, B_inv)
+    else:
+        if A_pol is None:
+            A_pol = np.asarray(A)
+        x_b64, ok = _polish_refine(A_pol, b, basis_np, x_b0, B_inv)
+    if not ok:
+        from simplex_tpu.logging import get_logger
+
+        get_logger("solver").warning(
+            "polish refinement stalled (ill-conditioned basis); "
+            "falling back to O(m^3) LU"
+        )
+        if A_pol is None:
+            A_pol = np.asarray(A)
+        AB = _host_basis_cols(A_pol, basis_np)
+        if not isinstance(AB, np.ndarray):
+            AB = AB.toarray()  # scipy.sparse column slice
+        try:
+            x_b64 = np.linalg.solve(
+                np.asarray(AB, np.float64), np.asarray(b, np.float64)
+            )
+            ok = True
+        except np.linalg.LinAlgError:
+            ok = False
+    return x_b64, ok
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def _refine_device_jit(A, b, basis, x0, B_inv, iters: int = 4):
     """f64 iterative refinement entirely ON DEVICE (see _polish_refine).
@@ -385,19 +441,6 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
     Returns (x64, ok); ok=False (stalled residual: conditioning too high
     for the fp32 preconditioner) sends the caller to the LU fallback.
     """
-    import os as _os
-    import time as _time
-
-    _dbg = _os.environ.get("SIMPLEX_TPU_POLISH_DEBUG")
-
-    def _mark(label, t0):
-        if _dbg:
-            print(
-                f"    [polish:{label}] {_time.perf_counter()-t0:.2f}s",
-                flush=True,
-            )
-
-    _t = _time.perf_counter()
     if isinstance(A, np.ndarray):
         # Gather + f64-cast the basis block in one THREADED chunked pass
         # into a C-order f64 buffer (m^2 * 8B; 2.1 GB at the 16k polish
@@ -424,7 +467,6 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
         AB = _host_basis_cols(A, basis_np)
         if AB.dtype != np.float64:
             AB = AB.astype(np.float64)  # sparse flavors: one O(nnz) cast
-    _mark("gather_cast_f64", _t)
     if isinstance(B_inv, jax.Array):
         dtype = B_inv.dtype
 
@@ -439,10 +481,8 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
         def precond(r):
             return (B_inv_np @ r.astype(B_inv_np.dtype)).astype(np.float64)
 
-    _t = _time.perf_counter()
     b64 = np.asarray(b, np.float64)
     x = np.asarray(x_b0, np.float64)
-    _mark("b_pull", _t)
     m = AB.shape[0]
     scale = max(1.0, float(np.abs(b64).max()))
     CH = 1024
@@ -460,9 +500,7 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
     nr = np.inf
     stale = True  # does nr describe the CURRENT x?
     for _ in range(iters):
-        _t = _time.perf_counter()
         r = residual(x)
-        _mark("residual", _t)
         nr = float(np.abs(r).max())
         stale = False
         if not np.isfinite(nr) or nr >= prev:
@@ -470,9 +508,7 @@ def _polish_refine(A, b, basis_np, x_b0, B_inv, iters: int = 4):
         prev = nr
         if nr <= 1e-11 * scale:
             break
-        _t = _time.perf_counter()
         x = x + precond(r)
-        _mark("precond", _t)
         stale = True
     if stale:
         nr = float(np.abs(residual(x)).max())
@@ -554,6 +590,20 @@ def solve(
             "pricing='steepest' maintains exact norms against the eager "
             "B_inv; it composes with neither update_defer nor multi_price"
         )
+    if options.multi_price > 0 and options.pricing == "devex":
+        # multiple pricing is dantzig-only; without this the option would
+        # silently no-op AND size the deferred/candidate buffers by K
+        # (round-5 review finding — the loud-inert policy of the batch and
+        # sharded entry points applies here too)
+        import dataclasses as _dc0
+
+        from simplex_tpu.logging import get_logger
+
+        get_logger("solver").warning(
+            "multi_price=%d is inert under pricing='devex' (dantzig only); "
+            "solving without multiple pricing", options.multi_price
+        )
+        options = _dc0.replace(options, multi_price=0)
     A_price = None
     if options.pricing_sparse and options.pricing == "dantzig" and not is_sparse:
         if options.partial_pricing > 1:
@@ -695,47 +745,9 @@ def finalize_result(
         # any genuine violation is surfaced as feas_err rather than silently
         # zeroed into an A x != b 'solution'.
         # sparse flavors (BlockSparse / scipy) pass through untouched —
-        # _host_basis_cols assembles only the basis columns; a dense DEVICE
-        # array is pulled whole here (legacy single-pull behavior)
-        from simplex_tpu import sparse as _bsp
-
-        if A_host is not None:
-            A_pol = A_host
-        elif isinstance(A, _bsp.BlockSparse):
-            A_pol = A
-        else:
-            A_pol = None  # resolved below only if the host path is needed
-        if _single_device(A) and _single_device(B_inv) and not isinstance(
-            A, _bsp.BlockSparse
-        ):
-            # dense single-device solve: f64 refinement entirely on device
-            # (the host here is one tunnel-contended core — see
-            # _refine_device_jit)
-            x_b64, ok = _polish_refine_device(A, b_eff, basis_np, x_b_np, B_inv)
-        else:
-            if A_pol is None:
-                A_pol = np.asarray(A)
-            x_b64, ok = _polish_refine(A_pol, b_eff, basis_np, x_b_np, B_inv)
-        if not ok:
-            if A_pol is None:
-                A_pol = A_host if A_host is not None else np.asarray(A)
-            from simplex_tpu.logging import get_logger
-
-            get_logger("solver").warning(
-                "polish refinement stalled (ill-conditioned basis); "
-                "falling back to O(m^3) LU"
-            )
-            # pathological conditioning: the O(m^3) LU is the exact fallback
-            AB = _host_basis_cols(A_pol, basis_np)
-            if not isinstance(AB, np.ndarray):
-                AB = AB.toarray()  # scipy.sparse column slice
-            try:
-                x_b64 = np.linalg.solve(
-                    np.asarray(AB, np.float64), np.asarray(b_eff, np.float64)
-                )
-                ok = True
-            except np.linalg.LinAlgError:
-                ok = False
+        # _host_basis_cols assembles only the basis columns; see run_polish
+        # for the device-vs-host dispatch
+        x_b64, ok = run_polish(A, A_host, b_eff, basis_np, x_b_np, B_inv)
         if ok:
             feas_err = _bounded_feas(x_b64)
             x_b_np = x_b64.astype(x_b_np.dtype)

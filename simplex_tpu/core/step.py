@@ -762,12 +762,17 @@ def pivot_step(
         # exact entry recheck: minor-pivot selection rides the buffered
         # reduced costs; before committing, verify the entering candidate
         # still improves in exact arithmetic (e_p above, O(m)). A stale one
-        # is skipped AND invalidated below — at most K skips before a dry
-        # buffer forces a refill that reprices everything exactly, so no
-        # livelock. Refill-fresh candidates share y with their recheck and
-        # never trip this.
+        # is skipped AND invalidated below. The threshold is eps/2, LOOSER
+        # than the refill's -eps: the refill's (m, K) GEMM and this GEMV
+        # reduce in different orders, and a candidate straddling -eps in
+        # one rounding but not the other would otherwise be re-selected by
+        # the very next refill (same y) and re-rejected here forever — a
+        # while_loop livelock, since skipped steps do not advance iters.
+        # As the hard backstop, a rejected skip counts toward the degen
+        # streak below, so sustained rejection latches Bland (whose refill
+        # is single-candidate exact and bypasses this gate).
         s_ep = jnp.where(from_upper, -e_p, e_p) if bounded else e_p
-        cand_fresh = s_ep < -eps
+        cand_fresh = s_ep < -(eps * 0.5)
         take = jnp.logical_and(
             take, jnp.logical_or(cand_fresh, use_bland)
         )
@@ -981,7 +986,21 @@ def pivot_step(
         basis=sel(basis_new, state.basis),
         iters=state.iters + jnp.where(take, jnp.int32(1), jnp.int32(0)),
         status=status_new,
-        degen=jnp.where(take, degen_new, state.degen),
+        # a rejected-stale multi-price skip (no pivot taken, solve still
+        # RUNNING) counts toward the degen streak: bounded livelock escape —
+        # bland_after eventually latches the exact single-candidate rule
+        degen=jnp.where(
+            take,
+            degen_new,
+            jnp.where(
+                jnp.logical_and(
+                    ~cand_fresh,
+                    status_new == jnp.int32(SolveStatus.RUNNING),
+                ),
+                state.degen + 1,
+                state.degen,
+            ),
+        ),
         last_refac=state.last_refac,
         e=sel(e_new, state.e),
         gamma=sel(gamma_new, state.gamma),

@@ -534,9 +534,13 @@ def _solve_2d_local(
         if multi:
             # exact entry recheck (core/step.py contract): a buffered
             # candidate whose true reduced cost went stale is skipped AND
-            # invalidated; at most K skips before a dry buffer forces an
-            # exact refill, so no livelock
-            cand_fresh = e_p < -eps
+            # invalidated. Threshold eps/2 — looser than the refill's -eps —
+            # so reduction-order noise between the refill's (m, K) GEMM and
+            # this dot cannot straddle the gate and livelock the while_loop
+            # (a skip does not advance iters); a rejected skip also counts
+            # toward the degen streak below, so sustained rejection latches
+            # Bland (exact single-candidate refill, gate bypassed).
+            cand_fresh = e_p < -(eps * 0.5)
             do_pivot = jnp.logical_and(
                 do_pivot, jnp.logical_or(cand_fresh, use_bland)
             )
@@ -672,7 +676,20 @@ def _solve_2d_local(
             "basis": sel(basis_new, s["basis"]),
             "iters": s["iters"] + jnp.where(do_pivot, 1, 0).astype(jnp.int32),
             "status": status_new,
-            "degen": jnp.where(do_pivot, degen_new, s["degen"]),
+            # rejected-stale skips count toward the streak (livelock escape
+            # via bland_after; see the entry recheck above)
+            "degen": jnp.where(
+                do_pivot,
+                degen_new,
+                jnp.where(
+                    jnp.logical_and(
+                        ~cand_fresh,
+                        status_new == jnp.int32(SolveStatus.RUNNING),
+                    ),
+                    s["degen"] + 1,
+                    s["degen"],
+                ),
+            ),
         }
         if defer:
             out["U"] = U_new

@@ -117,10 +117,15 @@ def read_mps(path: str | os.PathLike, sparse: bool = False) -> MPSProblem:
             else:
                 raise ValueError(f"unknown row type {rtype!r}")
         elif section == "COLUMNS":
-            if any(p.strip("'\"").upper() == "MARKER" for p in parts[1:]):
+            if any(
+                p.upper() in ("'MARKER'", '"MARKER"') for p in parts[1:]
+            ):
                 # MARKER 'INTORG' opens / 'INTEND' closes an integer block;
                 # columns inside are recorded and relaxed to continuous
-                # (glp_simplex LP-relaxation semantics, solver_glpk.cpp:23)
+                # (glp_simplex LP-relaxation semantics, solver_glpk.cpp:23).
+                # The keyword must be QUOTED, per the MPS format — an
+                # unquoted MARKER here is a legitimate row name in a data
+                # line and must not be swallowed.
                 kinds = {p.strip("'\"").upper() for p in parts}
                 if "INTORG" in kinds:
                     in_int_block = True

@@ -328,3 +328,20 @@ def test_cli_solves_mip_deck(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Optimum found: 4.35" in out  # relaxation: y3 = 1.5, z1 = 1
+
+
+def test_mps_row_named_marker_is_not_a_marker(tmp_path):
+    """The integer-marker keyword must be QUOTED ('MARKER'); an unquoted
+    MARKER in a COLUMNS data line is a legitimate row name and must parse
+    as a coefficient (round-5 review finding)."""
+    path = tmp_path / "mrow.mps"
+    path.write_text(
+        "NAME M\nROWS\n N C\n L MARKER\nCOLUMNS\n"
+        "    X1 C 1.0 MARKER 2.0\n"
+        "RHS\n    RHS MARKER 5.0\nENDATA\n"
+    )
+    prob = read_mps(path)
+    assert prob.integer is None
+    assert prob.row_names == ["MARKER"]
+    np.testing.assert_array_equal(prob.A, [[2.0]])
+    np.testing.assert_array_equal(prob.b, [5.0])
