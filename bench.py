@@ -160,6 +160,14 @@ def main() -> None:
         ap.error("--no-oracle is incompatible with --mode parity")
     if args.small:
         args.m, args.n = 512, 1024
+    if args.pricing != "dantzig" and args.multi_price:
+        # multiple pricing is dantzig-only (solve() raises under steepest);
+        # the default --multi-price 64 must not break a --pricing run
+        log(
+            f"--pricing {args.pricing}: multiple pricing is dantzig-only; "
+            "forcing --multi-price 0"
+        )
+        args.multi_price = 0
 
     import jax
 

@@ -127,9 +127,13 @@ class SimplexOptions:
     #               optimality whenever the incremental test fires.
     #   "steepest" — EXACT steepest edge (Goldfarb-Reid): the true norms
     #               gamma_j = 1 + ||B_inv A_j||^2 maintained exactly at one
-    #               extra O(m^2) GEMV + one extra O(mn) pass per pivot
-    #               (~2x devex's traffic for the fewest pivots of any rule).
-    #               Single-chip, eager-update only (no defer/multi_price).
+    #               extra O(m^2) GEMV per pivot; the two O(mn) row passes
+    #               (w = rho.A and v = u.A) are fused into ONE (2, m) x
+    #               (m, n) GEMM so A streams from HBM once (kernels.xla.
+    #               pricing_update2). Composes with update_defer (the u /
+    #               binv_q corrections telescope over the pending pairs);
+    #               single-chip, no multi_price (its buffered minor pivots
+    #               skip the per-pivot w/v passes the recurrence needs).
     #               (The reference left steepest-edge unchecked, README.md:21.)
     pricing: str = "dantzig"
 

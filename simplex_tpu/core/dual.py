@@ -580,12 +580,10 @@ def solve_dual(
             u_np = None
     # the same combination guards solve() applies (the primal cleanup loop
     # runs inside the same executable)
-    if options.pricing == "steepest" and (
-        options.update_defer > 0 or options.multi_price > 0
-    ):
+    if options.pricing == "steepest" and options.multi_price > 0:
         raise NotImplementedError(
-            "pricing='steepest' maintains exact norms against the eager "
-            "B_inv; it composes with neither update_defer nor multi_price"
+            "pricing='steepest' does not compose with multi_price's "
+            "buffered minor pivots (it DOES compose with update_defer)"
         )
     if check_entry:
         tol = 10 * options.resolve_eps()

@@ -583,12 +583,13 @@ def solve(
         if not np.any(np.isfinite(u_np)):
             bounded = False  # all-inf bounds: classic path, zero overhead
             u_np = None
-    if options.pricing == "steepest" and (
-        options.update_defer > 0 or options.multi_price > 0
-    ):
+    if options.pricing == "steepest" and options.multi_price > 0:
         raise NotImplementedError(
-            "pricing='steepest' maintains exact norms against the eager "
-            "B_inv; it composes with neither update_defer nor multi_price"
+            "pricing='steepest' maintains per-pivot exact norms (the weight "
+            "recurrence needs the full w/v passes every pivot); it does not "
+            "compose with multi_price's buffered minor pivots. It DOES "
+            "compose with update_defer (the u/binv_q corrections telescope "
+            "over the pending pairs)."
         )
     if options.multi_price > 0 and options.pricing == "devex":
         # multiple pricing is dantzig-only; without this the option would

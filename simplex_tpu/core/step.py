@@ -882,8 +882,6 @@ def pivot_step(
         # incremental-e noise compounds over pivots (unlike Dantzig's, which
         # is re-derived from y every iteration and re-checked exactly).
         rho = binv_q * inv_aq
-        w = backend.pricing_update(prob.A.astype(dtype), rho)
-        e_new = state.e - e_p * w
         if opts.pricing == "steepest":
             # EXACT steepest edge (Goldfarb-Reid), gamma_j = 1 + ||t_j||^2
             # with t_j = B_inv A_j. After the pivot t_j' = t_j + w_j * eta
@@ -891,13 +889,33 @@ def pivot_step(
             # rho = binv_q/alpha_q gives w_j = (pivot row)_j / alpha_q), so
             #   gamma_j' = gamma_j - 2 w_j v_j + w_j^2 (1 + ||alpha||^2)
             # with v_j = t_j . alpha = A_j . (B^{-T} alpha) — one extra
-            # O(m^2) GEMV (u = alpha @ B_inv) + one extra O(mn) pass (u.A)
-            # per pivot buys the exact norms the reference's ladder left
-            # unchecked (README.md:21). The leaving column's weight is set
-            # exactly: t_lv' = e_q + eta => gamma_lv' = 1 +
-            # (1 + ||alpha||^2 - alpha_q^2) / alpha_q^2.
+            # O(m^2) GEMV (u = alpha @ B_inv) per pivot buys the exact norms
+            # the reference's ladder left unchecked (README.md:21). The
+            # leaving column's weight is set exactly: t_lv' = e_q + eta =>
+            # gamma_lv' = 1 + (1 + ||alpha||^2 - alpha_q^2) / alpha_q^2.
+            # u must read the TRUE pre-pivot inverse: under deferred updates
+            # that is the frozen base plus the pending pairs, corrected in
+            # O(L m) (same telescoping as the ftran above).
             u = jnp.matmul(alpha, state.B_inv, precision=_EXACT)
-            v = backend.pricing_update(prob.A.astype(dtype), u)
+            if defer:
+                u = u + jnp.matmul(
+                    jnp.matmul(alpha, state.U.T, precision=_EXACT),
+                    state.R,
+                    precision=_EXACT,
+                )
+            # w and v are BOTH O(mn) row-vector passes over A — the
+            # dominant steepest-edge traffic. pricing_update2 stacks them
+            # into one (2, m) x (m, n) GEMM so A streams from HBM once.
+            fused2 = getattr(backend, "pricing_update2", None)
+            if fused2 is not None:
+                w, v = fused2(prob.A.astype(dtype), rho, u)
+            else:
+                w = backend.pricing_update(prob.A.astype(dtype), rho)
+                v = backend.pricing_update(prob.A.astype(dtype), u)
+        else:
+            w = backend.pricing_update(prob.A.astype(dtype), rho)
+        e_new = state.e - e_p * w
+        if opts.pricing == "steepest":
             gp1 = 1 + _dot(alpha, alpha)
             lv_se = state.basis[q]
             gamma_lv = 1 + (gp1 - safe_alpha_q * safe_alpha_q) * (

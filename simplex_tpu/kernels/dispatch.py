@@ -30,6 +30,7 @@ def _xla_backend() -> types.SimpleNamespace:
         devex_choose=_xla.devex_choose,
         devex_choose_bounded=_xla.devex_choose_bounded,
         pricing_update=_xla.pricing_update,
+        pricing_update2=_xla.pricing_update2,
         gather_column=_xla.gather_column,
         gather_cost=_xla.gather_cost,
         gather_basis_matrix=_xla.gather_basis_matrix,
@@ -53,6 +54,7 @@ def _pallas_backend() -> types.SimpleNamespace:
         devex_choose=_xla.devex_choose,
         devex_choose_bounded=_xla.devex_choose_bounded,
         pricing_update=_xla.pricing_update,
+        pricing_update2=_xla.pricing_update2,
         gather_column=_xla.gather_column,
         gather_cost=_xla.gather_cost,
         gather_basis_matrix=_xla.gather_basis_matrix,

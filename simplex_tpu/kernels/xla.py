@@ -298,6 +298,31 @@ def pricing_update(A: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(rho, A.astype(rho.dtype), precision=jax.lax.Precision.HIGHEST)
 
 
+def pricing_update2(A: jnp.ndarray, rho: jnp.ndarray, u: jnp.ndarray):
+    """``(rho . A, u . A)`` in ONE pass over A.
+
+    Steepest-edge pricing needs two O(mn) row-vector passes per pivot: the
+    tableau pivot row ``w = rho . A`` (reduced-cost update) and
+    ``v = u . A`` with ``u = B^{-T} alpha`` (the Goldfarb-Reid weight
+    recurrence's ``t_j . alpha`` terms). Issued as two GEMVs, XLA streams A
+    from HBM twice; stacked as one (2, m) x (m, n) GEMM it reads A once —
+    the pass is HBM-bound, so this halves steepest-edge's dominant
+    per-pivot cost. Same HIGHEST-precision rationale as
+    :func:`pricing_update` (both outputs feed incremental state).
+
+    BlockSparse A falls back to two tile passes (the tile rmatvec is
+    vector-only; sparse reads are already tile-bound, not O(mn))."""
+    from simplex_tpu import sparse as _bsp
+
+    if isinstance(A, _bsp.BlockSparse):
+        return pricing_update(A, rho), pricing_update(A, u)
+    wv = jnp.matmul(
+        jnp.stack([rho, u]), A.astype(rho.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return wv[0], wv[1]
+
+
 def gather_cost(c: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """c[p] as a traced scalar."""
     return jax.lax.dynamic_index_in_dim(c, p, axis=0, keepdims=False)

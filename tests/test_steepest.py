@@ -36,19 +36,29 @@ def test_steepest_fp32_with_refactor():
     assert relative_gap(res.z, ref.z) < 1e-4
 
 
-def test_weights_are_exact_norms_every_pivot():
+@pytest.mark.parametrize("defer_l", [0, 4])
+def test_weights_are_exact_norms_every_pivot(defer_l):
     """gamma_j == 1 + ||B^{-1} A_j||^2 for every nonbasic j, after every
-    pivot (f64; from-scratch recomputation as the reference value)."""
+    pivot (f64; from-scratch recomputation as the reference value).
+
+    defer_l=4 pins the round-5 composition with deferred rank-L updates:
+    the u / binv_q pending-pair corrections must keep the recurrence exact
+    BETWEEN flushes (pivots 1-3 run on a stale base + pending pairs)."""
     from simplex_tpu.core.state import Problem, initial_state_slack
     from simplex_tpu.core.step import pivot_step
     from simplex_tpu.kernels.dispatch import get_backend
 
     A, b, c = random_dense_lp(12, 30, seed=5, dtype=np.float64)
-    opts = SimplexOptions(pricing="steepest", dtype=jnp.float64)
+    opts = SimplexOptions(
+        pricing="steepest", dtype=jnp.float64, update_defer=defer_l
+    )
     prob = Problem(
         A=jnp.asarray(A), b=jnp.asarray(b), c=jnp.asarray(c)
     )
-    state = initial_state_slack(prob, jnp.float64, pricing="steepest")
+    state = initial_state_slack(
+        prob, jnp.float64, pricing="steepest",
+        update_defer=opts.resolve_defer(),
+    )
     backend = get_backend("xla")
     A64 = np.asarray(A, np.float64)
     for _ in range(12):
@@ -90,14 +100,40 @@ def test_steepest_unbounded():
     assert res.status == SolveStatus.UNBOUNDED
 
 
+def test_steepest_composes_with_update_defer():
+    """Round 5: steepest + deferred rank-L updates is supported and lands on
+    the same optimum as the eager path (identical pivot rule — the deferred
+    representation is exact, so the walk itself should agree too)."""
+    A, b, c = random_dense_lp(48, 120, seed=9, dtype=np.float64)
+    ref = solve_scipy(A, b, c)
+    eager = solve(A, b, c, options=SE64)
+    deferred = solve(
+        A, b, c,
+        options=SimplexOptions(
+            pricing="steepest", dtype=jnp.float64, update_defer=8
+        ),
+    )
+    assert eager.status == deferred.status == SolveStatus.OPTIMAL
+    assert relative_gap(deferred.z, ref.z) < 1e-9
+    assert deferred.iters == eager.iters  # same exact rule, same walk
+
+
+def test_steepest_defer_fp32_matches_oracle():
+    A, b, c = random_dense_lp(128, 320, seed=11)
+    ref = solve_scipy(A, b, c)
+    res = solve(
+        A, b, c,
+        options=SimplexOptions(
+            pricing="steepest", update_defer=16, refactor_every=64
+        ),
+    )
+    assert res.status == SolveStatus.OPTIMAL
+    assert relative_gap(res.z, ref.z) < 1e-4
+
+
 def test_steepest_rejects_unsupported_combos():
     A, b, c = random_dense_lp(4, 10, seed=1)
-    with pytest.raises(NotImplementedError, match="defer"):
-        solve(
-            A, b, c,
-            options=SimplexOptions(pricing="steepest", update_defer=8),
-        )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="multi_price"):
         solve(
             A, b, c,
             options=SimplexOptions(pricing="steepest", multi_price=4),
