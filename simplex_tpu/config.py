@@ -110,6 +110,23 @@ class SimplexOptions:
     # a perturbed point never crosses a bound.
     perturb_scale: float = 1e-4
 
+    # Geometric escalation of the shift across re-arms: activation k uses
+    # perturb_scale * perturb_grow^min(k, 4). A re-arm means the PREVIOUS
+    # shift failed to break the stall — the assignment/transportation-class
+    # extreme (bench --degen) exhausted all 16 activations at the fixed
+    # base scale with a live 736-long degenerate streak at the 8192-pivot
+    # budget; with escalation the same budget ends with streak 0 after 6
+    # activations at 23% less wall (scripts/r5_esc_degen.py, v5e). The
+    # exact-accounting invariant (B x = b_eff + w) holds at any magnitude —
+    # the shift is fully cleared before certification either way — but the
+    # exponent cap must stay SMALL: delta scales with (1 + |x_b|) and |x_b|
+    # carries the accumulated shift, so large escalations feed back
+    # (measured at cap 2^10: |x_b| grew to O(100) by 49k pivots on the
+    # degenerate extreme). 2^4 = 16x base splits tie structure well beyond
+    # fp32 noise while the total shift stays O(1e-2)-relative. 1.0
+    # restores the fixed-scale behavior.
+    perturb_grow: float = 2.0
+
     # Core arithmetic dtype for A / B_inv / vectors.
     dtype: jnp.dtype = jnp.float32
 

@@ -98,14 +98,24 @@ def solve_state(
                     s.degen % opts.perturb_after == 0,
                 ),
             )
-            s = jax.lax.cond(
-                due_pert,
-                lambda st: perturb_activate(
-                    prob, st, backend, opts.perturb_scale
-                ),
-                lambda st: st,
-                s,
-            )
+            def _arm(st):
+                scale = opts.perturb_scale
+                if opts.perturb_grow != 1.0:
+                    # re-arm k means the previous k shifts failed to break
+                    # the stall: escalate geometrically so the shift
+                    # dominates whatever tie structure a base-scale one
+                    # could not split. The exponent cap must stay small —
+                    # delta scales with (1 + |x_b|), which carries the
+                    # accumulated shift, so unbounded escalation feeds back
+                    # (see config.perturb_grow for the measured blow-up)
+                    scale = scale * jnp.asarray(
+                        opts.perturb_grow, jnp.float32
+                    ) ** jnp.minimum(st.pert.rounds, jnp.int32(4)).astype(
+                        jnp.float32
+                    )
+                return perturb_activate(prob, st, backend, scale)
+
+            s = jax.lax.cond(due_pert, _arm, lambda st: st, s)
         if opts.recompute_every > 0:
             due_xy = jnp.logical_and(
                 jnp.logical_and(

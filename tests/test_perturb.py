@@ -77,6 +77,27 @@ def test_perturb_activates_and_is_cleared_at_terminal():
     assert np.abs(resid).max() < 1e-3
 
 
+@pytest.mark.parametrize("grow", [1.0, 2.0, 8.0])
+def test_perturb_escalation_keeps_oracle_parity(grow):
+    """Round 5: re-arms escalate the shift geometrically (perturb_grow).
+    The exact-accounting invariant (B x = b_eff + w, cleared before any
+    certified status) is magnitude-independent, so even aggressive growth
+    (8^k, i.e. ~0.1-relative shifts within a few re-arms) must certify the
+    same oracle-parity answer; 1.0 pins the legacy fixed-scale behavior."""
+    A, b, c = degenerate_streak_lp(seed=5)
+    ref = solve_scipy(A, b, c)
+    opts = SimplexOptions(
+        perturb_after=2, refactor_every=32, perturb_grow=grow
+    )
+    final = _solve_final_state(A, b, c, opts)
+    assert int(final.status) == int(SolveStatus.OPTIMAL)
+    assert int(final.pert.rounds) >= 1  # the gate fired (re-arms possible)
+    assert not bool(final.pert.on)
+    np.testing.assert_allclose(np.asarray(final.pert.w), 0.0)
+    z = float(np.asarray(final.c_b) @ np.asarray(final.x_b))
+    assert relative_gap(z, ref.z) < 1e-3
+
+
 def test_perturb_nondegenerate_never_fires():
     A, b, c = random_dense_lp(16, 40, seed=7, dtype=np.float32)
     final = _solve_final_state(A, b, c, SimplexOptions(perturb_after=48))
